@@ -1,0 +1,55 @@
+"""Order-independent (exact) float aggregation.
+
+Floating-point SUM/AVG over a distributed dataset is not deterministic:
+partial aggregates combine in partition order, so the same query can
+produce results differing in the last ulp run-to-run and engine-to-engine.
+The differential harness (driver CORRECTNESS gate, SURVEY.md §5) hash-
+compares our values against DuckDB, so aggregates must be *bit-exact*
+across engines.
+
+The fix is the classic exact-decimal trick: cast to a fixed-point DECIMAL
+before aggregating. Decimal sums are integer arithmetic — associative,
+commutative, order-independent — so Spark and DuckDB agree exactly, and
+the single final DECIMAL→DOUBLE conversion is deterministic. AVG is
+computed as exact-sum ÷ count (double ÷ long, one deterministic fp op)
+rather than the engines' native AVG.
+
+Scale choice: fixture money columns are 2-decimal; scale=2 keeps the
+unscaled sum far below 2^53 so the final double conversion is lossless
+even at large SF. For raw uniform doubles (events.value, l_discount) use
+scale=6: the quantization is the *defined semantic* of the query (applied
+identically in the oracle SQL), not an approximation of it.
+
+At 100 TB this costs one widened column per aggregate — still whole-stage
+codegen, still map-side partial aggregation; no Python, no shuffle change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dsum(c: str | Column, scale: int = 2) -> Column:
+    """Order-independent SUM of a double column, returned as double."""
+    return F.sum(_col(c).cast(f"decimal(38,{scale})")).cast("double")
+
+
+def davg(c: str | Column, scale: int = 2) -> Column:
+    """Order-independent AVG of a double column, returned as double."""
+    col = _col(c)
+    return dsum(col, scale) / F.count(col)
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    """ANSI rendering of :func:`dsum` for the DuckDB oracle."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+
+
+def sql_davg(expr: str, scale: int = 2) -> str:
+    """ANSI rendering of :func:`davg` for the DuckDB oracle."""
+    return f"{sql_dsum(expr, scale)} / COUNT({expr})"

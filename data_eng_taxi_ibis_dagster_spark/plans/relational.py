@@ -1,0 +1,608 @@
+"""Core relational query plans.
+
+§2a of SURVEY.md (the reference's own operator surface — flagship
+filter→group→avg, counts, scans, SQL path) plus the E1–E6 extension
+rows (joins, sort/limit/top-k, distinct/set ops, windows,
+rollup/cube). Every plan is stock DataFrame API → Catalyst handles
+pushdown, pruning, partial aggregation and join selection; broadcast
+hints are applied to the star-schema dimensions explicitly.
+
+Scale notes are per-query in docstrings: the recurring themes are
+(1) dims broadcast so fact tables never shuffle for enrichment joins,
+(2) aggregations reduce before they shuffle (partial agg), and
+(3) per-group top-k uses window + filter, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_eng_taxi_ibis_dagster_spark.functions.exact import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from data_eng_taxi_ibis_dagster_spark.plans.registry import query
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# §2a — the reference's own surface
+# ---------------------------------------------------------------------------
+
+@query(
+    "flagship_avg_price",
+    oracle=f"""
+        SELECT l_quantity,
+               {sql_davg('l_extendedprice')} AS avg_price,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_extendedprice > 30000
+        GROUP BY l_quantity
+    """,
+    tags=("2a", "F1", "A1", "A2", "X1", "P2"),
+    bench=True,
+)
+def flagship_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship query ("avg fare by passenger count where
+    fare > $50", /root/reference/README.md:47-48;
+    taxi_pipeline_native.py:125-131) mapped onto the fixture domain:
+    fare_amount → l_extendedprice, passenger_count → l_quantity.
+
+    Scale: filter pushes to the parquet scan (PushedFilters), only two
+    columns are read, and the group-by is 50-ary — partial aggregation
+    collapses each partition to ≤50 rows before the shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_extendedprice") > 30000)
+        .groupBy("l_quantity")
+        .agg(
+            davg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "flagship_sql_path",
+    oracle=f"""
+        SELECT l_quantity,
+               {sql_davg('l_extendedprice')} AS avg_price,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_extendedprice > 30000
+        GROUP BY l_quantity
+    """,
+    tags=("2a", "Q1", "Q2"),
+)
+def flagship_sql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same logical query via the SQL-string + temp-view entry point
+    (reference taxi_pipeline_native.py:164-171). Catalyst produces the
+    identical optimized plan as the DataFrame path — the 4-way engine
+    equivalence the reference demonstrates, rebuilt as DataFrame-vs-SQL.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(f"""
+        SELECT l_quantity,
+               {sql_davg('l_extendedprice')} AS avg_price,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_extendedprice > 30000
+        GROUP BY l_quantity
+    """)
+
+
+@query(
+    "count_lineitem",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+    tags=("2a", "A3"),
+)
+def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global COUNT(*) (A3 — reference taxi_pipeline_native.py:47).
+    Parquet row-group metadata answers this without reading data pages."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "scan_filter_project",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity < 5
+    """,
+    tags=("2a", "S1", "F1", "P2"),
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan→filter→project (no agg): verifies pushdown + pruning end
+    to end. ReadSchema in the physical plan carries exactly 5 columns."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") < 5))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1 — equi-joins (broadcast dims; semi/anti)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_sales_by_region",
+    oracle=f"""
+        SELECT r.r_name,
+               {sql_dsum('o.o_totalprice')} AS total_sales,
+               COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    tags=("E1",),
+    bench=True,
+)
+def join_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema enrichment join: fact (orders) against three broadcast
+    dims. With every dim broadcast, the fact table is never shuffled for
+    the join — the only shuffle is the final 5-ary aggregation, which
+    partial-agg collapses first. This is the 100 TB-safe join shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            dsum("o_totalprice").alias("total_sales"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "join_left_order_counts",
+    oracle="""
+        SELECT c.c_custkey,
+               COUNT(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    """,
+    tags=("E1",),
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join preserving zero-order customers (COUNT of a nullable key
+    counts matches only). At scale: orders-side pre-aggregation would
+    shrink the shuffle; left as a join to exercise outer-join semantics.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi_customers_with_orders",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("E1",),
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): emits each matching customer once —
+    no duplication, no columns from the right side ever materialized."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+    """,
+    tags=("E1",),
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no large order. The
+    price filter keeps the result non-empty at every fixture SF (every
+    customer has *some* order), so the check exercises real anti-join
+    semantics rather than an empty set."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        customer.join(big, big.o_custkey == customer.c_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2 — range / theta joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_range_ship_lag",
+    oracle="""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_fast_lines
+        FROM lineitem l
+        JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("E2",),
+    bench=True,
+)
+def join_range_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with a range residual: lines shipped within 30 days of
+    the order date. The equi key drives a hash/sort-merge join; the range
+    condition evaluates as a cheap post-join filter — never a BNL. This
+    is the scalable shape for "range join with a join key".
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate >= orders.o_orderdate)
+            & (li.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 30 DAY")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_fast_lines"))
+    )
+
+
+@query(
+    "join_band_acctbal",
+    oracle="""
+        SELECT s.s_suppkey,
+               COUNT(*) AS n_close_customers
+        FROM supplier s
+        JOIN customer c
+          ON c.c_acctbal BETWEEN s.s_acctbal - 10.0 AND s.s_acctbal + 10.0
+        GROUP BY s.s_suppkey
+    """,
+    tags=("E2",),
+)
+def join_band_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure band (non-equi) join between two dims. With no equi key Spark
+    plans a nested-loop; broadcasting the smaller side keeps it a
+    broadcast-NL — linear, not quadratic-shuffle. At 100 TB a band join
+    on a fact table should instead be bucketized (join on overlapping
+    band buckets, then filter) — see operators.relational.band_join_bucketized.
+    """
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(
+            supplier,
+            (customer.c_acctbal >= supplier.s_acctbal - 10.0)
+            & (customer.c_acctbal <= supplier.s_acctbal + 10.0),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_close_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3 — sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_orders",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    tags=("E3",),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k. Spark plans TakeOrderedAndProject — each partition
+    keeps its local top 10, the driver merges k×partitions rows; no full
+    sort, no full shuffle, safe at any scale. o_orderkey tiebreak makes
+    the result deterministic."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    tags=("E3", "E5"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via window + filter. Spark pushes the rank filter
+    into the sort (WindowGroupLimit) so each group materializes only k
+    rows — the scalable alternative to collect-and-slice."""
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E4 — distinct & set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+    tags=("E4",),
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = group-by-all-columns; partial aggregation dedups each
+    partition before the shuffle."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@query(
+    "setop_union_all_keys",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        UNION ALL
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    """,
+    tags=("E4",),
+)
+def setop_union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — pure concatenation, no shuffle at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey"))
+    neg = customer.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey"))
+    return big.unionByName(neg)
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        INTERSECT
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    """,
+    tags=("E4",),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics). Planned as an aggregate+semi-join pair."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey"))
+    neg = customer.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey"))
+    return big.intersect(neg)
+
+
+@query(
+    "setop_except",
+    oracle="""
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+    """,
+    tags=("E4",),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics) — anti-join after dedup."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey"))
+    neg = customer.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey"))
+    return neg.subtract(big)
+
+
+# ---------------------------------------------------------------------------
+# E5 — window functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_running_total",
+    oracle=f"""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_spend
+        FROM orders
+    """,
+    tags=("E5",),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend. Decimal accumulator keeps the running
+    sum order-exact (same trick as functions.exact, inside a frame).
+    One shuffle on the partition key; sort is within-partition only."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).over(w)
+        .cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "window_rank_lag",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               RANK() OVER w AS spend_rank,
+               LAG(o_orderkey) OVER w AS prev_orderkey,
+               LEAD(o_orderkey) OVER w AS next_orderkey
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    tags=("E5",),
+)
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / lag / lead over one window spec (single shuffle + sort,
+    all three functions evaluated in one pass)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("spend_rank"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E6 — rollup / cube
+# ---------------------------------------------------------------------------
+
+@query(
+    "rollup_sales",
+    oracle=f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               {sql_dsum('o_totalprice')} AS total_sales,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("E6",),
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): per-pair, per-status, grand total.
+    Fixture keys are never NULL, so COALESCE('ALL') is an unambiguous
+    subtotal marker shared with the oracle."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(dsum("o_totalprice").alias("total_sales"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "total_sales",
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "cube_sales",
+    oracle=f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(l_returnflag, 'ALL') AS returnflag,
+               {sql_dsum('l_extendedprice')} AS total_price
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY CUBE (o_orderstatus, l_returnflag)
+    """,
+    tags=("E6", "E1"),
+)
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over a joined fact — all 4 grouping-set combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .cube("o_orderstatus", "l_returnflag")
+        .agg(dsum("l_extendedprice").alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E8 — approximate & exact distinct aggregates
+# ---------------------------------------------------------------------------
+
+@query(
+    "exact_count_distinct",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("E8",),
+)
+def exact_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count (expand+two-phase agg in Spark)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "approx_aggregates",
+    oracle=None,  # approximate by design → rows-only check
+    tags=("E8",),
+)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct count + approximate percentiles — the sketches that
+    replace exact distinct/percentile at 100 TB (fixed-size state, one
+    pass, mergeable across partitions). Non-deterministic vs the oracle
+    by design → rows-only check."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
+        )
+    )
