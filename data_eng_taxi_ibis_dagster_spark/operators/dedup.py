@@ -1,0 +1,248 @@
+"""Deduplication operators (EXT E9/E10): exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Shapes chosen for 100 TB:
+
+* Exact dedup groups on a 128-bit content fingerprint, never on the
+  full text — the shuffle carries 16 bytes + key, not documents.
+* MinHash signatures are computed with k min-aggregates in ONE pass
+  over the exploded (doc, shingle) relation (map-side partial min), not
+  k passes; LSH banding turns the quadratic all-pairs problem into a
+  band-bucket equi-join. Hot buckets are capped to keep the self-join
+  skew-safe.
+* SimHash is 64 per-bit conditional sums in a single aggregation, then
+  banded for candidate generation — constant state per doc.
+* Candidate pairs are *verified* with exact Jaccard before being
+  reported; LSH only proposes.
+
+Spark's xxhash64 is the workhorse hash (seedable, 64-bit, JVM-side);
+it has no DuckDB twin, so MinHash/SimHash plans register as rows-only.
+The Jaccard verifier itself is engine-neutral and oracle-checked via
+``dedup_ngram_jaccard``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_eng_taxi_ibis_dagster_spark.operators.text import (
+    fingerprint,
+    shingles,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# E9 — exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id — deterministic, unlike
+    dropDuplicates) per identical normalized text. Returns
+    (fp, keep_<id>, n_copies)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(f"keep_{id_col}"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard verification (shared by every near-dup path)
+# ---------------------------------------------------------------------------
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two *distinct-element* arrays. Integer sizes →
+    one double division: bit-identical across engines."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))
+    return inter / union.cast("double")
+
+
+def pairwise_jaccard(df: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text", block_col: str | None = None,
+                     n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """All-pairs n-gram Jaccard within blocks (E10's exact baseline).
+
+    ``block_col`` bounds the quadratic blow-up (same-source blocking
+    here; at 100 TB the block key comes from LSH instead — see
+    :func:`minhash_near_dup_pairs`, which reuses the same verifier).
+    Emits (doc_a, doc_b, jaccard_sim) with doc_a < doc_b.
+    """
+    sh = df.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        shingles(tokens(text_col), n).alias("sh"),
+    )
+    left = sh.select(
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    right = sh.select(
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    on = [left.doc_a < right.doc_b]
+    if block_col:
+        on.insert(0, left["_blk"] == right["_blk"])
+    pairs = left.join(right, reduce(lambda x, y: x & y, on))
+    sim = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        pairs.select("doc_a", "doc_b", sim.alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E10 — MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_hashes: int = 32) -> DataFrame:
+    """(id, sig array<long>) — k seeded-xxhash64 min-aggregates over the
+    exploded shingle relation, one shuffle on the doc id with map-side
+    partial mins."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(shingles(tokens(text_col), n)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    agg = exploded.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, *, id_col: str = "doc_id",
+                        bands: int = 8, rows: int = 4,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Band the signatures and self-join band buckets → candidate pairs.
+
+    Buckets larger than ``max_bucket`` are dropped (with their size they
+    are near-certain duplicates of a degenerate key — and they are
+    exactly the skew that would quadratically blow up the self-join);
+    callers wanting them get them from exact dedup instead.
+    """
+    band_cols = [
+        F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
+        .alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.stack(
+            F.lit(bands),
+            *[c for b in range(bands) for c in (F.lit(b), F.col(f"b{b}"))],
+        ).alias("band", "bucket"),
+    )
+    sized = stacked.withColumn(
+        "bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+    ).filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    a = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_a"))
+    b = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3,
+                           num_hashes: int = 32, bands: int = 8, rows: int = 4,
+                           threshold: float = 0.6) -> DataFrame:
+    """End-to-end MinHash near-dedup: sign → band → candidates → exact
+    Jaccard verify. Emits (doc_a, doc_b, jaccard_sim ≥ threshold).
+
+    b=8, r=4 puts the LSH S-curve threshold at (1/8)^(1/4) ≈ 0.59 —
+    candidates below it are mostly filtered before verification.
+    """
+    sigs = minhash_signatures(df, id_col=id_col, text_col=text_col,
+                              n=n, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands, rows=rows)
+    sh = df.select(F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
+    verified = (
+        cands
+        .join(sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select("doc_a", "doc_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+    )
+    return verified.filter(F.col("jaccard_sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# E10 — SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, *, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote over token
+    hashes, folded into one long. 64 conditional sums in a single
+    aggregation pass — constant per-doc state, no wide rows."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).select(F.col(id_col), F.xxhash64(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(64)
+    ]
+    agg = exploded.groupBy(id_col).agg(*bit_sums)
+    word = reduce(
+        add,
+        [
+            F.when(F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+            for i in range(64)
+        ],
+    )
+    return agg.select(F.col(id_col), word.alias("simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup: 4×16-bit band candidates (any equal band ⇒
+    hamming ≤ 48, and by pigeonhole every pair with hamming ≤ 3 shares
+    ≥ one band), verified with an exact popcount. Emits
+    (doc_a, doc_b, hamming)."""
+    sh = simhash(df, id_col=id_col, text_col=text_col)
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.stack(
+            F.lit(4),
+            *[c for b in range(4) for c in (
+                F.lit(b),
+                F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)),
+            )],
+        ).alias("band", "bucket"),
+    )
+    a = banded.select("band", "bucket", F.col(id_col).alias("doc_a"),
+                      F.col("simhash").alias("sh_a"))
+    b = banded.select("band", "bucket", F.col(id_col).alias("doc_b"),
+                      F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

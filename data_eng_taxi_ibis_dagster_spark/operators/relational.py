@@ -1,0 +1,91 @@
+"""Relational operators Spark lacks a single built-in call for:
+as-of join and bucketized band join. Both are compositions of stock
+DataFrame ops (union+window, bucket-explode+equi-join) — no UDFs, no
+driver-side loops — chosen specifically for their shuffle behavior at
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: str, left_time: str,
+              right_time: str, right_cols: list[str],
+              strict: bool = True) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_time < left_time`` (``<=`` when ``strict=False``) within the
+    same ``on`` key.
+
+    Implemented as the union+window pattern: tag both sides, union, one
+    window per key ordered by time, carry the last right value forward
+    with ``last(..., ignorenulls=True)``, keep left rows. This is ONE
+    shuffle on the key (vs. an exploding range join) and scales to
+    arbitrarily long histories — the standard distributed as-of shape.
+
+    Ties: with ``strict`` the right row at exactly left_time is not
+    visible; tie order is right-before-left so non-strict mode sees it.
+    """
+    lt = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+    )
+    rt = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    unioned = lt.unionByName(rt)
+    # right rows sort before left rows at equal _t iff non-strict
+    tie = F.col("_is_left").asc() if not strict else F.col("_is_left").desc()
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), tie)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = unioned.select(
+        "_is_left", "_lrow",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        F.col("_lrow.*"),
+        *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+    )
+
+
+def band_join_bucketized(left: DataFrame, right: DataFrame, *,
+                         left_val: str, right_val: str, band: float,
+                         bucket_width: float | None = None) -> DataFrame:
+    """Band join ``|l - r| <= band`` without a nested loop: quantize both
+    sides into buckets of ``bucket_width`` (default = band), explode each
+    left row into its three candidate buckets (b-1, b, b+1), equi-join on
+    the bucket, then apply the exact band predicate.
+
+    Turns the O(n×m) BNL into a shuffle-hash equi-join whose cost is
+    driven by bucket occupancy — the 100 TB-safe shape for band joins on
+    two large tables (the plans module uses plain broadcast-NL when one
+    side is dim-sized).
+    """
+    width = float(bucket_width if bucket_width is not None else band)
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(F.array(*[
+            (F.floor(F.col(left_val) / width) + d).cast("long") for d in (-1, 0, 1)
+        ])),
+    )
+    rb = right.withColumn("_bucket", F.floor(F.col(right_val) / width).cast("long"))
+    joined = lb.join(rb, "_bucket").filter(
+        (F.col(left_val) >= F.col(right_val) - band)
+        & (F.col(left_val) <= F.col(right_val) + band)
+    )
+    return joined.drop("_bucket")

@@ -1,0 +1,161 @@
+"""Embedding similarity search (EXT E11): exact cosine top-k as the
+verifiable baseline, sign-random-projection LSH as the scale path.
+
+Vector math is expressed with ``zip_with`` / ``aggregate`` higher-order
+functions — JVM-evaluated, no UDF, and the sequential left-fold matches
+DuckDB's ``list_dot_product`` *bit-for-bit* (verified empirically), so
+the exact path is strictly oracle-checkable.
+
+Scale shape: queries are the small side and are broadcast; candidates
+stream. Exact top-k is one broadcast-NL join + per-query window — at
+100 TB the LSH variant prunes candidates to matching hyperplane-sign
+buckets first, turning the scan into an equi-join on bucket signature.
+The hyperplanes themselves are data-independent and *derived from
+hashes* (no RNG, no fitted model to ship), so the operator stays a pure
+DataFrame transform — deterministic across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(vec: str | Column) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (matches DuckDB list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sql_cosine(a: str, b: str) -> str:
+    """DuckDB rendering with the identical operation order."""
+    return (
+        f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+    )
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, *,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast queries × corpus scan,
+    per-query window top-k (WindowGroupLimit keeps only k rows per
+    query per partition). Emits (query_id, match_id, cosine_sim, rnk)."""
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")))
+    c = corpus.select(F.col(id_col).alias("match_id"), as_double(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id",
+                cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (sign random projection) — the ANN scale path
+# ---------------------------------------------------------------------------
+
+def _plane_component(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    xxhash64(plane, dim) scaled. Data-independent, reproducible, and
+    computable inside codegen — no model artifact to distribute."""
+    h = F.xxhash64(F.lit(plane), F.lit(dim))
+    return (h.cast("double") / F.lit(float(2 ** 63)))
+
+
+def srp_signature(vec: Column, *, num_planes: int, dim: int,
+                  table: int = 0) -> Column:
+    """Sign-random-projection bucket id: one bit per hyperplane
+    (sign of <v, plane>), packed into a long. ``table`` offsets the
+    plane index space so multiple independent hash tables come from one
+    deterministic plane family."""
+    sig = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = table * num_planes + p
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[_plane_component(plane, d) for d in range(dim)]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+    return sig
+
+
+def ann_topk_srp(queries: DataFrame, corpus: DataFrame, k: int = 10, *,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 num_planes: int = 4, dim: int = 64,
+                 num_tables: int = 8) -> DataFrame:
+    """Approximate cosine top-k: ``num_tables`` independent SRP hash
+    tables; candidates = corpus vectors sharing a bucket with the query
+    in ANY table (union via stack + distinct), then exact cosine + top-k
+    over candidates only. Recall rises with tables, cost with bucket
+    size — both knobs are explicit. Emits (query_id, match_id,
+    cosine_sim, rnk)."""
+
+    def with_sigs(df: DataFrame, idname: str) -> DataFrame:
+        v = as_double(vec_col)
+        return df.select(
+            F.col(id_col).alias(idname),
+            v.alias(f"_v_{idname}"),
+            *[
+                srp_signature(v, num_planes=num_planes, dim=dim, table=t)
+                .alias(f"sig{t}")
+                for t in range(num_tables)
+            ],
+        )
+
+    q = with_sigs(queries, "query_id")
+    c = with_sigs(corpus, "match_id")
+    q_stacked = q.select(
+        "query_id", f"_v_query_id",
+        F.stack(F.lit(num_tables),
+                *[x for t in range(num_tables) for x in (F.lit(t), F.col(f"sig{t}"))])
+        .alias("table", "bucket"),
+    )
+    c_stacked = c.select(
+        "match_id", f"_v_match_id",
+        F.stack(F.lit(num_tables),
+                *[x for t in range(num_tables) for x in (F.lit(t), F.col(f"sig{t}"))])
+        .alias("table", "bucket"),
+    )
+    cands = (
+        q_stacked.join(c_stacked, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", "_v_query_id", "_v_match_id")
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    scored = cands.select(
+        "query_id", "match_id",
+        cosine(F.col("_v_query_id"), F.col("_v_match_id")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -1,7 +1,153 @@
-"""E14 — event-time windowed aggregations in their batch rendering.
+"""E14 — event-time windowed aggregations, batch-rendered.
 
-Structured Streaming queries (streaming/events.py) and these batch
-plans share the same transformation builders, so the driver's oracle
-checks the windowing semantics and the streaming tests check
-batch-equivalence of the runtime.
+Each query calls the SAME transformation builder the streaming entry
+points use (streaming/events.py), on the static events table. The
+DuckDB oracle proves the windowing semantics here; the streaming tests
+prove the streaming runtime reproduces the batch result. Window starts
+travel as epoch microseconds — engine-neutral, precision-exact (DuckDB
+truncates the fixture's nanosecond timestamps to micros exactly like
+our ``ts DIV 1000`` read-side normalization).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.functions.exact import sql_dsum
+from data_eng_taxi_ibis_dagster_spark.operators.relational import asof_join
+from data_eng_taxi_ibis_dagster_spark.plans.registry import query
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+from data_eng_taxi_ibis_dagster_spark.streaming.events import (
+    dedup_events,
+    hourly_by_type,
+    sessionize,
+    sliding_value,
+)
+
+
+@query(
+    "events_hourly_by_type",
+    oracle=f"""
+        SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum('value')} AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("E14",),
+    bench=True,
+)
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows × type (streaming/events.hourly_by_type
+    on the static table)."""
+    return hourly_by_type(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_sliding_value",
+    oracle=f"""
+        SELECT epoch_us(time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE) AS ws_us,
+               COUNT(*) AS n_events,
+               {sql_dsum('value')} AS total_value
+        FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+        GROUP BY 1
+    """,
+    tags=("E14",),
+)
+def events_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows — each event contributes to exactly two
+    windows; the oracle renders the slide as an explicit 2-way offset
+    cross join."""
+    return sliding_value(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   epoch_us(ts) AS ts_us,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 600000000
+                        OR LAG(epoch_us(ts)) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        ), tagged AS (
+            SELECT user_id, ts_us,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                     ROWS UNBOUNDED PRECEDING) AS sess_no
+            FROM seq
+        )
+        SELECT user_id,
+               MIN(ts_us) AS session_start_us,
+               COUNT(*) AS n_events
+        FROM tagged
+        GROUP BY user_id, sess_no
+    """,
+    tags=("E14",),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 10-minute-gap session windows. The oracle is classic SQL
+    sessionization (lag → new-session flag → running sum → group):
+    provably the same semantics as session_window's gap merging, with
+    the ≥-gap boundary matching session_window's exclusive end."""
+    return sessionize(load_table(spark, sf_dir, "events"), "10 minutes")
+
+
+@query(
+    "events_dedup_ids",
+    oracle="""
+        SELECT DISTINCT event_id, event_type, value
+        FROM (
+            SELECT event_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id, event_type, value FROM events
+        )
+    """,
+    tags=("E14", "E9"),
+)
+def events_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-id dedup over a doubled stream (the fixture has unique ids,
+    so duplication is synthesized to make the collapse observable). The
+    streaming twin is dropDuplicatesWithinWatermark — see
+    streaming/events.dedup_events and its test."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return dedup_events(e.unionByName(e))
+
+
+@query(
+    "events_asof_purchase_click",
+    oracle="""
+        SELECT p.event_id,
+               p.user_id,
+               epoch_us(p.ts) AS ts_us,
+               epoch_us(c.ts) AS click_ts_us,
+               c.value AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+    tags=("E2", "E14"),
+    bench=True,
+)
+def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    strictly-earlier click. Implemented with the union+window pattern
+    (operators.relational.asof_join — ONE shuffle on user_id, no range
+    explosion); the oracle uses DuckDB's native ASOF JOIN, so two
+    independent as-of implementations must agree."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        purchases, clicks,
+        on="user_id", left_time="ts_us", right_time="click_ts_us",
+        right_cols=["click_ts_us", "click_value"], strict=True,
+    )

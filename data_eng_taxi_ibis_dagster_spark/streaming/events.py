@@ -1,0 +1,134 @@
+"""Event-time processing over the events table (EXT E14).
+
+The transformation builders here are *shared* between the batch plans
+(plans/streaming_batch.py — oracle-checked against DuckDB) and the
+Structured Streaming entry points (readStream → same builder →
+writeStream). That makes the correctness argument compositional:
+DuckDB proves the windowing semantics on the batch rendering, and the
+streaming tests prove batch-equivalence of the runtime.
+
+Scale notes: tumbling/sliding aggregations and watermarked dedup keep
+bounded per-key state in the state store; session windows are merged by
+Spark's session-window exec. Watermarks bound state growth — at 100 TB
+of events/day the watermark delay IS the state budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.functions.exact import dsum
+from data_eng_taxi_ibis_dagster_spark.sources.tables import _normalize_events
+
+
+def _as_stream_dir(sf_dir: str) -> str:
+    """Spark's file stream source requires a *directory*; the fixture is
+    a single file. Stage a directory of symlinks (no data copied) —
+    at scale the source would already be a directory of parquet parts."""
+    import hashlib
+    import os
+
+    out = os.path.join(
+        "/tmp", "spark_graft_streams",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    os.makedirs(out, exist_ok=True)
+    link = os.path.join(out, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return out
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned from
+    the static read, nanos normalized identically)."""
+    from data_eng_taxi_ibis_dagster_spark.session import ensure_conf
+
+    ensure_conf(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(_as_stream_dir(sf_dir))
+    )
+    return _normalize_events(stream)
+
+
+# -- shared transformations (batch plans import these) ----------------------
+
+def hourly_by_type(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time windows × event_type: counts + exact
+    value sum. Window starts exposed as epoch micros (engine-neutral)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value").alias("total_value"))
+        .select(
+            F.unix_micros("w.start").alias("ws_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_value(events: DataFrame) -> DataFrame:
+    """Sliding windows (1 hour long, 30-minute slide): each event lands
+    in exactly two windows."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value").alias("total_value"))
+        .select(F.unix_micros("w.start").alias("ws_us"), "n_events", "total_value")
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-user session windows (gap-merged). Emits user_id,
+    session_start_us, n_events — a session closes when the next event
+    is ≥ gap after the previous one (session_window end is exclusive)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, *, within_watermark: bool = False,
+                 delay: str = "1 hour") -> DataFrame:
+    """Exact-id dedup. Streaming flavor uses dropDuplicatesWithinWatermark
+    so state for old ids is reclaimed — unbounded-state dedup is the
+    classic streaming OOM at scale."""
+    if within_watermark:
+        return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+# -- streaming entry points --------------------------------------------------
+
+def hourly_by_type_stream(spark: SparkSession, sf_dir: str,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked streaming rendering of :func:`hourly_by_type`."""
+    stream = read_events_stream(spark, sf_dir)
+    return hourly_by_type(stream.withWatermark("ts", watermark))
+
+
+def run_to_memory(result: DataFrame, name: str, *, output_mode: str = "complete"):
+    """Execute a streaming DataFrame to completion against the in-memory
+    sink (availableNow → processes the full backlog, then stops).
+    Returns the finished query; results via spark.table(name)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,74 @@
+"""E9/E10 operator behavior: exact-dup collapse, MinHash recall against
+the exact-Jaccard ground truth, SimHash sanity."""
+
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    pairwise_jaccard,
+    simhash_near_dup_pairs,
+)
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+
+def _corpus_with_planted_dups(spark, sf_dir):
+    """documents ∪ near-identical copies (one token appended) at
+    doc_id+10000 — every original/copy pair is a true near-dup."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    return d.unionByName(copies)
+
+
+def test_exact_dedup_collapses_identical(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    result = exact_dedup(doubled).toPandas()
+    assert (result["n_copies"] == 2).all()
+    # representative is deterministic: always the original (smaller) id
+    assert (result["keep_doc_id"] < 10000).all()
+
+
+def test_minhash_recall_on_planted_dups(spark, sf_dir):
+    corpus = _corpus_with_planted_dups(spark, sf_dir)
+    found = minhash_near_dup_pairs(corpus, threshold=0.6).toPandas()
+    pairs = set(zip(found["doc_a"], found["doc_b"]))
+    originals = [r.doc_id for r in
+                 load_table(spark, sf_dir, "documents").select("doc_id").collect()]
+    planted = {(i, i + 10000) for i in originals}
+    recall = len(planted & pairs) / len(planted)
+    assert recall >= 0.95, f"minhash recall {recall:.2f} on planted near-dups"
+    # verification guarantee: everything reported clears the threshold
+    assert (found["jaccard_sim"] >= 0.6).all()
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, sf_dir):
+    """Within-source exact pairs at J≥0.8 must be recovered by LSH
+    (8×4 bands ⇒ S-curve threshold ≈0.59; at 0.8 miss prob ≈ (1-0.8^4)^8 ≈ 3%)."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = pairwise_jaccard(d, block_col="source", threshold=0.8).toPandas()
+    lsh = minhash_near_dup_pairs(d, threshold=0.8).toPandas()
+    exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    lsh_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    if exact_pairs:
+        recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
+        assert recall >= 0.9, f"LSH recall {recall:.2f} vs exact J≥0.8 pairs"
+    # precision against ground truth: LSH output is exact-verified, so
+    # every within-source LSH pair must appear in the exact pair set
+    assert {p for p in lsh_pairs} >= (exact_pairs & lsh_pairs)
+
+
+def test_simhash_finds_planted_dups(spark, sf_dir):
+    corpus = _corpus_with_planted_dups(spark, sf_dir)
+    found = simhash_near_dup_pairs(corpus, max_hamming=3).toPandas()
+    assert (found["hamming"] <= 3).all()
+    pairs = set(zip(found["doc_a"], found["doc_b"]))
+    originals = [r.doc_id for r in
+                 load_table(spark, sf_dir, "documents").select("doc_id").collect()]
+    planted = {(i, i + 10000) for i in originals}
+    recall = len(planted & pairs) / len(planted)
+    # one appended token flips few bits; the near-total-overlap pairs dominate
+    assert recall >= 0.5, f"simhash recall {recall:.2f}"

@@ -1,0 +1,86 @@
+"""Operator-level semantics on small literal frames: as-of join tie
+rules, bucketized band join vs naive, sinks, multimodal plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.operators.multimodal import (
+    decode_stub,
+    documents_as_media,
+    extract_features,
+)
+from data_eng_taxi_ibis_dagster_spark.operators.relational import (
+    asof_join,
+    band_join_bucketized,
+)
+from data_eng_taxi_ibis_dagster_spark.sources.sinks import export_parquet
+from data_eng_taxi_ibis_dagster_spark.sources.tables import from_rows, load_table
+
+
+def test_asof_join_basic_and_ties(spark):
+    trades = from_rows(spark, [(1, 100, "t1"), (1, 205, "t2"), (2, 50, "t3")],
+                       ["k", "t", "trade"])
+    quotes = from_rows(spark, [(1, 100, 9.9), (1, 200, 10.1), (2, 60, 7.0)],
+                       ["k", "t", "px"])
+    strict = asof_join(
+        trades, quotes.select("k", "t", F.col("px")),
+        on="k", left_time="t", right_time="t", right_cols=["px"], strict=True,
+    ).toPandas().set_index("trade")
+    # t1 at t=100: quote at 100 NOT visible under strict <
+    assert strict.loc["t1"]["px"] != strict.loc["t1"]["px"]  # NaN
+    assert strict.loc["t2"]["px"] == 10.1
+    assert strict.loc["t3"]["px"] != strict.loc["t3"]["px"]  # t=50 < 60 → none
+
+    nonstrict = asof_join(
+        trades, quotes.select("k", "t", F.col("px")),
+        on="k", left_time="t", right_time="t", right_cols=["px"], strict=False,
+    ).toPandas().set_index("trade")
+    assert nonstrict.loc["t1"]["px"] == 9.9  # equal-time quote visible
+
+
+def test_band_join_bucketized_equals_naive(spark, sf_dir):
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    naive = (
+        customer.join(
+            supplier,
+            (customer.c_acctbal >= supplier.s_acctbal - 50.0)
+            & (customer.c_acctbal <= supplier.s_acctbal + 50.0),
+        ).select("c_custkey", "s_suppkey")
+    )
+    bucketized = band_join_bucketized(
+        customer, supplier, left_val="c_acctbal", right_val="s_acctbal", band=50.0,
+    ).select("c_custkey", "s_suppkey")
+    assert naive.count() == bucketized.count()
+    assert naive.exceptAll(bucketized).count() == 0
+    assert bucketized.exceptAll(naive).count() == 0
+
+
+def test_export_parquet_modes(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    single = export_parquet(nation, str(tmp_path / "one"), single_file=True)
+    assert single.rows == 25 and single.bytes > 0
+    files = [f for f in os.listdir(tmp_path / "one") if f.endswith(".parquet")]
+    assert len(files) == 1  # reference COPY-to-one-file parity
+    parts = export_parquet(nation, str(tmp_path / "parts"),
+                           partition_by=("n_regionkey",))
+    assert parts.rows == 25
+    assert any(d.startswith("n_regionkey=") for d in os.listdir(tmp_path / "parts"))
+
+
+def test_multimodal_feature_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_features(media).toPandas()
+    assert len(feats) == docs.count()
+    assert (feats["n_bytes"] > 0).all()
+    assert feats["checksum"].str.len().eq(32).all()
+    assert feats["feat_mean_byte"].between(0, 255).all()
+
+
+def test_multimodal_real_codecs_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\x89PNG", "image/png")

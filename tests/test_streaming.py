@@ -1,0 +1,50 @@
+"""E14: the streaming runtime must reproduce the batch rendering of the
+same transformation (the engine's batch-equivalence correctness
+argument; the batch side is oracle-checked in test_parity)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+from data_eng_taxi_ibis_dagster_spark.streaming.events import (
+    dedup_events,
+    hourly_by_type,
+    read_events_stream,
+    run_to_memory,
+    sessionize,
+)
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_hourly_stream_equals_batch(spark, sf_dir):
+    batch = hourly_by_type(load_table(spark, sf_dir, "events")).toPandas()
+    stream = hourly_by_type(
+        read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours"))
+    run_to_memory(stream, "hourly_stream", output_mode="complete")
+    streamed = spark.table("hourly_stream").toPandas()
+    pd.testing.assert_frame_equal(_sorted(batch), _sorted(streamed))
+
+
+def test_session_stream_equals_batch(spark, sf_dir):
+    batch = sessionize(load_table(spark, sf_dir, "events")).toPandas()
+    stream = sessionize(
+        read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours"))
+    run_to_memory(stream, "session_stream", output_mode="complete")
+    streamed = spark.table("session_stream").toPandas()
+    pd.testing.assert_frame_equal(_sorted(batch), _sorted(streamed))
+
+
+def test_dedup_within_watermark_stream(spark, sf_dir):
+    n_unique = load_table(spark, sf_dir, "events").count()
+    stream = dedup_events(
+        read_events_stream(spark, sf_dir), within_watermark=True, delay="1 hour")
+    run_to_memory(
+        stream.select("event_id", "event_type"), "dedup_stream",
+        output_mode="append")
+    got = spark.table("dedup_stream")
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
