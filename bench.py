@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing discipline (BASELINE.md): session startup is excluded (the
+reference bills JVM boot to its Spark queries — a flaw we fix); each
+query is timed as full plan execution into the noop sink (all operators
+run, nothing collects to the driver), best-of-1 after a shared warmup
+that exercises scan + shuffle machinery.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from data_eng_taxi_ibis_dagster_spark.plans.registry import all_specs
+    from data_eng_taxi_ibis_dagster_spark.session import get_session
+
+    spark = get_session(app_name="bench")
+    specs = {n: s for n, s in all_specs().items() if s.bench}
+
+    # warmup: JIT/codegen + file listing, not measured
+    warm = specs.get("flagship_avg_price") or next(iter(specs.values()))
+    warm.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        df = specs[name].builder(spark, sf_dir)
+        start = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()

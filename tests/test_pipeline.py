@@ -1,0 +1,59 @@
+"""O1/O2 orchestration semantics: dependency ordering, selection with
+transitive deps, per-asset observability, and the reference pipeline's
+DataFrame-vs-SQL result equivalence."""
+
+import pandas as pd
+import pytest
+
+from data_eng_taxi_ibis_dagster_spark.pipeline import (
+    Definitions,
+    taxi_pipeline_definitions,
+)
+
+
+def test_dependency_order_and_results(spark, sf_dir, tmp_path):
+    defs = taxi_pipeline_definitions(sf_dir, str(tmp_path))
+    results = defs.materialize(spark)
+    names = list(results)
+    assert names.index("ingest_trips") < names.index("export_trips")
+    assert names.index("ingest_trips") < names.index("analyse_dataframe")
+    # observability: timings + row counts recorded
+    assert all(r.seconds >= 0 for r in results.values())
+    assert results["ingest_trips"].rows == 6000
+    assert results["export_trips"].value.rows == 6000
+    # the reference's engine-equivalence thesis: DF path == SQL path
+    df_res = results["analyse_dataframe"].value.toPandas().sort_values("l_quantity").reset_index(drop=True)
+    sql_res = results["analyse_sql"].value.toPandas().sort_values("l_quantity").reset_index(drop=True)
+    pd.testing.assert_frame_equal(df_res, sql_res)
+
+
+def test_selection_pulls_transitive_deps(spark, sf_dir, tmp_path):
+    defs = taxi_pipeline_definitions(sf_dir, str(tmp_path))
+    results = defs.materialize(spark, selection=["analyse_sql"])
+    assert set(results) == {"ingest_trips", "analyse_sql"}
+
+
+def test_cycle_detection(spark):
+    defs = Definitions()
+
+    @defs.asset(deps=("b",))
+    def a(spark):
+        return None
+
+    @defs.asset(deps=("a",), name="b")
+    def b_fn(spark):
+        return None
+
+    with pytest.raises(Exception):
+        defs.materialize(spark)
+
+
+def test_failure_propagates(spark):
+    defs = Definitions()
+
+    @defs.asset()
+    def boom(spark):
+        raise RuntimeError("asset blew up")
+
+    with pytest.raises(RuntimeError, match="asset blew up"):
+        defs.materialize(spark)
