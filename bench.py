@@ -36,10 +36,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(specs):
-        df = specs[name].builder(spark, sf_dir)
-        start = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: shields against CPU-contention noise
+            df = specs[name].builder(spark, sf_dir)
+            start = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
