@@ -1,0 +1,336 @@
+"""Advanced relational coverage: statistical aggregates, pivot,
+subqueries/CTE/HAVING, explode/lateral, grouping sets, and the E15
+Python-UDF surface (pandas UDFs / applyInPandas).
+
+Statistical aggregates use explicit sum-of-squares formulations over
+exact decimal sums so results are order-independent and bit-identical
+across engines (native STDDEV implementations differ in both algorithm
+and accumulation order).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.functions.exact import dsum, sql_dsum
+from data_eng_taxi_ibis_dagster_spark.plans.registry import query
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_base_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+               {sql_dsum('l_quantity')} / COUNT(l_quantity) AS avg_qty,
+               {sql_dsum('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+               {sql_dsum('l_discount')} / COUNT(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-06-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("2a", "A1", "A2"),
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the classic full-aggregate
+    sweep (derived expressions, multiple exact sums/avgs, 6-ary group).
+    One scan, partial agg collapses 600k rows to 6 before the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            (dsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
+            (dsum("l_discount") / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "stats_aggregates",
+    oracle=f"""
+        SELECT c_mktsegment,
+               MIN(c_acctbal) AS min_bal,
+               MAX(c_acctbal) AS max_bal,
+               sqrt(({sql_dsum('c_acctbal * c_acctbal', 4)} - {sql_dsum('c_acctbal')} * {sql_dsum('c_acctbal')} / COUNT(c_acctbal))
+                    / (COUNT(c_acctbal) - 1)) AS stddev_bal,
+               COUNT(*) AS n
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    tags=("E8", "A2"),
+)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX plus sample standard deviation in the explicit
+    sum-of-squares form over exact decimal sums: order-independent,
+    unlike native STDDEV (Welford accumulation order varies by engine
+    and partitioning)."""
+    c = load_table(spark, sf_dir, "customer")
+    sq = dsum(F.col("c_acctbal") * F.col("c_acctbal"), 4)
+    s = dsum("c_acctbal")
+    n = F.count("c_acctbal")
+    return c.groupBy("c_mktsegment").agg(
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.sqrt((sq - s * s / n) / (n - F.lit(1))).alias("stddev_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle=f"""
+        SELECT o_orderpriority,
+               {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS f_sales,
+               {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS o_sales,
+               {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS p_sales
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("E6",),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an explicit value list — at scale always
+    pin the pivot values; value discovery is an extra pass and an
+    unbounded-width risk. Oracle renders the same thing as CASE sums."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("f_sales"),
+        F.col("O").alias("o_sales"),
+        F.col("P").alias("p_sales"),
+    )
+
+
+@query(
+    "subquery_cte_having",
+    oracle="""
+        WITH seg_stats AS (
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE)
+                       / COUNT(c_acctbal) AS seg_avg
+            FROM customer
+            GROUP BY c_mktsegment
+        )
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_above
+        FROM customer c
+        JOIN seg_stats s ON c.c_mktsegment = s.c_mktsegment
+        WHERE c.c_acctbal > s.seg_avg
+          AND c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        GROUP BY c.c_mktsegment
+        HAVING COUNT(*) > 10
+    """,
+    tags=("Q2", "E1"),
+)
+def subquery_cte_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + IN-subquery + HAVING through the SQL entry point (the
+    reference's Q2 surface generalized): customers above their segment's
+    average balance who placed a large order. Catalyst rewrites the IN
+    as a left-semi join and decorrelates the CTE join."""
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql("""
+        WITH seg_stats AS (
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE)
+                       / COUNT(c_acctbal) AS seg_avg
+            FROM customer
+            GROUP BY c_mktsegment
+        )
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_above
+        FROM customer c
+        JOIN seg_stats s ON c.c_mktsegment = s.c_mktsegment
+        WHERE c.c_acctbal > s.seg_avg
+          AND c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        GROUP BY c.c_mktsegment
+        HAVING COUNT(*) > 10
+    """)
+
+
+@query(
+    "scalar_subquery_fraction",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM orders) AS frac
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("Q2",),
+)
+def scalar_subquery_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (share-of-total) — planned as a
+    one-row broadcast, not a recompute-per-row."""
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql("""
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM orders) AS frac
+        FROM orders
+        GROUP BY o_orderstatus
+    """)
+
+
+@query(
+    "grouping_sets_sql",
+    oracle=f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("E6", "Q2"),
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (rollup/cube's general form)."""
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+@query(
+    "explode_tokens",
+    oracle="""
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+        HAVING COUNT(*) > 100
+    """,
+    tags=("E7", "E12"),
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode → frequency count (the word-count shape). At
+    scale the explode multiplies rows ~100×; the partial agg right after
+    collapses them again before any shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E15 — Python UDF surface (pandas UDFs, applyInPandas)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pandas_udf_scalar",
+    oracle="""
+        SELECT o_orderkey,
+               o_totalprice * 0.9 + 5.0 AS adjusted_price
+        FROM orders
+        WHERE o_totalprice > 400000
+    """,
+    tags=("E15",),
+)
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow-vectorized). Deterministic elementwise
+    float math → oracle-checkable even through the Python boundary.
+    Built-ins beat this 10-100× (see scalar_* queries) — it exists to
+    prove the E15 surface, filtered to a small slice for exactly that
+    reason."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def adjust(p: pd.Series) -> pd.Series:
+        return p * 0.9 + 5.0
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", adjust("o_totalprice").alias("adjusted_price"))
+    )
+
+
+@query(
+    "pandas_udf_grouped",
+    oracle="""
+        SELECT c_mktsegment,
+               MAX(c_acctbal) - MIN(c_acctbal) AS bal_range
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    tags=("E15",),
+)
+def pandas_udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (max-min spread — order-independent,
+    so exactly comparable). The group shuffle feeds Arrow batches per
+    group into Python; state never exceeds one group's column."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def bal_range(bal: pd.Series) -> float:
+        return float(bal.max() - bal.min())
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(bal_range("c_acctbal").alias("bal_range"))
+
+
+@query(
+    "apply_in_pandas_zscore",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN c_acctbal >= seg_max THEN 1 ELSE 0 END AS is_seg_max
+        FROM (
+            SELECT c_custkey, c_acctbal,
+                   MAX(c_acctbal) OVER (PARTITION BY c_mktsegment) AS seg_max
+            FROM customer
+        )
+    """,
+    tags=("E15",),
+)
+def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas: arbitrary per-group pandas logic with an explicit
+    output schema (flag the max-balance customer per segment — integer
+    output keeps the oracle exact). The Spark-native rendering is the
+    window in the oracle; the UDF path exists for logic that genuinely
+    can't be expressed relationally."""
+    c = load_table(spark, sf_dir, "customer")
+
+    def flag_max(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["c_acctbal"].max()
+        return pd.DataFrame({
+            "c_custkey": pdf["c_custkey"],
+            "is_seg_max": (pdf["c_acctbal"] >= m).astype("int32"),
+        })
+
+    return (
+        c.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(flag_max, schema="c_custkey long, is_seg_max int")
+    )
