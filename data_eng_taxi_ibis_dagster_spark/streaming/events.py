@@ -119,6 +119,29 @@ def hourly_by_type_stream(spark: SparkSession, sf_dir: str,
     return hourly_by_type(stream.withWatermark("ts", watermark))
 
 
+def stream_to_parquet(result: DataFrame, path: str, *,
+                      checkpoint: str, output_mode: str = "complete"):
+    """foreachBatch parquet sink: each micro-batch lands as an
+    idempotent overwrite (batch id in the path would make it append-only;
+    overwrite keeps "latest state" semantics for complete-mode aggs).
+    foreachBatch is the escape hatch that lets a streaming query reuse
+    every batch writer — parquet here, but JDBC/Delta/merge logic slot
+    in identically."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(path)
+
+    q = (
+        result.writeStream.foreachBatch(_write)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(result: DataFrame, name: str, *, output_mode: str = "complete"):
     """Execute a streaming DataFrame to completion against the in-memory
     sink (availableNow → processes the full backlog, then stops).

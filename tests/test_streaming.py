@@ -38,6 +38,17 @@ def test_session_stream_equals_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(_sorted(batch), _sorted(streamed))
 
 
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    batch = hourly_by_type(load_table(spark, sf_dir, "events")).toPandas()
+    stream = hourly_by_type(
+        read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours"))
+    from data_eng_taxi_ibis_dagster_spark.streaming.events import stream_to_parquet
+    out = str(tmp_path / "hourly_parquet")
+    stream_to_parquet(stream, out, checkpoint=str(tmp_path / "ckpt"))
+    written = spark.read.parquet(out).toPandas()
+    pd.testing.assert_frame_equal(_sorted(batch), _sorted(written))
+
+
 def test_dedup_within_watermark_stream(spark, sf_dir):
     n_unique = load_table(spark, sf_dir, "events").count()
     stream = dedup_events(
