@@ -1,0 +1,205 @@
+"""Second LLM/advanced batch: embedding-cosine near-dup, deterministic
+IVF similarity, unpivot, correlated subqueries, dense time-series
+gap-fill."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_eng_taxi_ibis_dagster_spark.functions.exact import dsum, sql_dsum
+from data_eng_taxi_ibis_dagster_spark.operators import similarity as S
+from data_eng_taxi_ibis_dagster_spark.plans.registry import query
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {S.sql_cosine('a.embedding', 'b.embedding')} AS cosine_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {S.sql_cosine('a.embedding', 'b.embedding')} >= 0.4
+    """,
+    tags=("E10", "E11"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold join). Brute-force
+    all-pairs here (oracle-able, bit-exact); at 100 TB candidates come
+    from SRP buckets first (similarity_ann_srp's machinery) — the
+    verify step is this exact expression either way."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), S.as_double("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), S.as_double("embedding").alias("vb"))
+    return (
+        F.broadcast(a).crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                S.cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.4)
+    )
+
+
+@query(
+    "similarity_ivf",
+    oracle=None,  # centroid assignment is engine-internal → rows-only
+    tags=("E11",),
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (every nth vector
+    is a centroid — no RNG, no fitted model), vectors assigned to their
+    nearest centroid (inverted lists), queries probe the 2 nearest lists
+    only, exact cosine re-rank inside. The probe-list join replaces the
+    full scan — the IVF scale shape with none of the training
+    nondeterminism. Emits (query_id, match_id, cosine_sim, rnk)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n_centroids = 8
+    nprobe = 2
+    # deterministic quantizer: the n lowest-id vectors serve as centroids
+    # (a real deployment trains k-means offline and broadcasts it; the
+    # engine-side join shape is identical)
+    centroids = F.broadcast(
+        e.orderBy("vec_id").limit(n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"),
+                S.as_double("embedding").alias("cv"))
+    )
+
+    def assign(df: DataFrame, idname: str, keep_vec: str, topn: int) -> DataFrame:
+        scored = df.select(
+            F.col("vec_id").alias(idname), S.as_double("embedding").alias(keep_vec)
+        ).crossJoin(centroids).select(
+            idname, keep_vec, "centroid_id",
+            S.cosine(F.col(keep_vec), F.col("cv")).alias("_csim"),
+        )
+        w = Window.partitionBy(idname).orderBy(
+            F.col("_csim").desc(), F.col("centroid_id").asc())
+        return (
+            scored.withColumn("_crnk", F.row_number().over(w))
+            .filter(F.col("_crnk") <= topn)
+            .drop("_csim", "_crnk")
+        )
+
+    corpus = assign(e, "match_id", "mv", 1)          # each vector in 1 list
+    queries_df = assign(e.filter(F.col("vec_id") < 5), "query_id", "qv", nprobe)
+    cands = (
+        queries_df.join(corpus, "centroid_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc())
+    return (
+        cands.select("query_id", "match_id",
+                     S.cosine(F.col("qv"), F.col("mv")).alias("cosine_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("query_id", "rnk")
+    )
+
+
+@query(
+    "unpivot_order_measures",
+    oracle="""
+        SELECT o_orderkey, measure, val
+        FROM (
+            SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS val FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS val FROM orders
+        )
+        WHERE o_orderkey < 100
+    """,
+    tags=("E6",),
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, the melt shape) via the native unpivot
+    operator — no row explosion through Python, constant memory."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot("o_orderkey", ["totalprice", "custkey"], "measure", "val")
+
+
+@query(
+    "correlated_scalar_subquery",
+    oracle="""
+        SELECT c.c_custkey, c.c_acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+            SELECT CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                       / COUNT(o.o_totalprice) / 100.0
+            FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    """,
+    tags=("Q2", "E1"),
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate subquery — Catalyst decorrelates it
+    into an aggregate + join (no per-row re-execution; the 100 TB-safe
+    rewrite happens in the optimizer, as it should)."""
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+            SELECT CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                       / COUNT(o.o_totalprice) / 100.0
+            FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    """)
+
+
+@query(
+    "events_hourly_dense",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, min(ts))) AS lo,
+                   epoch_us(time_bucket(INTERVAL 1 HOUR, max(ts))) AS hi
+            FROM events
+        ), scaffold AS (
+            SELECT unnest(generate_series(lo, hi, 3600000000)) AS ws_us FROM bounds
+        ), agg AS (
+            SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us,
+                   COUNT(*) AS n_events,
+                   {sql_dsum('value')} AS total_value
+            FROM events GROUP BY 1
+        )
+        SELECT s.ws_us,
+               COALESCE(a.n_events, 0) AS n_events,
+               COALESCE(a.total_value, 0.0) AS total_value
+        FROM scaffold s LEFT JOIN agg a ON s.ws_us = a.ws_us
+    """,
+    tags=("E14", "E7"),
+)
+def events_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup (the hypertable/resample shape): a
+    sequence() scaffold of every hour between min and max joined to the
+    sparse aggregate, empty hours zero-filled. The scaffold generates
+    distributed (explode of a sequence — no driver loop)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3600 * 1000 * 1000
+    # integer DIV, not floor(double /): ts_us exceeds double's exact
+    # integer range after division rounding — stay in long arithmetic
+    bucket = (F.expr(f"ts_us DIV {hour_us}") * hour_us).alias("ws_us")
+    agg = (
+        ev.groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value").alias("total_value"))
+    )
+    bounds = ev.select(bucket).agg(
+        F.min("ws_us").alias("lo"), F.max("ws_us").alias("hi"))
+    scaffold = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(hour_us))).alias("ws_us"))
+    return (
+        scaffold.join(agg, "ws_us", "left")
+        .select(
+            "ws_us",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )

@@ -60,6 +60,7 @@ def _load_all() -> None:
         relational,
         scalars,
         llm,
+        llm2,
         streaming_batch,
     )
 
