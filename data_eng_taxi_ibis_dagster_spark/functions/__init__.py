@@ -3,8 +3,13 @@
 from data_eng_taxi_ibis_dagster_spark.functions.exact import (
     davg,
     dsum,
+    lavg,
+    lsum,
     sql_davg,
     sql_dsum,
+    sql_lavg,
+    sql_lsum,
 )
 
-__all__ = ["davg", "dsum", "sql_davg", "sql_dsum"]
+__all__ = ["davg", "dsum", "lavg", "lsum",
+           "sql_davg", "sql_dsum", "sql_lavg", "sql_lsum"]

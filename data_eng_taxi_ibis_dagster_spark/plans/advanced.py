@@ -14,7 +14,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_eng_taxi_ibis_dagster_spark.functions.exact import dsum, sql_dsum
+from data_eng_taxi_ibis_dagster_spark.functions.exact import (
+    dsum,
+    lavg,
+    lsum,
+    sql_dsum,
+    sql_lavg,
+    sql_lsum,
+)
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 
@@ -23,13 +30,13 @@ from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
     "pricing_summary",
     oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               {sql_dsum('l_quantity')} AS sum_qty,
-               {sql_dsum('l_extendedprice')} AS sum_base_price,
-               {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+               {sql_lsum('l_quantity')} AS sum_qty,
+               {sql_lsum('l_extendedprice')} AS sum_base_price,
+               {sql_lsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
                {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
-               {sql_dsum('l_quantity')} / COUNT(l_quantity) AS avg_qty,
-               {sql_dsum('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
-               {sql_dsum('l_discount')} / COUNT(l_discount) AS avg_disc,
+               {sql_lavg('l_quantity')} AS avg_qty,
+               {sql_lavg('l_extendedprice')} AS avg_price,
+               {sql_lavg('l_discount')} AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2024-06-01'
@@ -49,13 +56,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2024-06-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price, 4).alias("sum_disc_price"),
+            lsum("l_quantity").alias("sum_qty"),
+            lsum("l_extendedprice").alias("sum_base_price"),
+            lsum(disc_price, 4).alias("sum_disc_price"),
             dsum(charge, 6).alias("sum_charge"),
-            (dsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
-            (dsum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
-            (dsum("l_discount") / F.count("l_discount")).alias("avg_disc"),
+            lavg("l_quantity").alias("avg_qty"),
+            lavg("l_extendedprice").alias("avg_price"),
+            lavg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_eng_taxi_ibis_dagster_spark.functions.exact import dsum, sql_dsum
+from data_eng_taxi_ibis_dagster_spark.functions.exact import lsum, sql_lsum
 from data_eng_taxi_ibis_dagster_spark.operators import similarity as S
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
@@ -166,7 +166,7 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), agg AS (
             SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us,
                    COUNT(*) AS n_events,
-                   {sql_dsum('value')} AS total_value
+                   {sql_lsum('value')} AS total_value
             FROM events GROUP BY 1
         )
         SELECT s.ws_us,
@@ -189,7 +189,7 @@ def events_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         ev.groupBy(bucket)
         .agg(F.count(F.lit(1)).alias("n_events"),
-             dsum("value").alias("total_value"))
+             lsum("value").alias("total_value"))
     )
     bounds = ev.select(bucket).agg(
         F.min("ws_us").alias("lo"), F.max("ws_us").alias("hi"))

@@ -62,6 +62,7 @@ def _load_all() -> None:
         llm,
         llm2,
         streaming_batch,
+        windows2,
     )
 
 

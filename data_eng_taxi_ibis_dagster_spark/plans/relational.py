@@ -22,8 +22,12 @@ from pyspark.sql.window import Window
 from data_eng_taxi_ibis_dagster_spark.functions.exact import (
     davg,
     dsum,
+    lavg,
+    lsum,
     sql_davg,
     sql_dsum,
+    sql_lavg,
+    sql_lsum,
 )
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
@@ -37,7 +41,7 @@ from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
     "flagship_avg_price",
     oracle=f"""
         SELECT l_quantity,
-               {sql_davg('l_extendedprice')} AS avg_price,
+               {sql_lavg('l_extendedprice')} AS avg_price,
                COUNT(*) AS n_items
         FROM lineitem
         WHERE l_extendedprice > 30000
@@ -61,7 +65,7 @@ def flagship_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_extendedprice") > 30000)
         .groupBy("l_quantity")
         .agg(
-            davg("l_extendedprice").alias("avg_price"),
+            lavg("l_extendedprice").alias("avg_price"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -71,7 +75,7 @@ def flagship_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flagship_sql_path",
     oracle=f"""
         SELECT l_quantity,
-               {sql_davg('l_extendedprice')} AS avg_price,
+               {sql_lavg('l_extendedprice')} AS avg_price,
                COUNT(*) AS n_items
         FROM lineitem
         WHERE l_extendedprice > 30000
@@ -88,7 +92,7 @@ def flagship_sql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(f"""
         SELECT l_quantity,
-               {sql_davg('l_extendedprice')} AS avg_price,
+               {sql_lavg('l_extendedprice')} AS avg_price,
                COUNT(*) AS n_items
         FROM lineitem
         WHERE l_extendedprice > 30000
@@ -134,7 +138,7 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_sales_by_region",
     oracle=f"""
         SELECT r.r_name,
-               {sql_dsum('o.o_totalprice')} AS total_sales,
+               {sql_lsum('o.o_totalprice')} AS total_sales,
                COUNT(*) AS n_orders
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -161,7 +165,7 @@ def join_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            dsum("o_totalprice").alias("total_sales"),
+            lsum("o_totalprice").alias("total_sales"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -526,7 +530,7 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(dsum("o_totalprice").alias("total_sales"),
+        .agg(lsum("o_totalprice").alias("total_sales"),
              F.count(F.lit(1)).alias("n_orders"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_eng_taxi_ibis_dagster_spark.functions.exact import sql_dsum
+from data_eng_taxi_ibis_dagster_spark.functions.exact import sql_lsum
 from data_eng_taxi_ibis_dagster_spark.operators.relational import asof_join
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
@@ -32,7 +32,7 @@ from data_eng_taxi_ibis_dagster_spark.streaming.events import (
         SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us,
                event_type,
                COUNT(*) AS n_events,
-               {sql_dsum('value')} AS total_value
+               {sql_lsum('value')} AS total_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -50,7 +50,7 @@ def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT epoch_us(time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE) AS ws_us,
                COUNT(*) AS n_events,
-               {sql_dsum('value')} AS total_value
+               {sql_lsum('value')} AS total_value
         FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
         GROUP BY 1
     """,

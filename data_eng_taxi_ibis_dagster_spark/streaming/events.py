@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_eng_taxi_ibis_dagster_spark.functions.exact import dsum
+from data_eng_taxi_ibis_dagster_spark.functions.exact import lsum
 from data_eng_taxi_ibis_dagster_spark.sources.tables import _normalize_events
 
 
@@ -64,7 +64,7 @@ def hourly_by_type(events: DataFrame) -> DataFrame:
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             dsum("value").alias("total_value"))
+             lsum("value").alias("total_value"))
         .select(
             F.unix_micros("w.start").alias("ws_us"),
             "event_type",
@@ -80,7 +80,7 @@ def sliding_value(events: DataFrame) -> DataFrame:
     return (
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             dsum("value").alias("total_value"))
+             lsum("value").alias("total_value"))
         .select(F.unix_micros("w.start").alias("ws_us"), "n_events", "total_value")
     )
 
