@@ -61,6 +61,7 @@ def _load_all() -> None:
         scalars,
         llm,
         llm2,
+        semantics,
         streaming_batch,
         windows2,
     )
