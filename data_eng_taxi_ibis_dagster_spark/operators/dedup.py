@@ -188,6 +188,59 @@ def minhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
 # E10 — SimHash
 # ---------------------------------------------------------------------------
 
+def dedup_clusters(pairs: DataFrame, *, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → canonical
+    representative per cluster (min id — "cluster-pick").
+
+    Min-label propagation: every node starts labeled with itself; each
+    round, a node adopts the smallest label among itself and its
+    neighbors; converged when no label changes. Iterations are bounded
+    by the cluster *diameter* (near-dup clusters are shallow — a handful
+    of rounds), and each round is one join + one aggregation — the
+    standard large-graph CC shape (no driver-side graph, only a scalar
+    convergence check crosses to the driver).
+
+    Input: (doc_a, doc_b) pairs. Output: (doc_id, canonical_id).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                  F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+        )
+        # localCheckpoint truncates the growing lineage — without it,
+        # iteration i re-executes all i-1 predecessor joins
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("canonical_id"))
+
+
 def simhash(df: DataFrame, *, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document: per-bit majority vote over token

@@ -198,6 +198,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_pick",
+    oracle=None,  # iterative connected components — non-SQL-expressible
+    tags=("E10",),
+)
+def dedup_cluster_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: MinHash pairs → connected
+    components (min-label propagation, join+agg per round, lineage
+    truncated per iteration) → one canonical doc per cluster. The
+    iterative-algorithm case of the driver contract."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(d, threshold=0.6)
+    return D.dedup_clusters(pairs).orderBy("doc_id")
+
+
+@query(
     "dedup_simhash",
     oracle=None,  # xxhash64-based
     tags=("E10",),

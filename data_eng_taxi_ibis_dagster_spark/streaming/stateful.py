@@ -1,0 +1,67 @@
+"""Custom stateful streaming operator (E14): per-user running spend via
+``applyInPandasWithState``.
+
+This is the escape hatch for operators the built-in windowed
+aggregations can't express: arbitrary per-key state with explicit
+timeout control. State here is one float + one count per user —
+constant per key, the only kind of state that survives 100 TB of
+events (the watermark/timeout bounds the key universe held in the
+store).
+
+Batch-equivalence contract: run over the full (static) backlog with
+availableNow, the final per-user state must equal the batch groupBy
+aggregate — asserted in tests/test_stateful.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_purchases long, total_spend double"
+STATE_SCHEMA = "n long, total double"
+
+
+def _update_user_spend(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Accumulate (count, cent-exact total) per user across micro-batches;
+    emit the running state each time the key appears. Spend is summed in
+    integer cents inside the state so the result is order-exact (same
+    discipline as functions.exact.lsum)."""
+    (user_id,) = key
+    n, total_cents = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        # positive values: int64 truncation == floor, matching lsum's
+        # floor(x*100 + 0.5) quantization
+        total_cents += int((pdf["value"] * 100 + 0.5).astype("int64").sum())
+    state.update((n, total_cents))
+    yield pd.DataFrame({
+        "user_id": [user_id],
+        "n_purchases": [n],
+        "total_spend": [total_cents / 100.0],
+    })
+
+
+def running_user_spend(events: DataFrame) -> DataFrame:
+    """Stateful per-user purchase accumulator. Works on both a stream
+    (incremental state across micro-batches, update mode) and — for the
+    equivalence check — a bounded stream consumed with availableNow."""
+    purchases = events.filter(events.event_type == "purchase")
+    return (
+        purchases.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_spend,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

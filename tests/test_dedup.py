@@ -4,11 +4,13 @@ the exact-Jaccard ground truth, SimHash sanity."""
 from pyspark.sql import functions as F
 
 from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_near_dup_pairs,
     pairwise_jaccard,
     simhash_near_dup_pairs,
 )
+from data_eng_taxi_ibis_dagster_spark.sources.tables import from_rows
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 
 
@@ -59,6 +61,32 @@ def test_minhash_agrees_with_exact_jaccard(spark, sf_dir):
     # precision against ground truth: LSH output is exact-verified, so
     # every within-source LSH pair must appear in the exact pair set
     assert {p for p in lsh_pairs} >= (exact_pairs & lsh_pairs)
+
+
+def test_dedup_clusters_connected_components(spark):
+    # two chains + a singleton pair: {1,2,3,4}, {10,11}, {20,21}
+    pairs = from_rows(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    got = dedup_clusters(pairs).toPandas().set_index("doc_id")["canonical_id"]
+    assert got[1] == got[2] == got[3] == got[4] == 1
+    assert got[10] == got[11] == 10
+    assert got[20] == got[21] == 20
+
+
+def test_dedup_clusters_on_planted_dups(spark, sf_dir):
+    corpus = _corpus_with_planted_dups(spark, sf_dir)
+    pairs = minhash_near_dup_pairs(corpus, threshold=0.6)
+    clusters = dedup_clusters(pairs).toPandas()
+    by_id = clusters.set_index("doc_id")["canonical_id"]
+    edges = pairs.select("doc_a", "doc_b").toPandas()
+    # CC contract: both endpoints of every edge share a canonical, and
+    # the canonical is never larger than any member (min-pick)
+    for a, b in zip(edges["doc_a"], edges["doc_b"]):
+        assert by_id[a] == by_id[b], (a, b)
+        assert by_id[a] <= min(a, b)
 
 
 def test_simhash_finds_planted_dups(spark, sf_dir):

@@ -1,0 +1,39 @@
+"""applyInPandasWithState: the custom stateful operator's final state
+must equal the batch aggregate over the same data (update-mode streams
+emit one row per key per batch — the LAST row per key is the final
+state)."""
+
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+from data_eng_taxi_ibis_dagster_spark.streaming.events import read_events_stream
+from data_eng_taxi_ibis_dagster_spark.streaming.stateful import running_user_spend
+
+
+def test_stateful_running_spend_matches_batch(spark, sf_dir):
+    stream = running_user_spend(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory").queryName("user_spend")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # update mode: keep the last emission per user
+    got = (
+        spark.table("user_spend")
+        .groupBy("user_id")
+        .agg(F.max("n_purchases").alias("n_purchases"),
+             F.max("total_spend").alias("total_spend"))
+        .toPandas().set_index("user_id").sort_index()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"),
+             (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) / 100.0)
+             .alias("total_spend"))
+        .toPandas().set_index("user_id").sort_index()
+    )
+    assert (got.index == want.index).all()
+    assert (got["n_purchases"].values == want["n_purchases"].values).all()
+    assert (got["total_spend"].values == want["total_spend"].values).all()
