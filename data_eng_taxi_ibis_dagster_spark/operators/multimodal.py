@@ -108,3 +108,37 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
             })
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_index", IntegerType(), False),
+    StructField("frame_payload", BinaryType(), True),
+])
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64,
+                  max_frames: int = 8) -> DataFrame:
+    """1→N frame sampling through mapInPandas: each payload yields up to
+    ``max_frames`` fixed-stride "frames" (byte windows under the stub —
+    a video codec would emit decoded keyframes with the identical batch
+    shape). Demonstrates the row-expanding UDF pattern with an explicit
+    schema: output cardinality is decided per-payload inside the batch,
+    which no built-in generator can express over opaque binaries."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                for i in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    frames.append(raw[i * every_n_bytes:(i + 1) * every_n_bytes])
+            yield pd.DataFrame({
+                "media_id": ids,
+                "frame_index": pd.array(idxs, dtype="int32"),
+                "frame_payload": frames,
+            })
+
+    return media.mapInPandas(_sample, schema=FRAME_SCHEMA)

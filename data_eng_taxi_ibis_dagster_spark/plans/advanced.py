@@ -39,7 +39,7 @@ from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
                {sql_lavg('l_discount')} AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '2024-06-01'
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
     tags=("2a", "A1", "A2"),
@@ -53,7 +53,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-06-01").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             lsum("l_quantity").alias("sum_qty"),
@@ -65,6 +65,53 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             lavg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+@query(
+    "shipping_priority",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {sql_lsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey ASC
+        LIMIT 10
+    """,
+    tags=("E1", "E3"),
+    bench=True,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter (broadcast), two-fact join,
+    revenue aggregation, top-10. The customer filter broadcasts; the
+    lineitem⋈orders join is the only large shuffle; TakeOrdered caps
+    the sort at k rows."""
+    c = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey"))
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(lsum(revenue, 4).alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
     )
 
 

@@ -81,6 +81,22 @@ def test_multimodal_feature_plumbing(spark, sf_dir):
     assert feats["feat_mean_byte"].between(0, 255).all()
 
 
+def test_multimodal_frame_sampling(spark, sf_dir):
+    from data_eng_taxi_ibis_dagster_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    frames = sample_frames(media, every_n_bytes=64, max_frames=4)
+    pdf = frames.toPandas()
+    assert dict(frames.dtypes)["frame_payload"] == "binary"
+    assert (pdf.groupby("media_id")["frame_index"].max() <= 3).all()
+    assert len(pdf) >= docs.count()  # every doc yields ≥1 frame
+    # frame content is the right byte window
+    one = pdf[pdf["media_id"] == pdf["media_id"].iloc[0]].sort_values("frame_index")
+    text = docs.filter(docs.doc_id == int(one["media_id"].iloc[0])).collect()[0].text
+    assert bytes(one["frame_payload"].iloc[0]) == text.encode()[:64]
+
+
 def test_multimodal_real_codecs_stubbed():
     with pytest.raises(NotImplementedError):
         decode_stub(b"\x89PNG", "image/png")
