@@ -8,8 +8,12 @@ Prints ONE JSON line:
 Timing discipline (BASELINE.md): session startup is excluded (the
 reference bills JVM boot to its Spark queries — a flaw we fix); each
 query is timed as full plan execution into the noop sink (all operators
-run, nothing collects to the driver), best-of-1 after a shared warmup
-that exercises scan + shuffle machinery.
+run, nothing collects to the driver), min over two temporally separated
+full passes after a shared warmup that exercises scan + shuffle
+machinery. Separated passes (pass over every query, then repeat) beat
+back-to-back repeats on this box: CPU-contention bursts last seconds,
+so consecutive runs of one query are correlated while the same query
+~a minute apart is not.
 """
 
 from __future__ import annotations
@@ -30,19 +34,22 @@ def main() -> None:
     spark = get_session(app_name="bench")
     specs = {n: s for n, s in all_specs().items() if s.bench}
 
-    # warmup: JIT/codegen + file listing, not measured
+    # warmup: JIT/codegen + file listing for every input table, not measured
     warm = specs.get("flagship_avg_price") or next(iter(specs.values()))
     warm.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import TABLES, load_table
+    for t in TABLES:
+        load_table(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
 
-    timings: dict[str, float] = {}
-    for name in sorted(specs):
-        best = float("inf")
-        for _ in range(2):  # best-of-2: shields against CPU-contention noise
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    timings: dict[str, float] = {name: float("inf") for name in specs}
+    for _ in range(passes):  # separated passes; min per query
+        for name in sorted(specs):
             df = specs[name].builder(spark, sf_dir)
             start = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            timings[name] = min(timings[name], time.perf_counter() - start)
+    timings = {n: round(v, 3) for n, v in sorted(timings.items())}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
