@@ -116,6 +116,121 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_priority_check",
+    oracle="""
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+          AND o.o_orderdate < TIMESTAMP '1997-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("E1",),
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (correlated EXISTS → left-semi join): count orders
+    per priority that had at least one line item shipped after the order
+    date. The fixture lacks commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate. The EXISTS decorrelates to a single
+    semi-join shuffle on orderkey; the date filter prunes orders before
+    the join, and only (l_orderkey, l_shipdate) is read from lineitem."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    tags=("E1", "A1"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of orders-per-customer. Left outer
+    join with a filter in the ON clause (kept on the join, NOT pushed to
+    WHERE — pushing it would drop order-less customers and change the
+    histogram's zero bucket), then two aggregations: per-customer count,
+    then count-of-counts. The second agg's input is one row per customer,
+    so its shuffle is small; COUNT(o_orderkey) counts only matched rows
+    per SQL null-skipping semantics."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
+                                                   "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+        SELECT CAST(100 AS DOUBLE) *
+               ({sql_lsum("CASE WHEN p.p_type LIKE 'PROMO%' "
+                          "THEN l.l_extendedprice * (1 - l.l_discount) "
+                          "ELSE 0 END", 4)}) /
+               ({sql_lsum('l.l_extendedprice * (1 - l.l_discount)', 4)})
+               AS promo_revenue_pct
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    tags=("E1", "E7"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from promo parts in one month.
+    Conditional aggregation over a fact⋈dim join; part is broadcast (no
+    fact shuffle at all — the global agg is a single partial+final pass).
+    Division happens once, after both exact sums, so the ratio is
+    bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+    p = F.broadcast(load_table(spark, sf_dir, "part")
+                    .select("p_partkey", "p_type"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * lsum(promo, 4) / lsum(rev, 4))
+            .alias("promo_revenue_pct"))
+    )
+
+
+@query(
     "stats_aggregates",
     oracle=f"""
         SELECT c_mktsegment,

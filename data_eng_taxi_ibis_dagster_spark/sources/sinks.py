@@ -62,3 +62,95 @@ def export_parquet(df: DataFrame, path: str, single_file: bool = False,
     writer.parquet(path)
     rows = df.sparkSession.read.parquet(path).count()
     return WriteReport(path=path, rows=rows, bytes=_tree_bytes(path))
+
+
+def write_clustered(df: DataFrame, path: str, *, cluster_by: str,
+                    partition_by: tuple[str, ...] = (),
+                    files_per_partition: int = 1) -> WriteReport:
+    """Layout-optimized export: range-partition on ``cluster_by`` and
+    sort rows within each output file by it.
+
+    This is the write-side half of predicate pushdown: parquet stores
+    per-row-group min/max for every column, so a file sorted by a key
+    has tight, non-overlapping key ranges and a later
+    ``read.filter(key BETWEEN …)`` skips whole row groups / files.
+    Unsorted data has every row group spanning the full key range and
+    min/max pruning skips nothing — at 100 TB this is the difference
+    between scanning one file and scanning them all.
+
+    ``repartitionByRange`` samples the key to build balanced range
+    bounds (one shuffle), avoiding the skew a hash layout can't fix for
+    range queries; ``sortWithinPartitions`` is a shuffle-free local
+    sort feeding the writer.
+    """
+    n_parts = max(1, files_per_partition)
+    out = (
+        df.repartitionByRange(n_parts, cluster_by)
+        .sortWithinPartitions(cluster_by)
+        if not partition_by
+        else df.repartitionByRange(n_parts, *partition_by, cluster_by)
+        .sortWithinPartitions(*partition_by, cluster_by)
+    )
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    rows = df.sparkSession.read.parquet(path).count()
+    return WriteReport(path=path, rows=rows, bytes=_tree_bytes(path))
+
+
+def overwrite_partitions(df: DataFrame, path: str,
+                         partition_by: tuple[str, ...]) -> WriteReport:
+    """Incremental backfill: replace ONLY the hive partitions present in
+    ``df``, leaving sibling partitions untouched (dynamic partition
+    overwrite). This is the idempotent-reprocess primitive of a large
+    pipeline — re-running one day's extract rewrites that day's
+    directory and nothing else, so a 100 TB table never needs a full
+    rewrite to fix one partition. Static overwrite (Spark's default)
+    would drop the whole table root first.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    rows = spark.read.parquet(path).count()
+    return WriteReport(path=path, rows=rows, bytes=_tree_bytes(path))
+
+
+def compact_parquet(spark, path: str, *, target_file_bytes: int = 128 << 20,
+                    out_path: str | None = None) -> WriteReport:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_bytes`` each.
+
+    Streaming sinks and per-task writers leave thousands of small files;
+    at scale, file-listing and per-file open costs dominate scans long
+    before data volume does (the classic "small files problem"). The
+    output file count is derived from the *actual* on-disk size — a
+    metadata-only driver computation — then the data is rewritten with
+    one round-robin shuffle into evenly sized files.
+
+    In-place by default (write to a temp sibling, swap); pass
+    ``out_path`` to compact into a new location instead.
+    """
+    import shutil
+    import tempfile
+
+    src_bytes = _tree_bytes(path)
+    n_files = max(1, round(src_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    in_place = out_path is None
+    dest = tempfile.mkdtemp(dir=os.path.dirname(path.rstrip("/"))) \
+        if in_place else out_path
+    # repartition (round-robin) balances bytes across files regardless of
+    # upstream partitioning; coalesce would skip the shuffle but inherits
+    # upstream skew and can't *increase* partition count.
+    df.repartition(n_files).write.mode("overwrite").parquet(dest)
+    if in_place:
+        shutil.rmtree(path)
+        os.rename(dest, path)
+        dest = path
+    rows = spark.read.parquet(dest).count()
+    return WriteReport(path=dest, rows=rows, bytes=_tree_bytes(dest))

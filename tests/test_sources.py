@@ -46,6 +46,80 @@ def test_csv_round_trip(spark, sf_dir, tmp_path):
     assert nation.exceptAll(back).count() == 0
 
 
+def test_write_clustered_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Clustered layout ⇒ per-file key ranges are disjoint, the
+    precondition for min/max (row-group / file) pruning on range scans."""
+    import glob as g
+
+    from data_eng_taxi_ibis_dagster_spark.sources.sinks import write_clustered
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "li_clustered")
+    report = write_clustered(li, path, cluster_by="l_orderkey",
+                             files_per_partition=4)
+    assert report.rows == li.count()
+    files = sorted(g.glob(f"{path}/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        pdf = spark.read.parquet(f).agg(
+            {"l_orderkey": "min"}).collect()[0][0], \
+            spark.read.parquet(f).agg({"l_orderkey": "max"}).collect()[0][0]
+        ranges.append(pdf)
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # ranges may touch at a shared boundary key, not overlap
+
+
+def test_overwrite_partitions_is_incremental(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite replaces only the partitions present
+    in the incoming frame — the idempotent-backfill primitive."""
+    from pyspark.sql import functions as F
+
+    from data_eng_taxi_ibis_dagster_spark.sources.sinks import (
+        export_parquet,
+        overwrite_partitions,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    path = str(tmp_path / "orders_by_priority")
+    export_parquet(orders, path, partition_by=("o_orderpriority",))
+    base = spark.read.parquet(path)
+    n_total = base.count()
+    one = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    n_one = one.count()
+    # re-process one partition with a marker value
+    redo = one.withColumn("o_totalprice", F.lit(-1.0))
+    overwrite_partitions(redo, path, partition_by=("o_orderpriority",))
+    after = spark.read.parquet(path)
+    assert after.count() == n_total  # siblings untouched
+    assert after.filter("o_totalprice = -1.0").count() == n_one
+    assert after.filter(
+        "o_orderpriority <> '1-URGENT' AND o_totalprice = -1.0").count() == 0
+
+
+def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
+    import glob as g
+
+    from data_eng_taxi_ibis_dagster_spark.sources.sinks import compact_parquet
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts_us")
+    path = str(tmp_path / "events_small_files")
+    ev.repartition(50).write.parquet(path)
+    assert len(g.glob(f"{path}/part-*.parquet")) == 50
+    before = spark.read.parquet(path)
+    rows_before = before.count()
+    total = sum(__import__("os").path.getsize(f)
+                for f in g.glob(f"{path}/part-*.parquet"))
+    report = compact_parquet(spark, path, target_file_bytes=total // 4)
+    files_after = g.glob(f"{path}/part-*.parquet")
+    assert 2 <= len(files_after) <= 6
+    after = spark.read.parquet(path)
+    assert after.count() == rows_before == report.rows
+    assert after.exceptAll(ev).count() == 0 and ev.exceptAll(after).count() == 0
+
+
 def test_json_round_trip(spark, sf_dir, tmp_path):
     cust = load_table(spark, sf_dir, "customer")
     path = str(tmp_path / "cust_json")
