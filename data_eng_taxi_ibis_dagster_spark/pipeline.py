@@ -114,6 +114,94 @@ class Definitions:
         return results
 
 
+def training_data_definitions(sf_dir: str, out_dir: str, *,
+                              quality_min: float = 0.3,
+                              near_dup_threshold: float = 0.6) -> Definitions:
+    """LLM training-data prep as an asset DAG over ``documents``:
+
+        ingest → quality/language annotate → filter → exact dedup →
+        near dedup (MinHash clusters → canonical pick) → corpus stats
+                                                       → clustered export
+
+    This is the 100 TB shape of the pipeline: every stage is a
+    DataFrame transformation (no driver-side loops); exact dedup is one
+    hash shuffle on the text fingerprint; near-dup candidates come from
+    LSH band buckets (no all-pairs); the export is range-clustered by
+    doc_id so downstream shard reads prune. Stage handoff is in-memory
+    here, parquet between pipelines.
+    """
+    from pyspark.sql import functions as F
+
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        dedup_clusters,
+        exact_dedup,
+        minhash_near_dup_pairs,
+    )
+    from data_eng_taxi_ibis_dagster_spark.operators.text import (
+        bpe_token_count,
+        lang_pred,
+        quality_score,
+        tokens,
+    )
+    from data_eng_taxi_ibis_dagster_spark.sources.sinks import write_clustered
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+    defs = Definitions()
+
+    @defs.asset(compute_kind="pyspark")
+    def ingest_docs(spark: SparkSession) -> DataFrame:
+        return load_table(spark, sf_dir, "documents")
+
+    @defs.asset(deps=("ingest_docs",), compute_kind="pyspark")
+    def annotate(spark: SparkSession, docs: DataFrame) -> DataFrame:
+        """Single-pass annotation: language guess, quality score, token
+        count — all JVM-side column expressions, no UDF."""
+        return docs.select(
+            "doc_id", "text", "lang", "source",
+            lang_pred(tokens("text")).alias("lang_guess"),
+            quality_score("text").alias("quality"),
+            bpe_token_count("text").alias("n_tokens"),
+        )
+
+    @defs.asset(deps=("annotate",), compute_kind="pyspark")
+    def filter_docs(spark: SparkSession, annotated: DataFrame) -> DataFrame:
+        """Quality gate. Filters are plain predicates — at scale they
+        push into the scan when this stage runs from parquet."""
+        return annotated.filter(F.col("quality") >= quality_min)
+
+    @defs.asset(deps=("filter_docs",), compute_kind="pyspark")
+    def drop_exact_dups(spark: SparkSession, kept: DataFrame) -> DataFrame:
+        keep = exact_dedup(kept).select(F.col("keep_doc_id").alias("doc_id"))
+        return kept.join(keep, "doc_id", "left_semi")
+
+    @defs.asset(deps=("drop_exact_dups",), compute_kind="pyspark")
+    def drop_near_dups(spark: SparkSession, uniq: DataFrame) -> DataFrame:
+        """MinHash-LSH near-dup clusters → keep each cluster's canonical
+        (min doc_id) member. Docs in no cluster pass through (anti-join
+        against the non-canonical set, so the big side streams)."""
+        pairs = minhash_near_dup_pairs(uniq, threshold=near_dup_threshold)
+        clusters = dedup_clusters(pairs)
+        losers = clusters.filter(
+            F.col("doc_id") != F.col("canonical_id")).select("doc_id")
+        return uniq.join(losers, "doc_id", "left_anti")
+
+    @defs.asset(deps=("drop_near_dups",), compute_kind="pyspark")
+    def corpus_stats(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+        """Observability: per-language doc/token counts + quality mean."""
+        return corpus.groupBy("lang_guess").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.avg("quality").alias("mean_quality"),
+        )
+
+    @defs.asset(deps=("drop_near_dups",), compute_kind="pyspark")
+    def export_corpus(spark: SparkSession, corpus: DataFrame):
+        return write_clustered(corpus, f"{out_dir}/corpus",
+                               cluster_by="doc_id", files_per_partition=2)
+
+    return defs
+
+
 def taxi_pipeline_definitions(sf_dir: str, out_dir: str) -> Definitions:
     """The reference pipeline rebuilt: ingest a parquet glob into a
     managed table, export it back to parquet, analyse it via both the

@@ -151,3 +151,36 @@ def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="user_id", left_time="ts_us", right_time="click_ts_us",
         right_cols=["click_ts_us", "click_value"], strict=True,
     )
+
+
+@query(
+    "events_click_purchase_interval",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.user_id,
+               epoch_us(p.ts) AS purchase_ts_us,
+               epoch_us(c.ts) AS click_ts_us,
+               p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+    tags=("E2", "E14"),
+)
+def events_click_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join, batch-rendered: all clicks within 30 minutes
+    before each purchase by the same user (multi-touch attribution; the
+    as-of query above keeps only the latest touch). Same builder runs as
+    a stream-stream join in streaming/events.py, where the watermark +
+    interval bound the join state."""
+    from data_eng_taxi_ibis_dagster_spark.streaming.events import (
+        click_purchase_pairs,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return click_purchase_pairs(clicks, purchases)

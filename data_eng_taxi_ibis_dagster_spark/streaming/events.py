@@ -110,7 +110,65 @@ def dedup_events(events: DataFrame, *, within_watermark: bool = False,
     return events.dropDuplicates(["event_id"])
 
 
+def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame, *,
+                         lookback: str = "30 minutes") -> DataFrame:
+    """Interval join: every (purchase, click) pair for the same user
+    where the click lands in ``[purchase.ts - lookback, purchase.ts]``
+    — the multi-touch flavor of attribution (the as-of join in
+    operators.relational picks only the latest touch).
+
+    Batch: one sort-merge shuffle on user_id; the time bounds ride along
+    as the join's secondary condition, so there is no time-bucket
+    explosion. Streaming: the same builder is a stream-stream inner
+    join — Spark derives each side's state retention from the watermark
+    plus these time bounds, so click state older than
+    watermark + lookback is evicted instead of accumulating forever
+    (unbounded join state is the stream-stream OOM at scale).
+    """
+    c = clicks.select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("click_user") == F.col("user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
+        )
+        .select(
+            "purchase_id", "click_id", "user_id",
+            F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+            F.unix_micros("click_ts").alias("click_ts_us"),
+            "purchase_value",
+        )
+    )
+
+
 # -- streaming entry points --------------------------------------------------
+
+def click_purchase_pairs_stream(spark: SparkSession, sf_dir: str, *,
+                                watermark: str = "2 hours",
+                                lookback: str = "30 minutes") -> DataFrame:
+    """Stream-stream rendering of :func:`click_purchase_pairs`: two
+    independent file-source streams (each side progresses its own
+    watermark), inner interval join, append output."""
+    clicks = (read_events_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .withWatermark("ts", watermark))
+    purchases = (read_events_stream(spark, sf_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .withWatermark("ts", watermark))
+    return click_purchase_pairs(clicks, purchases, lookback=lookback)
+
+
 
 def hourly_by_type_stream(spark: SparkSession, sf_dir: str,
                           watermark: str = "2 hours") -> DataFrame:

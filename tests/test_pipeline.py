@@ -57,3 +57,29 @@ def test_failure_propagates(spark):
 
     with pytest.raises(RuntimeError, match="asset blew up"):
         defs.materialize(spark)
+
+
+def test_training_data_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    from data_eng_taxi_ibis_dagster_spark.pipeline import (
+        training_data_definitions,
+    )
+
+    defs = training_data_definitions(sf_dir, str(tmp_path))
+    results = defs.materialize(spark)
+    n_ingested = results["ingest_docs"].rows
+    n_filtered = results["filter_docs"].rows
+    n_exact = results["drop_exact_dups"].rows
+    n_final = results["drop_near_dups"].rows
+    assert n_ingested > 0
+    # each stage only removes rows
+    assert n_ingested >= n_filtered >= n_exact >= n_final > 0
+    # the fixture plants exact + near duplicates: both stages must bite
+    assert n_exact < n_filtered or n_final < n_exact
+    stats = results["corpus_stats"].value.toPandas()
+    assert stats["n_docs"].sum() == n_final
+    assert (stats["n_tokens"] > 0).all()
+    report = results["export_corpus"].value
+    assert report.rows == n_final
+    exported = spark.read.parquet(f"{tmp_path}/corpus")
+    assert exported.count() == n_final
+    assert set(exported.columns) >= {"doc_id", "text", "quality", "n_tokens"}

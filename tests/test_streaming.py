@@ -59,3 +59,21 @@ def test_dedup_within_watermark_stream(spark, sf_dir):
     got = spark.table("dedup_stream")
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    from data_eng_taxi_ibis_dagster_spark.streaming.events import (
+        click_purchase_pairs,
+        click_purchase_pairs_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    batch = click_purchase_pairs(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    ).toPandas()
+    stream = click_purchase_pairs_stream(spark, sf_dir)
+    run_to_memory(stream, "interval_join_stream", output_mode="append")
+    streamed = spark.table("interval_join_stream").toPandas()
+    assert len(batch) > 0
+    pd.testing.assert_frame_equal(_sorted(batch), _sorted(streamed))
