@@ -230,6 +230,44 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_oracle_col(col: str, kind: str) -> str:
+    if kind == "num":
+        lo, hi = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+    elif kind == "ts":
+        lo, hi = (f"CAST(epoch_us(MIN({col})) AS DOUBLE)",
+                  f"CAST(epoch_us(MAX({col})) AS DOUBLE)")
+    else:
+        lo = hi = "CAST(NULL AS DOUBLE)"
+    return f"""
+        SELECT '{col}' AS col_name,
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({col}) AS n_null,
+               COUNT(DISTINCT {col}) AS n_distinct,
+               {lo} AS min_d,
+               {hi} AS max_d
+        FROM orders"""
+
+
+@query(
+    "profile_orders",
+    oracle=" UNION ALL ".join(
+        _profile_oracle_col(c, k) for c, k in [
+            ("o_orderkey", "num"), ("o_custkey", "num"),
+            ("o_orderstatus", "str"), ("o_totalprice", "num"),
+            ("o_orderdate", "ts"), ("o_orderpriority", "str"),
+        ]),
+    tags=("E8", "A3"),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator over orders: every column's null count,
+    exact distinct count and min/max in ONE scan (operators.profile).
+    The oracle is the naive per-column UNION ALL — six table scans —
+    demonstrating exactly the multi-pass shape the operator avoids."""
+    from data_eng_taxi_ibis_dagster_spark.operators.profile import profile
+
+    return profile(load_table(spark, sf_dir, "orders"))
+
+
 @query(
     "stats_aggregates",
     oracle=f"""

@@ -127,3 +127,37 @@ def test_json_round_trip(spark, sf_dir, tmp_path):
     back = scan_json(spark, path, schema=cust.schema)
     assert back.count() == cust.count()
     assert cust.exceptAll(back).count() == 0
+
+
+def test_scan_parquet_merge_schema_evolution(spark, sf_dir, tmp_path):
+    """Late files adding a column must surface it table-wide, with NULLs
+    for pre-evolution rows."""
+    from pyspark.sql import functions as F
+
+    nation = load_table(spark, sf_dir, "nation")
+    root = str(tmp_path / "evolving")
+    nation.select("n_nationkey", "n_name").write.parquet(f"{root}/batch=0")
+    nation.select("n_nationkey", "n_name",
+                  F.lit(0.9).alias("quality")).write.parquet(f"{root}/batch=1")
+    merged = scan_parquet(spark, f"{root}/batch=*", merge_schema=True)
+    assert "quality" in merged.columns
+    assert merged.count() == 50
+    assert merged.filter("quality IS NULL").count() == 25
+
+
+def test_profile_one_pass_stats(spark):
+    from data_eng_taxi_ibis_dagster_spark.operators.profile import profile
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import from_rows
+
+    df = from_rows(
+        spark,
+        [(1, 2.0, "a"), (2, None, "b"), (3, 4.0, None), (3, 4.0, "b")],
+        ["k", "v", "s"],
+    )
+    got = {r["col_name"]: r for r in profile(df).collect()}
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_null"] == 0
+    assert got["k"]["n_distinct"] == 3
+    assert got["k"]["min_d"] == 1.0 and got["k"]["max_d"] == 3.0
+    assert got["v"]["n_null"] == 1 and got["v"]["n_distinct"] == 2
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_d"] is None  # strings stay out of min/max surface
