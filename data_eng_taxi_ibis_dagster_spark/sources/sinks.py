@@ -120,6 +120,53 @@ def overwrite_partitions(df: DataFrame, path: str,
     return WriteReport(path=path, rows=rows, bytes=_tree_bytes(path))
 
 
+def merge_upsert_partitioned(spark, path: str, updates: DataFrame, *,
+                             key: str | tuple[str, ...],
+                             partition_by: tuple[str, ...]) -> WriteReport:
+    """CDC apply / MERGE-INTO for a hive-partitioned parquet table:
+    upsert ``updates`` by ``key``, rewriting ONLY the partitions the
+    updates touch.
+
+    Plain parquet has no row-level transaction log (that's what
+    Delta/Iceberg add), so an upsert must rewrite files — the scale
+    move is bounding the rewrite to affected partitions:
+
+      1. the distinct touched-partition list comes from ``updates``
+         (small — it's the changed data);
+      2. only those partitions of the target are read back (partition
+         pruning on the scan — the rest of the 100 TB is never opened);
+      3. old-minus-updated (left_anti on key) ∪ updates is written with
+         dynamic partition overwrite, atomically per partition.
+
+    Rows whose key is absent from the target are inserts; present keys
+    are replaced (last-write-wins). A key moving across partitions is
+    handled iff its OLD partition also appears in ``updates``; true
+    row-migration needs a table format with a log.
+    """
+    from functools import reduce
+    from operator import and_
+
+    from pyspark.sql import functions as F
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if not os.path.exists(path):  # bootstrap: first load is a plain write
+        return export_parquet(updates, path, partition_by=partition_by)
+    parts = [r.asDict() for r in
+             updates.select(*partition_by).distinct().collect()]
+    if not parts:
+        return WriteReport(path=path, rows=spark.read.parquet(path).count(),
+                           bytes=_tree_bytes(path))
+    touched = reduce(
+        lambda a, b: a | b,
+        (reduce(and_, (F.col(c) == F.lit(v) for c, v in p.items()))
+         for p in parts),
+    )
+    existing = spark.read.parquet(path).filter(touched)
+    kept = existing.join(updates.select(*keys).distinct(), keys, "left_anti")
+    merged = kept.unionByName(updates.select(*existing.columns))
+    return overwrite_partitions(merged, path, partition_by)
+
+
 def compact_parquet(spark, path: str, *, target_file_bytes: int = 128 << 20,
                     out_path: str | None = None) -> WriteReport:
     """Small-file compaction: rewrite a parquet directory into files of

@@ -200,6 +200,50 @@ def stream_to_parquet(result: DataFrame, path: str, *,
     return q
 
 
+def hourly_rollup_incremental(spark: SparkSession, sf_dir: str, path: str, *,
+                              checkpoint: str, watermark: str = "2 hours"):
+    """Continuous aggregate (hypertable-rollup style): the hourly
+    window × type aggregation maintained incrementally in a partitioned
+    parquet table.
+
+    ``update`` output mode emits only the window rows each micro-batch
+    changed; foreachBatch upserts them by (window, type) key into the
+    rollup table, partitioned by window date — so each batch rewrites
+    only the day-partitions it touched, never the table's history. This
+    is the batch-serving half of a lambda-free pipeline: readers see a
+    plain parquet table; the stream keeps it current; watermark-expired
+    windows stop changing and their partitions go cold.
+    """
+    from data_eng_taxi_ibis_dagster_spark.sources.sinks import (
+        merge_upsert_partitioned,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = hourly_by_type(stream.withWatermark("ts", watermark))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        updates = batch_df.withColumn(
+            "ws_date",
+            F.to_date(F.timestamp_micros(F.col("ws_us"))),
+        )
+        if updates.isEmpty():
+            return
+        merge_upsert_partitioned(
+            batch_df.sparkSession, path, updates,
+            key=("ws_us", "event_type"), partition_by=("ws_date",),
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(result: DataFrame, name: str, *, output_mode: str = "complete"):
     """Execute a streaming DataFrame to completion against the in-memory
     sink (availableNow → processes the full backlog, then stops).

@@ -161,3 +161,43 @@ def test_profile_one_pass_stats(spark):
     assert got["v"]["n_null"] == 1 and got["v"]["n_distinct"] == 2
     assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
     assert got["s"]["min_d"] is None  # strings stay out of min/max surface
+
+
+def test_merge_upsert_partitioned(spark, sf_dir, tmp_path):
+    """Upsert rewrites only touched partitions: updates replace rows by
+    key, inserts append, untouched partitions keep their files."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from data_eng_taxi_ibis_dagster_spark.sources.sinks import (
+        export_parquet,
+        merge_upsert_partitioned,
+    )
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import from_rows
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    path = str(tmp_path / "orders_merge")
+    export_parquet(orders, path, partition_by=("o_orderpriority",))
+    untouched_files = set(
+        g.glob(f"{path}/o_orderpriority=3-MEDIUM/part-*.parquet"))
+    n_total = orders.count()
+    victim = orders.filter("o_orderpriority = '1-URGENT'").first()
+    updates = from_rows(
+        spark,
+        [(victim["o_orderkey"], -7.0, "1-URGENT"),      # update
+         (10_000_000, 42.0, "1-URGENT")],               # insert
+        ["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+    merge_upsert_partitioned(spark, path, updates, key="o_orderkey",
+                             partition_by=("o_orderpriority",))
+    after = spark.read.parquet(path)
+    assert after.count() == n_total + 1
+    assert after.filter(
+        F.col("o_orderkey") == victim["o_orderkey"]
+    ).select("o_totalprice").first()[0] == -7.0
+    assert after.filter("o_orderkey = 10000000").count() == 1
+    # untouched partition's files were not rewritten
+    assert set(g.glob(f"{path}/o_orderpriority=3-MEDIUM/part-*.parquet")) \
+        == untouched_files

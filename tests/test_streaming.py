@@ -77,3 +77,23 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     streamed = spark.table("interval_join_stream").toPandas()
     assert len(batch) > 0
     pd.testing.assert_frame_equal(_sorted(batch), _sorted(streamed))
+
+
+def test_hourly_rollup_incremental_merge(spark, sf_dir, tmp_path):
+    """The incrementally-merged rollup table equals the batch rendering,
+    and a second (no-new-data) run leaves it unchanged (idempotent)."""
+    from data_eng_taxi_ibis_dagster_spark.streaming.events import (
+        hourly_rollup_incremental,
+    )
+
+    out = str(tmp_path / "rollup")
+    hourly_rollup_incremental(
+        spark, sf_dir, out, checkpoint=str(tmp_path / "ck1"))
+    batch = hourly_by_type(load_table(spark, sf_dir, "events")).toPandas()
+    rolled = spark.read.parquet(out).drop("ws_date").toPandas()
+    pd.testing.assert_frame_equal(_sorted(batch), _sorted(rolled))
+    # re-run from the same checkpoint: no new files to process, no change
+    hourly_rollup_incremental(
+        spark, sf_dir, out, checkpoint=str(tmp_path / "ck1"))
+    again = spark.read.parquet(out).drop("ws_date").toPandas()
+    pd.testing.assert_frame_equal(_sorted(rolled), _sorted(again))
