@@ -110,6 +110,53 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("mime", StringType(), False),
+    StructField("payload", BinaryType(), True),
+    StructField("meta_width", IntegerType(), True),
+    StructField("meta_height", IntegerType(), True),
+    StructField("meta_duration_ms", LongType(), True),
+])
+
+
+def resize_media(media: DataFrame, *, target_width: int = 224,
+                 target_height: int = 224) -> DataFrame:
+    """Payload-transforming stage (resize under a real codec): maps each
+    binary payload to a new, typically smaller payload and updates the
+    size metadata, schema-preserving — so resize stages compose with any
+    other media op. Under the stub the "resample" is a deterministic
+    byte-stride decimation to ``target_width*target_height`` bytes; a
+    Pillow/pyav implementation replaces only the inner function.
+
+    Output payloads shrink, so this is the stage to run EARLY in a 100 TB
+    media pipeline — every byte dropped here is a byte not shuffled,
+    cached, or Arrow-transferred by later stages.
+    """
+    target = max(1, target_width * target_height)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                if len(raw) <= target:
+                    out.append(raw)
+                else:
+                    stride = len(raw) / target
+                    out.append(bytes(raw[int(i * stride)] for i in range(target)))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "mime": pdf["mime"],
+                "payload": out,
+                "meta_width": pd.array([target_width] * len(pdf), dtype="int32"),
+                "meta_height": pd.array([target_height] * len(pdf), dtype="int32"),
+                "meta_duration_ms": pdf["meta_duration_ms"],
+            })
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
 FRAME_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("frame_index", IntegerType(), False),

@@ -248,6 +248,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
     """,
     tags=("E1",),
+    bench=True,
 )
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue by nation where the supplier and the

@@ -100,3 +100,27 @@ def test_multimodal_frame_sampling(spark, sf_dir):
 def test_multimodal_real_codecs_stubbed():
     with pytest.raises(NotImplementedError):
         decode_stub(b"\x89PNG", "image/png")
+
+
+def test_multimodal_resize_schema_preserving(spark, sf_dir):
+    from data_eng_taxi_ibis_dagster_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    small = resize_media(media, target_width=8, target_height=8)
+    # schema-preserving (names+types; nullability differs by source): composes
+    assert dict(small.dtypes) == dict(media.dtypes)
+    pdf = small.toPandas()
+    assert (pdf["payload"].map(len) <= 64).all()
+    assert (pdf["meta_width"] == 8).all()
+    # decimation keeps first byte and is deterministic
+    orig = media.toPandas().set_index("media_id")["payload"]
+    for mid, p in zip(pdf["media_id"], pdf["payload"]):
+        raw = bytes(orig[mid])
+        assert bytes(p)[0:1] == raw[0:1]
+    # composes with feature extraction
+    feats = extract_features(small).toPandas()
+    assert (feats["n_bytes"] <= 64).all()
