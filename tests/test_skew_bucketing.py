@@ -59,3 +59,59 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
     a = plain.toPandas().set_index("o_orderpriority").sort_index()
     b = bucketed.toPandas().set_index("o_orderpriority").sort_index()
     assert (a["count"] == b["count"]).all()
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew-join handling: a hot key whose partition dwarfs
+    the median must be split into parallel sub-partitions at execution
+    time — visible as skew=true on the SortMergeJoin in the final
+    adaptive plan. This is the no-code-change answer to join skew at
+    scale (salting covers the aggregation case)."""
+    import io
+    from contextlib import redirect_stdout
+
+    conf = spark.conf
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor":
+            conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+            conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        # shrink thresholds so the tiny local fixture counts as "skewed"
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        # 50k rows on ONE hot key + 1k spread over 1k keys
+        left = spark.range(50_000).select(
+            F.when(F.col("id") < 49_000, F.lit(7)).otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(2_000).select(
+            (F.col("id") % 1000).alias("k"),
+            F.lit("r").alias("tag"),
+        )
+        # aggregate over pad too — otherwise column pruning drops it and
+        # the hot partition (49k constant longs) compresses under the
+        # 16KB skew threshold
+        joined = (left.join(right, "k")
+                  .groupBy("tag")
+                  .agg(F.count("*").alias("count"),
+                       F.max("pad").alias("maxpad")))
+        # run THIS DataFrame's own query execution so its AQE plan
+        # finalizes (a write/noop action plans a separate execution)
+        joined.collect()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
