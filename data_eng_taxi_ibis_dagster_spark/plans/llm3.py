@@ -1,0 +1,145 @@
+"""Third LLM-pipeline batch: training-sequence packing, per-label
+stratified sampling, and deterministic hash train/test split.
+
+These are the last-mile ops of a training-data pipeline — after dedup,
+quality filtering, and similarity pruning (plans/llm.py, llm2.py), the
+surviving corpus is split, stratified, and packed into fixed-token-
+budget sequences for the trainer. All three are pure window/aggregate
+compositions (no UDFs, whole-stage codegen throughout) and fully
+deterministic, so each carries a strict DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.plans.registry import query
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+# Token-count proxy: ceil(chars/4) — the classic chars-per-token rule of
+# thumb. A production pipeline counts real BPE tokens offline (or via the
+# tokenize pandas-UDF in operators/text.py); packing only needs *a*
+# deterministic per-doc count, and using the n_chars column keeps this a
+# three-column scan with no text decode.
+_SQL_TOKENS = "GREATEST(1, CAST(CEIL(n_chars / 4.0) AS BIGINT))"
+_PACK_BUDGET = 4096
+
+
+def _tokens() -> F.Column:
+    return F.greatest(F.lit(1).cast("long"),
+                      F.ceil(F.col("n_chars") / F.lit(4.0)).cast("long"))
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, {_SQL_TOKENS} AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) // {_PACK_BUDGET} AS pack_id,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) % {_PACK_BUDGET} AS pack_offset
+        FROM toks
+    """,
+    tags=("E5", "EXT"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign each document to a fixed
+    token-budget pack (4096 tokens) by cumulative token offset within
+    its language stream — the offset-chunking form of greedy packing
+    (a pack may overrun the budget by less than one document; the
+    deterministic, single-window semantic trainers actually use for
+    "concat then split" data loading). One window over (lang, doc_id)
+    — no UDF, no shuffle beyond the lang repartition. At 100 TB the
+    partition key becomes (lang, shard) with shard = doc_id DIV n so
+    each window partition stays executor-sized; pack boundaries are
+    then per-shard, which packing tolerates by design (packs never
+    span shards)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _tokens().alias("n_tokens"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return docs.select(
+        "doc_id", "lang", "n_tokens",
+        (cum_before / F.lit(_PACK_BUDGET)).cast("long").alias("pack_id"),
+        (cum_before % F.lit(_PACK_BUDGET)).alias("pack_offset"),
+    )
+
+
+@query(
+    "stratified_sample_label",
+    oracle="""
+        SELECT vec_id, label, strat_rn
+        FROM (
+            SELECT vec_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id)
+                       AS strat_rn
+            FROM embeddings
+        )
+        WHERE strat_rn % 10 = 1
+    """,
+    tags=("E5", "EXT"),
+)
+def stratified_sample_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 10% sample with EXACT per-stratum rates: every 10th
+    vector per label by id order (systematic sampling within strata —
+    the deterministic, oracle-able counterpart of sampleBy's Bernoulli
+    draw). Guarantees each label's sample fraction is ⌈n/10⌉/n rather
+    than a random variable — what class-balanced eval-set carving
+    actually wants. One window shuffle on label; at scale, skewed
+    label cardinalities are AQE's problem (skew-join/partition split),
+    not the operator's."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    return (
+        e.withColumn("strat_rn", F.row_number().over(w))
+        .filter(F.col("strat_rn") % 10 == 1)
+    )
+
+
+@query(
+    "train_test_split",
+    oracle="""
+        WITH hashed AS (
+            SELECT doc_id, n_chars,
+                   (doc_id * 2654435761) % 4294967296 AS h
+            FROM documents
+        )
+        SELECT CASE WHEN h < 0.9 * 4294967296 THEN 'train' ELSE 'test' END
+                   AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM hashed
+        GROUP BY split
+    """,
+    tags=("E7", "EXT"),
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split by multiplicative hashing
+    (Knuth's 2654435761 mod 2^32) of doc_id — stable across runs,
+    engines, and repartitioning, unlike randomSplit. Emitted as
+    per-split counts; the row-level form is the same expression as a
+    filter. Long arithmetic only (no float hash) so the split is
+    bit-identical everywhere; ids beyond ~3.4e9 would need the
+    multiply done mod 2^32 first (documented here, irrelevant below
+    that). A real pipeline splitting on string keys uses xxhash64 —
+    same shape, engine-internal hash → rows-only check instead."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    split = (F.when(h < F.lit(0.9) * F.lit(4294967296), "train")
+             .otherwise("test"))
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+    )

@@ -61,8 +61,10 @@ def _load_all() -> None:
         scalars,
         llm,
         llm2,
+        llm3,
         semantics,
         streaming_batch,
+        tpch,
         windows2,
     )
 
