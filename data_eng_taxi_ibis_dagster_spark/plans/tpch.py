@@ -741,11 +741,15 @@ def waiting_supplier_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
     finished multi-supplier orders (late = shipped >120 days after
     ordering; the fixture has no commit/receipt dates). The classic
-    EXISTS + NOT EXISTS double self-join is re-expressed as two
-    stacked aggregations over one (orderkey, suppkey) pass — late
-    flags per supplier, then per-order supplier/late counts — which
-    cuts the three lineitem scans of the textbook plan to one and
-    reuses the orderkey shuffle partitioning for the join-back."""
+    EXISTS + NOT EXISTS double self-join is re-expressed as ONE
+    (orderkey, suppkey) aggregation pass with per-order counts as
+    window functions over it — a groupBy-then-join-back would make
+    Spark compute the whole per-supplier subtree twice (no common-
+    subplan sharing across a self-join; verified in the physical
+    plan), which doubles the dominant join at scale. The explicit
+    repartition on orderkey satisfies BOTH the aggregate's clustering
+    requirement (orderkey is a subset of the grouping keys) and the
+    window's partitioning, so the pass costs a single shuffle."""
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -755,15 +759,17 @@ def waiting_supplier_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         1).otherwise(0)
     per_supp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late_flag).alias("late"))
     )
-    per_order = (per_supp.groupBy("l_orderkey")
-                 .agg(F.count("*").alias("n_supp"), F.sum("late").alias("n_late")))
+    w = Window.partitionBy("l_orderkey")
     s = F.broadcast(load_table(spark, sf_dir, "supplier")
                     .select("s_suppkey", "s_name"))
     return (
-        per_supp.join(per_order, "l_orderkey")
+        per_supp
+        .withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("late").over(w))
         .filter((F.col("late") == 1) & (F.col("n_supp") > 1)
                 & (F.col("n_late") == 1))
         .join(s, F.col("l_suppkey") == s.s_suppkey)
