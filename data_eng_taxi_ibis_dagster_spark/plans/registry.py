@@ -57,11 +57,14 @@ def _load_all() -> None:
     # Import side-effect-registers every query module exactly once.
     from data_eng_taxi_ibis_dagster_spark.plans import (  # noqa: F401
         advanced,
+        aggregates,
         relational,
         scalars,
+        scalars2,
         llm,
         llm2,
         llm3,
+        llm4,
         semantics,
         streaming_batch,
         tpch,
