@@ -65,6 +65,7 @@ def _load_all() -> None:
         llm2,
         llm3,
         llm4,
+        llm5,
         semantics,
         streaming_batch,
         tpch,
