@@ -36,6 +36,19 @@ from data_eng_taxi_ibis_dagster_spark.operators.text import (
     tokens,
 )
 
+def _right_size(df: DataFrame) -> DataFrame:
+    """Right-size the scan for CPU-bound per-row work: if the plan has
+    fewer partitions than the cluster has slots (small files, tiny SF),
+    fan out to ``defaultParallelism`` so codegen'd per-document hashing
+    uses every core. At 100 TB input splits vastly outnumber slots, the
+    condition is false, and this is a no-op — the corpus is never
+    shuffled just to parallelize."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # E9 — exact dedup
 # ---------------------------------------------------------------------------
@@ -106,21 +119,38 @@ def pairwise_jaccard(df: DataFrame, *, id_col: str = "doc_id",
 def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        num_hashes: int = 32) -> DataFrame:
-    """(id, sig array<long>) — k seeded-xxhash64 min-aggregates over the
-    exploded shingle relation, one shuffle on the doc id with map-side
-    partial mins."""
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(shingles(tokens(text_col), n)).alias("shingle"),
-    )
-    mins = [
-        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"h{seed}")
+    """(id, sig array<long>) — k seeded-xxhash64 minima over the
+    document's shingle set, computed entirely per-row inside
+    whole-stage codegen: ``array_min(transform(shingles, xxhash64))``
+    per seed. A MinHash signature is a pure function of one document,
+    so it needs NO explode, NO aggregation, and NO shuffle — at 100 TB
+    this keeps signature generation embarrassingly parallel (the naive
+    explode→k×min-agg shape shuffles the entire shingle relation, which
+    is ~30× the corpus size at n=3)."""
+    def seeded(s: int):
+        return lambda x: F.xxhash64(F.lit(s), x)
+
+    # Two-step select: the shingle array is built ONCE per row as a
+    # named column, and the k minima reference it as an attribute.
+    # (Referencing the shingle *expression* k times would evaluate the
+    # whole tokenize+slice+distinct pipeline k times per row; Catalyst
+    # keeps the projections split because `sh` is an expensive alias
+    # with multiple references — CollapseProject declines to inline.)
+    with_sh = _right_size(df).select(
+        F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
+    sig_cols = [
+        F.array_min(F.transform(F.col("sh"), seeded(seed)))
         for seed in range(num_hashes)
     ]
-    agg = exploded.groupBy(id_col).agg(*mins)
-    return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig"),
+    # Materialize the compact (id, sig) relation through one exchange:
+    # it makes the signature sub-plan common across both sides of the
+    # downstream LSH self-join (ReuseExchange computes it once), and
+    # the shuffle carries id + k longs per doc — tiny next to the
+    # corpus, and ~30× smaller than the exploded-shingle shuffle the
+    # aggregate formulation would need.
+    return (
+        with_sh.select(F.col(id_col), F.array(*sig_cols).alias("sig"))
+        .repartition(F.col(id_col))
     )
 
 
@@ -174,7 +204,8 @@ def minhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
     sigs = minhash_signatures(df, id_col=id_col, text_col=text_col,
                               n=n, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands, rows=rows)
-    sh = df.select(F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
+    sh = _right_size(df).select(
+        F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
     verified = (
         cands
         .join(sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
@@ -244,28 +275,43 @@ def dedup_clusters(pairs: DataFrame, *, max_iterations: int = 20) -> DataFrame:
 def simhash(df: DataFrame, *, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document: per-bit majority vote over token
-    hashes, folded into one long. 64 conditional sums in a single
-    aggregation pass — constant per-doc state, no wide rows."""
-    exploded = df.select(
+    hashes (multiset — duplicate tokens vote repeatedly), folded into
+    one long. Like the MinHash signature, this is a pure per-document
+    function, so it is computed row-local inside codegen — hash the
+    token array once, then 64 bit-count comparisons — with NO explode
+    and NO shuffle (the naive shape shuffles the whole token relation
+    into a 64-column aggregate)."""
+    # Hash the token array ONCE per row into a named column (see
+    # minhash_signatures on why the two-step select matters: the 64
+    # bit-votes below each reference `hs`, and inlining the
+    # tokenize+hash pipeline into every vote would be a 64× per-row
+    # blow-up).
+    with_hs = _right_size(df).select(
         F.col(id_col),
-        F.explode(tokens(text_col)).alias("tok"),
-    ).select(F.col(id_col), F.xxhash64(F.col("tok")).alias("h"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(64)
-    ]
-    agg = exploded.groupBy(id_col).agg(*bit_sums)
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("hs"),
+    )
+    n_tok = F.size(F.col("hs"))
+
+    def bit_test(i: int):
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
     word = reduce(
         add,
         [
-            F.when(F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
-            .otherwise(F.lit(0).cast("long"))
+            F.when(
+                F.size(F.filter(F.col("hs"), bit_test(i))) * 2 > n_tok,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
             for i in range(64)
         ],
     )
-    return agg.select(F.col(id_col), word.alias("simhash"))
+    # Same exchange barrier as minhash_signatures: one compact
+    # (id, long) shuffle so banding/self-join never recompute the
+    # 64-bit-vote expression.
+    return (
+        with_hs.select(F.col(id_col), word.alias("simhash"))
+        .repartition(F.col(id_col))
+    )
 
 
 def simhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
