@@ -641,3 +641,78 @@ def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .applyInPandas(flag_max, schema="c_custkey long, is_seg_max int")
     )
+
+
+_CHUNK = 32
+
+
+@query(
+    "udtf_chunk_documents",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        )
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(least({_CHUNK}, len(tk) - i*{_CHUNK}) AS BIGINT)
+                   AS n_tokens,
+               array_to_string(tk[i*{_CHUNK}+1 : (i+1)*{_CHUNK}], ' ')
+                   AS chunk_text
+        FROM t, LATERAL (
+            SELECT unnest(generate_series(0, (len(tk)-1)//{_CHUNK})) AS i
+        )
+    """,
+    tags=("E15", "EXT"),
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined *table* function, the one UDF class
+    the other E15 queries don't cover): chunk each document into
+    fixed-size token windows — the RAG/pretraining chunking op — via a
+    lateral join, one input row fanning out to ceil(n_tokens/32) rows.
+    UDTFs are row-at-a-time Python (the slow path; the oracle shows the
+    same op relationally) — the value here is the API surface: arbitrary
+    generator logic with a declared schema, parallel per input split.
+    """
+    from pyspark.sql.functions import udtf
+
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import register_views
+
+    @udtf(returnType=(
+        "doc_id bigint, chunk_idx bigint, n_tokens bigint, "
+        "chunk_text string"))
+    class ChunkDoc:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            toks = text.split(" ")
+            for i in range((len(toks) - 1) // _CHUNK + 1):
+                w = toks[i * _CHUNK:(i + 1) * _CHUNK]
+                yield doc_id, i, len(w), " ".join(w)
+
+    register_views(spark, sf_dir, ["documents"])
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return spark.sql(
+        "SELECT c.* FROM documents, LATERAL chunk_doc(doc_id, text) AS c"
+    )
+
+
+@query(
+    "arrow_python_udf",
+    oracle="""
+        SELECT o_orderkey,
+               (o_orderkey * 31 + 7) % 1000 AS bucket_id
+        FROM orders
+        WHERE o_totalprice > 450000
+    """,
+    tags=("E15",),
+)
+def arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``useArrow=True``): row-logic Python
+    with Arrow-batched transfer — the middle rung between legacy
+    pickled row-at-a-time UDFs (never used in this repo) and pandas
+    UDFs. Integer math keeps it oracle-exact; filtered to a small slice
+    because built-ins remain the hot-path answer."""
+    mix = F.udf(lambda k: (k * 31 + 7) % 1000, "long", useArrow=True)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 450000)
+        .select("o_orderkey", mix("o_orderkey").alias("bucket_id"))
+    )
