@@ -201,3 +201,19 @@ def compact_parquet(spark, path: str, *, target_file_bytes: int = 128 << 20,
         dest = path
     rows = spark.read.parquet(dest).count()
     return WriteReport(path=dest, rows=rows, bytes=_tree_bytes(dest))
+
+
+def export_orc(df: DataFrame, path: str, mode: str = "overwrite") -> int:
+    """ORC export twin of :func:`export_parquet` (interop sink).
+    Returns bytes written."""
+    df.write.mode(mode).orc(path)
+    return _tree_bytes(path)
+
+
+def export_csv(df: DataFrame, path: str, mode: str = "overwrite",
+               header: bool = True) -> int:
+    """CSV export (interchange with non-columnar consumers only —
+    no pushdown, no types, ~5× parquet bytes). Returns bytes
+    written."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+    return _tree_bytes(path)

@@ -201,3 +201,59 @@ def test_merge_upsert_partitioned(spark, sf_dir, tmp_path):
     # untouched partition's files were not rewritten
     assert set(g.glob(f"{path}/o_orderpriority=3-MEDIUM/part-*.parquet")) \
         == untouched_files
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    from data_eng_taxi_ibis_dagster_spark.sources.sinks import export_orc
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import scan_orc
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    nbytes = export_orc(nation, path)
+    assert nbytes > 0
+    back = scan_orc(spark, path)
+    assert back.schema == nation.schema
+    assert nation.exceptAll(back).count() == 0
+
+
+def test_csv_export_sink(spark, sf_dir, tmp_path):
+    from data_eng_taxi_ibis_dagster_spark.sources.sinks import export_csv
+
+    region = load_table(spark, sf_dir, "region")
+    path = str(tmp_path / "region_csv")
+    nbytes = export_csv(region, path)
+    assert nbytes > 0
+    back = scan_csv(spark, path, schema=region.schema)
+    assert region.exceptAll(back).count() == 0
+
+
+def test_text_source_line_and_wholefile(spark, tmp_path):
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import scan_text
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.txt").write_text("alpha\nbeta\n")
+    (p / "b.txt").write_text("gamma\n")
+    lines = scan_text(spark, str(p))
+    assert lines.columns == ["value"]
+    assert sorted(r.value for r in lines.collect()) == [
+        "alpha", "beta", "gamma"]
+    whole = scan_text(spark, str(p), whole_file=True)
+    texts = sorted(r.value for r in whole.collect())
+    assert texts == ["alpha\nbeta\n", "gamma\n"]
+
+
+def test_binary_source_with_glob(spark, tmp_path):
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import scan_binary
+
+    p = tmp_path / "blobs"
+    p.mkdir()
+    (p / "x.bin").write_bytes(b"\x00\x01\x02")
+    (p / "y.txt").write_bytes(b"nope")
+    df = scan_binary(spark, str(p), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].length == 3
+    assert bytes(rows[0].content) == b"\x00\x01\x02"
+    assert set(df.columns) == {"path", "modificationTime", "length",
+                               "content"}
