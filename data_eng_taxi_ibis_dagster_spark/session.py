@@ -26,6 +26,12 @@ SESSION_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom-filter join pruning: with a selective build side on
+    # a large-large shuffle join, drop probe rows before their shuffle.
+    # Production thresholds still gate injection (≥10 GB probe scan),
+    # so this is a no-op locally and a win at 100 TB; mechanism proven
+    # in tests/test_scale_plans.py.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     # The events fixture carries parquet TIMESTAMP(NANOS) which Spark

@@ -1,0 +1,63 @@
+"""Plan lint: every registered query's physical plan is swept for
+scale anti-patterns. This is the systematic version of PLANS.md —
+instead of spot-checking flagship plans, it pins three invariants over
+the WHOLE registry so a regression (a lost broadcast, an accidental
+cross join, a Python UDF sneaking into a hot path) fails CI:
+
+* No ``CartesianProduct``, ever. Theta joins must plan as
+  BroadcastNestedLoopJoin (small side broadcast) or be rewritten.
+* ``BroadcastNestedLoopJoin`` only where intended and justified:
+  brute-force similarity scans (the small broadcast side is the probe
+  set / centroid table), band/theta joins with a broadcastable side,
+  and 1-row scalar-subquery comparisons (TPC-H Q11/Q22 shape).
+* Python evaluation nodes (pandas UDF / applyInPandas / mapInPandas /
+  UDTF) only in queries tagged E13/E15 — the declared Python-boundary
+  surface. Everything else stays whole-stage-codegen JVM.
+"""
+
+import pytest
+
+from data_eng_taxi_ibis_dagster_spark.plans.registry import all_specs
+
+#: Queries where a BroadcastNestedLoopJoin is the *intended* physical
+#: shape (theta join / brute-force similarity / 1-row scalar subquery).
+BNLJ_ALLOWED = {
+    "dedup_embedding_cosine",      # threshold join, embeddings broadcast
+    "join_band_acctbal",           # band theta-join, small side broadcast
+    "similarity_cosine_topk",      # brute-force cosine, probe broadcast
+    "similarity_ivf",              # probe×centroid assignment
+    "global_sales_opportunity",    # TPC-H Q22: vs 1-row global avg
+    "important_part_volume",       # TPC-H Q11: HAVING vs 1-row scalar
+}
+
+#: Tags whose queries may cross the JVM→Python boundary.
+PY_TAGS = {"E13", "E15"}
+
+PY_NODES = (
+    "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+    "MapInPandas", "PythonMapInArrow", "AggregateInPandas",
+    "FlatMapGroupsInPandasWithState",
+)
+
+ALL = sorted(all_specs())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_plan_lint(spark, sf_dir, name):
+    spec = all_specs()[name]
+    df = spec.builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    assert "CartesianProduct" not in plan, (
+        f"{name}: unconstrained cross join — at scale this is |L|×|R|")
+
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in BNLJ_ALLOWED, (
+            f"{name}: unexpected BroadcastNestedLoopJoin — either a join "
+            f"key was lost (should be equi/hash) or this query needs an "
+            f"explicit justification in BNLJ_ALLOWED")
+
+    if any(node in plan for node in PY_NODES):
+        assert set(spec.tags) & PY_TAGS, (
+            f"{name}: Python evaluation in the plan but the query is not "
+            f"a declared E13/E15 Python-surface query")
