@@ -66,6 +66,7 @@ def _load_all() -> None:
         llm3,
         llm4,
         llm5,
+        llm6,
         semantics,
         streaming_batch,
         tpch,
