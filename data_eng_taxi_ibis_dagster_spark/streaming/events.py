@@ -41,9 +41,12 @@ def _as_stream_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
-                       max_files_per_trigger: int = 1) -> DataFrame:
+                       max_files_per_trigger: int = 1,
+                       stream_dir: str | None = None) -> DataFrame:
     """File-source stream over the events parquet (schema pinned from
-    the static read, nanos normalized identically)."""
+    the static read, nanos normalized identically). ``stream_dir``
+    overrides the staged fixture directory — a live landing directory
+    where new parquet parts keep arriving between runs."""
     from data_eng_taxi_ibis_dagster_spark.session import ensure_conf
 
     ensure_conf(spark)
@@ -51,7 +54,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(_as_stream_dir(sf_dir))
+        .parquet(stream_dir or _as_stream_dir(sf_dir))
     )
     return _normalize_events(stream)
 
@@ -201,7 +204,8 @@ def stream_to_parquet(result: DataFrame, path: str, *,
 
 
 def hourly_rollup_incremental(spark: SparkSession, sf_dir: str, path: str, *,
-                              checkpoint: str, watermark: str = "2 hours"):
+                              checkpoint: str, watermark: str = "2 hours",
+                              stream_dir: str | None = None):
     """Continuous aggregate (hypertable-rollup style): the hourly
     window × type aggregation maintained incrementally in a partitioned
     parquet table.
@@ -218,7 +222,7 @@ def hourly_rollup_incremental(spark: SparkSession, sf_dir: str, path: str, *,
         merge_upsert_partitioned,
     )
 
-    stream = read_events_stream(spark, sf_dir)
+    stream = read_events_stream(spark, sf_dir, stream_dir=stream_dir)
     agg = hourly_by_type(stream.withWatermark("ts", watermark))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:

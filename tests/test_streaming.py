@@ -97,3 +97,49 @@ def test_hourly_rollup_incremental_merge(spark, sf_dir, tmp_path):
         spark, sf_dir, out, checkpoint=str(tmp_path / "ck1"))
     again = spark.read.parquet(out).drop("ws_date").toPandas()
     pd.testing.assert_frame_equal(_sorted(rolled), _sorted(again))
+
+
+def test_incremental_arrival_exactly_once(spark, sf_dir, tmp_path):
+    """New files landing between runs from ONE checkpoint are processed
+    exactly once: after each run the rollup equals the batch aggregate
+    over everything that has arrived so far — nothing dropped, nothing
+    double-counted."""
+    from pyspark.sql import functions as F
+
+    from data_eng_taxi_ibis_dagster_spark.streaming.events import (
+        hourly_rollup_incremental,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+
+    # Split by TIME, mirroring real arrival order: a watermark is
+    # supposed to drop data arriving far behind the stream's clock, so
+    # an id-based split (old rows in the second batch) would be
+    # *correctly* discarded as late.
+    cut = raw.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("c")).collect()[0]["c"]
+    half1 = raw.filter(F.col("ts") <= cut)
+    half2 = raw.filter(F.col("ts") > cut)
+
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import (
+        _normalize_events,
+    )
+
+    half1.write.parquet(landing)  # first arrival
+    hourly_rollup_incremental(
+        spark, sf_dir, out, checkpoint=ck, stream_dir=landing)
+    batch1 = hourly_by_type(
+        _normalize_events(spark.read.parquet(landing))).toPandas()
+    got1 = spark.read.parquet(out).drop("ws_date").toPandas()
+    pd.testing.assert_frame_equal(_sorted(batch1), _sorted(got1))
+
+    half2.write.mode("append").parquet(landing)  # second arrival
+    hourly_rollup_incremental(
+        spark, sf_dir, out, checkpoint=ck, stream_dir=landing)
+    batch_all = hourly_by_type(events).toPandas()
+    got2 = spark.read.parquet(out).drop("ws_date").toPandas()
+    pd.testing.assert_frame_equal(_sorted(batch_all), _sorted(got2))
