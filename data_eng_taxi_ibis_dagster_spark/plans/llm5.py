@@ -201,6 +201,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rn = 1
     """,
     tags=("E5", "E12", "EXT"),
+    bench=True,
 )
 def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document most-distinctive term: argmax over (term frequency

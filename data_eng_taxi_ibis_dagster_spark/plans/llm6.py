@@ -57,6 +57,7 @@ from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
         FROM q
     """,
     tags=("E11", "E13", "EXT"),
+    bench=True,
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of every embedding: per-vector
