@@ -60,3 +60,164 @@ def test_exact_sums_match_duckdb(_spark, rows):
     # bit-exact float comparison — the whole point of the exact paths
     assert (got["ds"].values == want["ds"].values).all(), (got, want)
     assert (got["ls"].values == want["ls"].values).all(), (got, want)
+
+
+# ---------------------------------------------------------------------------
+# Window-function semantics fuzz
+# ---------------------------------------------------------------------------
+
+win_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # partition key
+        st.integers(min_value=0, max_value=9),    # order key (ties!)
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=win_rows)
+def test_window_functions_match_duckdb(_spark, rows):
+    """row_number/rank/dense_rank/lag/running-sum under duplicate order
+    keys: the tiebreak column makes the total order unique, so both
+    engines must agree exactly (integer arithmetic throughout)."""
+    pdf = pd.DataFrame(rows, columns=["k", "o", "v"])
+    pdf["uid"] = range(len(pdf))  # unique tiebreak
+    sdf = _spark.createDataFrame(pdf)
+
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("k").orderBy("o", "uid")
+    got = (
+        sdf.select(
+            "k", "uid",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(
+                Window.partitionBy("k").orderBy("o")).alias("rk"),
+            F.dense_rank().over(
+                Window.partitionBy("k").orderBy("o")).alias("drk"),
+            F.lag("v", 1).over(w).alias("lg"),
+            F.sum("v").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)).alias("rs"),
+        )
+        .toPandas().sort_values(["k", "uid"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute("""
+        SELECT k, uid,
+               row_number() OVER (PARTITION BY k ORDER BY o, uid) AS rn,
+               rank() OVER (PARTITION BY k ORDER BY o) AS rk,
+               dense_rank() OVER (PARTITION BY k ORDER BY o) AS drk,
+               lag(v, 1) OVER (PARTITION BY k ORDER BY o, uid) AS lg,
+               SUM(v) OVER (PARTITION BY k ORDER BY o, uid
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS rs
+        FROM t ORDER BY k, uid
+    """).fetch_df()
+    con.close()
+    for c in ("rn", "rk", "drk", "rs"):
+        assert list(got[c]) == list(want[c]), c
+    # lag: NULL for first row per partition — compare with NA-safe eq
+    assert got["lg"].astype("Int64").equals(want["lg"].astype("Int64"))
+
+
+# ---------------------------------------------------------------------------
+# Null-key join semantics fuzz
+# ---------------------------------------------------------------------------
+
+nullable_key_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+        st.integers(min_value=0, max_value=100),
+    ),
+    min_size=0, max_size=25,
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=nullable_key_rows, right=nullable_key_rows)
+def test_null_key_joins_match_duckdb(_spark, left, right):
+    """Inner/left/full equi-joins with NULL keys: NULL never matches
+    NULL, unmatched rows null-extend. Both engines must produce the
+    same multiset."""
+    ls = _spark.createDataFrame(left, "k bigint, a bigint")
+    rs = _spark.createDataFrame(right, "k bigint, b bigint")
+
+    con = duckdb.connect()
+    lp = pd.DataFrame(left, columns=["k", "a"]).astype(
+        {"k": "Int64", "a": "Int64"})
+    rp = pd.DataFrame(right, columns=["k", "b"]).astype(
+        {"k": "Int64", "b": "Int64"})
+    con.register("l", lp)
+    con.register("r", rp)
+
+    def nkey(t):
+        return tuple((x is None, 0 if x is None else x) for x in t)
+
+    for how, sql in (
+        ("inner", "SELECT l.k AS lk, r.k AS rk, a, b FROM l JOIN r USING (k)"),
+        ("left", "SELECT l.k AS lk, r.k AS rk, a, b FROM l LEFT JOIN r ON l.k = r.k"),
+        ("full", "SELECT l.k AS lk, r.k AS rk, a, b FROM l FULL JOIN r ON l.k = r.k"),
+    ):
+        if how == "inner":
+            j = ls.join(rs, "k").select(
+                F.col("k").alias("lk"), F.col("k").alias("rk"), "a", "b")
+        else:
+            j = ls.join(rs, ls.k == rs.k, how).select(
+                ls.k.alias("lk"), rs.k.alias("rk"), "a", "b")
+        got = sorted(
+            (tuple(None if pd.isna(x) else int(x) for x in row)
+             for row in j.toPandas().itertuples(index=False, name=None)),
+            key=nkey,
+        )
+        want = sorted(
+            (tuple(None if pd.isna(x) else int(x) for x in row)
+             for row in con.execute(sql).fetch_df().itertuples(
+                 index=False, name=None)),
+            key=nkey,
+        )
+        assert got == want, how
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# Multiset set-operation semantics fuzz
+# ---------------------------------------------------------------------------
+
+pair_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),
+              st.integers(min_value=0, max_value=3)),
+    min_size=0, max_size=20,
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=pair_rows, b=pair_rows)
+def test_multiset_setops_match_duckdb(_spark, a, b):
+    """INTERSECT ALL / EXCEPT ALL bag semantics (min/count-difference of
+    duplicates) — a classic cross-engine divergence point."""
+    sa = _spark.createDataFrame(a, "x bigint, y bigint")
+    sb = _spark.createDataFrame(b, "x bigint, y bigint")
+    con = duckdb.connect()
+    con.register("a", pd.DataFrame(a, columns=["x", "y"]))
+    con.register("b", pd.DataFrame(b, columns=["x", "y"]))
+
+    cases = (
+        ("intersectAll", sa.intersectAll(sb),
+         "SELECT x, y FROM a INTERSECT ALL SELECT x, y FROM b"),
+        ("exceptAll", sa.exceptAll(sb),
+         "SELECT x, y FROM a EXCEPT ALL SELECT x, y FROM b"),
+        ("unionAll", sa.unionByName(sb),
+         "SELECT x, y FROM a UNION ALL SELECT x, y FROM b"),
+    )
+    for name, sdf, sql in cases:
+        got = sorted(map(tuple, sdf.collect()))
+        want = sorted(
+            map(tuple, con.execute(sql).fetch_df().itertuples(
+                index=False, name=None)))
+        assert got == want, name
+    con.close()
