@@ -67,6 +67,7 @@ def _load_all() -> None:
         llm4,
         llm5,
         llm6,
+        llm7,
         semantics,
         streaming_batch,
         tpch,
