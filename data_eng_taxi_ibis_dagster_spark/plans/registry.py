@@ -68,6 +68,7 @@ def _load_all() -> None:
         llm5,
         llm6,
         llm7,
+        llm8,
         semantics,
         streaming_batch,
         tpch,
