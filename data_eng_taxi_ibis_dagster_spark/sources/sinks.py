@@ -217,3 +217,56 @@ def export_csv(df: DataFrame, path: str, mode: str = "overwrite",
     written."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
     return _tree_bytes(path)
+
+
+def _zorder_value(c1, c2, *, bits: int = 16):
+    """Interleave the low ``bits`` of two non-negative ints (Morton
+    code). Pure codegen bit math — 2·bits shift/mask terms."""
+    from functools import reduce
+    from operator import add
+
+    from pyspark.sql import functions as F
+
+    def bit(c, i, pos):
+        return F.shiftleft(
+            F.shiftright(c, i).bitwiseAND(F.lit(1)).cast("long"), pos)
+
+    terms = [bit(c1, i, 2 * i + 1) for i in range(bits)]
+    terms += [bit(c2, i, 2 * i) for i in range(bits)]
+    return reduce(add, terms)
+
+
+def write_zorder(df: DataFrame, path: str, *, cols: tuple[str, str],
+                 files: int = 8, bits: int = 16) -> WriteReport:
+    """Z-order (Morton-curve) clustered export: scale both cluster
+    columns to ``bits``-bit ranks, interleave them into one z-value,
+    and range-partition + locally sort on it.
+
+    Single-key clustering (:func:`write_clustered`) gives perfect
+    min/max pruning on ONE column and none on any other; the Z-curve
+    trades a little of that for locality on BOTH — each output file
+    covers a small rectangle of the (a, b) space, so min/max file
+    pruning works for predicates on either column (the OPTIMIZE
+    ZORDER pattern). Cost at write time: one min/max aggregate per
+    column (driver-side scalars) + the one range shuffle every
+    clustered write needs.
+    """
+    from pyspark.sql import functions as F
+
+    a, b = cols
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(a), F.max(a), F.min(b), F.max(b)).collect()[0]
+    span_a = max(1, int(hi_a) - int(lo_a))
+    span_b = max(1, int(hi_b) - int(lo_b))
+    unit = (1 << bits) - 1
+    sa = ((F.col(a) - F.lit(int(lo_a))) * unit / F.lit(span_a)).cast("long")
+    sb = ((F.col(b) - F.lit(int(lo_b))) * unit / F.lit(span_b)).cast("long")
+    z = df.withColumn("_z", _zorder_value(sa, sb, bits=bits))
+    out = (
+        z.repartitionByRange(max(1, files), "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out.write.mode("overwrite").parquet(path)
+    rows = df.sparkSession.read.parquet(path).count()
+    return WriteReport(path=path, rows=rows, bytes=_tree_bytes(path))

@@ -97,3 +97,79 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout: every output file covers a small rectangle of
+    the (l_orderkey, l_partkey) space, so min/max file pruning works
+    for predicates on EITHER column — the multi-dimension counterpart
+    of single-key clustering. Asserted as: the average per-file range
+    on each dimension is a small fraction of the global range (an
+    unclustered layout has every file spanning ~the full range)."""
+    import glob as g
+
+    from data_eng_taxi_ibis_dagster_spark.sources.sinks import write_zorder
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity")
+    path = str(tmp_path / "li_z")
+    report = write_zorder(li, path, cols=("l_orderkey", "l_partkey"),
+                          files=16)
+    assert report.rows == li.count()
+    files = sorted(g.glob(f"{path}/part-*.parquet"))
+    assert len(files) == 16
+
+    from pyspark.sql import functions as F
+    glob_lo_o, glob_hi_o, glob_lo_p, glob_hi_p = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+    span_o = glob_hi_o - glob_lo_o
+    span_p = glob_hi_p - glob_lo_p
+
+    frac_o, frac_p = [], []
+    for f in files:
+        lo_o, hi_o, lo_p, hi_p = spark.read.parquet(f).agg(
+            F.min("l_orderkey"), F.max("l_orderkey"),
+            F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+        frac_o.append((hi_o - lo_o) / span_o)
+        frac_p.append((hi_p - lo_p) / span_p)
+
+    # With 16 files on a 2-D curve (4×4 grid), each file's rectangle
+    # should span roughly 1/4 of each dimension; allow generous slack.
+    assert sum(frac_o) / len(frac_o) < 0.6, frac_o
+    assert sum(frac_p) / len(frac_p) < 0.6, frac_p
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The three join-strategy hints must reach the physical plan:
+    broadcast, shuffle_hash, and merge. At scale these are the manual
+    overrides when stats mislead the planner."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    bc = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in _plan(bc)
+
+    sh = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in _plan(sh)
+
+    mg = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in _plan(mg)
+
+
+def test_cbo_table_stats_via_analyze(spark, sf_dir, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS feeds the cost-based optimizer:
+    after analysis the catalog reports row counts/sizes, which CBO uses
+    for broadcast decisions and join reordering when AQE's runtime
+    stats aren't available (first stage of a pipeline)."""
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").saveAsTable("nation_stats_test")
+    try:
+        spark.sql("ANALYZE TABLE nation_stats_test COMPUTE STATISTICS")
+        desc = spark.sql(
+            "DESCRIBE EXTENDED nation_stats_test").toPandas()
+        stats_row = desc[desc["col_name"] == "Statistics"]
+        assert not stats_row.empty
+        assert "rows" in stats_row["data_type"].iloc[0]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_stats_test")
