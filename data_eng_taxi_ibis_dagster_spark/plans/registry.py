@@ -57,6 +57,7 @@ def _load_all() -> None:
     # Import side-effect-registers every query module exactly once.
     from data_eng_taxi_ibis_dagster_spark.plans import (  # noqa: F401
         advanced,
+        analytics,
         aggregates,
         relational,
         scalars,
