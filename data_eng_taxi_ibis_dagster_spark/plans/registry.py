@@ -70,6 +70,7 @@ def _load_all() -> None:
         llm6,
         llm7,
         llm8,
+        llm9,
         semantics,
         streaming_batch,
         tpch,
