@@ -159,3 +159,89 @@ def ann_topk_srp(queries: DataFrame, corpus: DataFrame, k: int = 10, *,
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("match_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def squared_l2(a: Column, b: Column) -> Column:
+    """Sequential-fold squared euclidean distance between two vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_lloyd(df: DataFrame, *, vec_col: str = "embedding",
+                 id_col: str = "vec_id", k: int = 4,
+                 iters: int = 3) -> DataFrame:
+    """Fixed-iteration Lloyd k-means over an embedding column — the
+    registry's representative *iterative* algorithm (driver loop of
+    deterministic DataFrame rounds; the class the oracle harness checks
+    rows-only, like SGD/PageRank/label-propagation).
+
+    Spark-first shape per iteration:
+
+    * **E-step** — assignment is a row-local ``argmin`` over a
+      broadcast-literal centroid array (k·d doubles inlined into the
+      plan; no join, no shuffle, whole-stage codegen).
+    * **M-step** — new centroids via ``posexplode`` → exact decimal
+      mean per (cluster, dim) cell: ONE shuffle bounded by k·d cells
+      regardless of corpus size, then a k·d-row collect to the driver
+      (the only driver traffic; centroids are intrinsically tiny).
+
+    Determinism: seeds are the k lowest-id vectors, argmin breaks ties
+    toward the lowest cluster index, and the decimal M-step is
+    partition-order-independent — so repeated runs produce identical
+    assignments (asserted in tests) even though float distances keep
+    the op out of the strict SQL-oracle class.
+
+    At 100 TB: per-iteration cost is one scan + one k·d-cell shuffle;
+    the scan dominates, so cache the assigned frame (or checkpoint
+    every few iterations) and raise k·d freely — the M-step keyspace
+    is skew-proof by construction.
+    """
+    from data_eng_taxi_ibis_dagster_spark.functions.exact import davg
+
+    vecs = df.select(F.col(id_col).alias("_id"),
+                     as_double(vec_col).alias("_v"))
+    dim = len(vecs.select("_v").first()[0])
+    centroids = [r["_v"] for r in vecs.orderBy("_id").limit(k).collect()]
+
+    assigned = None
+    for _ in range(iters):
+        dists = F.array(*[
+            squared_l2(F.col("_v"),
+                       F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ])
+        cluster = (F.array_position(dists, F.array_min(dists)) - 1
+                   ).cast("int")
+        assigned = vecs.select(
+            "_id", "_v", cluster.alias("cluster"),
+            F.array_min(dists).alias("_d2"),  # dist to assigned centroid
+        )
+        cells = (
+            assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(davg("x", 8).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, list[float]] = {}
+        for row in cells:
+            by_cluster.setdefault(row["cluster"], [0.0] * dim)[row["pos"]] \
+                = row["m"]
+        # empty clusters keep their previous centroid
+        centroids = [by_cluster.get(j, centroids[j]) for j in range(k)]
+
+    from data_eng_taxi_ibis_dagster_spark.functions.exact import dsum
+
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.min("_id").alias("min_vec_id"),
+             # J after the final E-step (distance to the centroids that
+             # produced the assignment); decimal-quantized so the sum is
+             # partition-order-independent → bit-reproducible output
+             dsum("_d2", 6).alias("sse"))
+        .select(F.col("cluster").alias("cluster_id"),
+                "n_vectors", "min_vec_id", "sse")
+    )

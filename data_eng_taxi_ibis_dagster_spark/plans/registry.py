@@ -71,6 +71,7 @@ def _load_all() -> None:
         llm7,
         llm8,
         llm9,
+        llm10,
         semantics,
         streaming_batch,
         tpch,
