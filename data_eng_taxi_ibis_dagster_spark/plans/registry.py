@@ -72,6 +72,7 @@ def _load_all() -> None:
         llm8,
         llm9,
         llm10,
+        llm11,
         semantics,
         streaming_batch,
         tpch,
