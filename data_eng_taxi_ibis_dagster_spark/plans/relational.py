@@ -601,12 +601,19 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct count + approximate percentiles — the sketches that
     replace exact distinct/percentile at 100 TB (fixed-size state, one
     pass, mergeable across partitions). Non-deterministic vs the oracle
-    by design → rows-only check."""
-    return (
+    by design → rows-only check. Percentiles are projected to scalar
+    columns (not an array) so result canonicalizers can sort/hash them."""
+    agg = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("_pcts"),
         )
+    )
+    return agg.select(
+        "event_type", "approx_users",
+        F.col("_pcts")[0].alias("value_p50"),
+        F.col("_pcts")[1].alias("value_p95"),
+        F.col("_pcts")[2].alias("value_p99"),
     )

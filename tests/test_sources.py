@@ -27,6 +27,29 @@ def test_all_fixture_tables_load(spark, sf_dir):
     assert types["ts_us"] == "bigint"
 
 
+def test_events_ts_contract_all_sf_dirs(spark):
+    """Loader contract pinned against every generated fixture: whatever
+    encoding ``ts`` ships as (int64 nanos, timestamp[us]/ntz, timestamp),
+    the loaded frame exposes ``ts: timestamp`` and ``ts_us: bigint`` with
+    ``unix_micros(ts) == ts_us``. Fixture drift fails here, in-repo."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    root = os.path.dirname(os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/"))
+    sf_dirs = [os.path.join(root, d) for d in sorted(os.listdir(root))
+               if d.startswith("sf")]
+    assert sf_dirs, root
+    for d in sf_dirs:
+        ev = load_table(spark, d, "events")
+        types = dict(ev.dtypes)
+        assert types.get("ts") == "timestamp", (d, types)
+        assert types.get("ts_us") == "bigint", (d, types)
+        bad = ev.filter(F.unix_micros("ts") != F.col("ts_us")).count()
+        assert bad == 0, d
+
+
 def test_register_views_sql_addressable(spark, sf_dir):
     register_views(spark, sf_dir, ["region", "nation"])
     got = spark.sql("""
