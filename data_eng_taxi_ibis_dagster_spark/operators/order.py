@@ -69,3 +69,114 @@ def global_sort_index(
         .withColumn(name, F.col("_gsi_offset") + F.row_number().over(w_loc))
         .drop("_gsi_bucket", "_gsi_h", "_gsi_offset")
     )
+
+
+def distributed_rank(
+    df: DataFrame,
+    score: Column,
+    *tiebreaks: Column,
+    buckets: int = 256,
+    name: str = "pos",
+    total_name: str | None = None,
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY score, *tiebreaks)`` without
+    a single-partition sort, for an arbitrary numeric-monotone key.
+
+    ``score`` must be a numeric column that is monotone in the desired
+    leading sort order (cast dates to days, decimals to double — exact
+    order only matters *between* buckets, within a bucket the full
+    ``(score, *tiebreaks)`` ordering decides). Buckets come from an
+    affine map of the broadcast (min, max) range — deterministic and
+    order-independent, unlike ``repartitionByRange``'s sampled
+    boundaries, so the counts branch and the rank branch of the plan
+    can never disagree on a row's bucket.
+
+    pos = (rows in all lower buckets) + row_number within bucket. The
+    only single-partition work is the offsets running sum over
+    ``buckets`` rows. Heavily-skewed scores concentrate buckets (all
+    ties share one bucket by construction — rank cannot be salted);
+    production feeds real quantile boundaries instead of min/max when
+    skew is known.
+
+    ``total_name`` additionally broadcasts the overall row count onto
+    every row — the denominator :func:`distributed_ntile` needs.
+    """
+    lo_hi = df.select(
+        F.min(score).cast("double").alias("_lo"),
+        F.max(score).cast("double").alias("_hi"),
+    )
+    staged = (
+        df.withColumn("_dr_s", score)
+        .join(F.broadcast(lo_hi))
+        .withColumn(
+            "_dr_bucket",
+            F.least(
+                F.lit(buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("_dr_s").cast("double") - F.col("_lo"))
+                        / ((F.col("_hi") - F.col("_lo")) + F.lit(1e-12))
+                        * buckets
+                    ),
+                ),
+            ).cast("long"),
+        )
+        .drop("_lo", "_hi")
+    )
+    counts = staged.groupBy("_dr_bucket").agg(F.count("*").alias("_dr_cnt"))
+    w_off = (
+        Window.orderBy("_dr_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_dr_bucket",
+        F.coalesce(F.sum("_dr_cnt").over(w_off), F.lit(0).cast("long"))
+        .alias("_dr_offset"),
+        F.sum("_dr_cnt").over(
+            Window.orderBy("_dr_bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_dr_total"),
+    )
+    w_loc = Window.partitionBy("_dr_bucket").orderBy(F.col("_dr_s"), *tiebreaks)
+    out = (
+        staged.join(F.broadcast(offsets), "_dr_bucket")
+        .withColumn(name, F.col("_dr_offset") + F.row_number().over(w_loc))
+    )
+    if total_name is not None:
+        out = out.withColumn(total_name, F.col("_dr_total"))
+    return out.drop("_dr_bucket", "_dr_s", "_dr_offset", "_dr_total")
+
+
+def ntile_from_rank(pos: Column, total: Column, k: int) -> Column:
+    """SQL ``ntile(k)`` computed arithmetically from a global 1-based
+    rank and the total row count: the first ``total mod k`` tiles hold
+    ``ceil(total/k)`` rows, the rest ``floor(total/k)`` — identical to
+    the window function, but expressible on top of
+    :func:`distributed_rank` with no global-sort window at all."""
+    q = (total / k).cast("long")        # floor tile size
+    r = total - q * k                   # number of oversized tiles
+    big = r * (q + 1)                   # rows covered by oversized tiles
+    return F.when(
+        pos <= big, ((pos + q) / (q + 1)).cast("long")
+    ).otherwise(r + ((pos - big + q - 1) / q).cast("long"))
+
+
+def distributed_ntile(
+    df: DataFrame,
+    score: Column,
+    *tiebreaks: Column,
+    k: int,
+    buckets: int = 256,
+    name: str = "tile",
+) -> DataFrame:
+    """``ntile(k) OVER (ORDER BY score, *tiebreaks)`` via
+    :func:`distributed_rank` — the scale-safe replacement for a global
+    ntile window (which funnels the whole relation through one task)."""
+    ranked = distributed_rank(
+        df, score, *tiebreaks, buckets=buckets,
+        name="_nt_pos", total_name="_nt_total",
+    )
+    return ranked.withColumn(
+        name, ntile_from_rank(F.col("_nt_pos"), F.col("_nt_total"), k)
+    ).drop("_nt_pos", "_nt_total")

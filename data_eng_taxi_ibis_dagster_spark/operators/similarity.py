@@ -161,6 +161,96 @@ def ann_topk_srp(queries: DataFrame, corpus: DataFrame, k: int = 10, *,
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def cosine_threshold_pairs_blocked(df: DataFrame, threshold: float, *,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding",
+                                   n_blocks: int = 8) -> DataFrame:
+    """EXACT cosine threshold self-join (all pairs with cosine ≥
+    ``threshold``) without broadcasting or cross-joining the corpus.
+
+    Scale shape: the naive form broadcasts the full table against itself
+    (broadcast side grows with the corpus — dies first at 100 TB). Here:
+
+    1. ``n_blocks`` deterministic centroids (lowest-id vectors) are
+       broadcast; every vector is assigned to its angularly-nearest
+       centroid (row-local argmax over B cosines, no shuffle).
+    2. Per-block angular radius ``r = max θ(v, centroid)`` — one tiny
+       B-row aggregate.
+    3. Block-pair pruning by the spherical triangle inequality:
+       ``θ(a,b) ≥ θ(c_x,c_y) − r_x − r_y`` for a∈x, b∈y, so any block
+       pair whose lower bound exceeds ``arccos(threshold)`` cannot hold
+       a qualifying pair and is dropped — with NO false negatives, so
+       the result is bit-identical to the all-pairs form.
+    4. Candidates flow through two shuffle equi-joins on the block-pair
+       key; per-task memory is bounded by block size, never corpus size.
+
+    Worst case (one giant block) degenerates to distributed all-pairs —
+    still an equi-join, not a broadcast. Emits (vec_a, vec_b,
+    cosine_sim) with ``vec_a < vec_b``.
+    """
+    theta_max = F.acos(F.lit(float(threshold)))  # qualifying angular cap
+    clamp = lambda c: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), c))
+
+    vecs = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"))
+    centroids = F.broadcast(
+        vecs.orderBy("_id").limit(n_blocks)
+        .select(F.col("_id").alias("_cid"), F.col("_v").alias("_cv"))
+    )
+
+    # 1. nearest-centroid assignment + angle to it (row-local over B)
+    scored = vecs.crossJoin(centroids).select(
+        "_id", "_v", "_cid",
+        F.acos(clamp(cosine(F.col("_v"), F.col("_cv")))).alias("_ang"),
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_ang").asc(), F.col("_cid").asc())
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        # Precompute the L2 norm once per vector: the pairwise stage then
+        # pays ONE fold (the dot) per pair instead of three. dot/(na*nb)
+        # is the same float expression the naive cosine evaluates, so the
+        # output stays bit-identical to the all-pairs oracle.
+        .select("_id", "_v", F.col("_cid").alias("_block"), "_ang",
+                l2_norm(F.col("_v")).alias("_n"))
+    )
+
+    # 2. per-block angular radius (B rows)
+    radii = assigned.groupBy("_block").agg(F.max("_ang").alias("_r"))
+
+    # 3. directional block-pair list, triangle-inequality pruned (≤ B²
+    #    rows; the ε absorbs acos round-off so pruning never clips a
+    #    boundary pair)
+    cx = centroids.select(F.col("_cid").alias("_bx"), F.col("_cv").alias("_cvx"))
+    cy = centroids.select(F.col("_cid").alias("_by"), F.col("_cv").alias("_cvy"))
+    pairs = (
+        cx.crossJoin(cy)
+        .select("_bx", "_by",
+                F.acos(clamp(cosine(F.col("_cvx"), F.col("_cvy")))).alias("_tcc"))
+        .join(F.broadcast(radii.select(F.col("_block").alias("_bx"),
+                                       F.col("_r").alias("_rx"))), "_bx")
+        .join(F.broadcast(radii.select(F.col("_block").alias("_by"),
+                                       F.col("_r").alias("_ry"))), "_by")
+        .filter(F.col("_tcc") - F.col("_rx") - F.col("_ry")
+                <= theta_max + F.lit(1e-9))
+        .select("_bx", "_by")
+    )
+
+    # 4. equi-join candidates through the pair list, exact re-check
+    a = assigned.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va"),
+                        F.col("_n").alias("_na"), F.col("_block").alias("_bx"))
+    b = assigned.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"),
+                        F.col("_n").alias("_nb"), F.col("_block").alias("_by"))
+    return (
+        a.join(F.broadcast(pairs), "_bx")
+        .join(b, "_by")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                (dot(F.col("_va"), F.col("_vb"))
+                 / (F.col("_na") * F.col("_nb"))).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def squared_l2(a: Column, b: Column) -> Column:
     """Sequential-fold squared euclidean distance between two vectors."""
     return F.aggregate(

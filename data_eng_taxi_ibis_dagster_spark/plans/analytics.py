@@ -92,10 +92,19 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency (order count), monetary (exact decimal total), each
     ntile(4)-ranked with custkey tiebreaks so the quartile assignment
     is total-order deterministic. The per-customer aggregate shuffles
-    once on custkey; the three global ntiles sort the *customer*
-    relation (not orders) — at extreme customer cardinality each would
-    become a range-partitioned rank (operators/order.py shape), the
-    semantics stay identical. Monetary stays DECIMAL end-to-end."""
+    once on custkey; the three quartile assignments use
+    ``operators.order.distributed_ntile`` — range-bucketed rank +
+    arithmetic ntile — instead of global ntile windows, so NOTHING
+    sorts the customer relation on a single partition (the only
+    single-partition window is the 256-row bucket-offset running sum).
+    Bucket ids come from a monotone *non-decreasing* double cast of
+    each measure, which is all bucketing needs — exact within-bucket
+    order still uses the raw (measure, custkey) key, and monetary
+    stays DECIMAL end-to-end."""
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        distributed_ntile,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     per_cust = (
         o.groupBy(F.col("o_custkey").alias("custkey"))
@@ -106,14 +115,19 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("monetary"),
         )
     )
-    return per_cust.select(
+    tiled = per_cust
+    for score, out in [
+        (F.unix_micros(F.col("last_order").cast("timestamp")), "r_quartile"),
+        (F.col("frequency"), "f_quartile"),
+        (F.col("monetary"), "m_quartile"),
+    ]:
+        tiled = distributed_ntile(
+            tiled, score, F.col("custkey"), k=4, name=out)
+    return tiled.select(
         "custkey",
-        F.ntile(4).over(Window.orderBy("last_order", "custkey"))
-            .cast("long").alias("r_quartile"),
-        F.ntile(4).over(Window.orderBy("frequency", "custkey"))
-            .cast("long").alias("f_quartile"),
-        F.ntile(4).over(Window.orderBy("monetary", "custkey"))
-            .cast("long").alias("m_quartile"),
+        F.col("r_quartile").cast("long").alias("r_quartile"),
+        F.col("f_quartile").cast("long").alias("f_quartile"),
+        F.col("m_quartile").cast("long").alias("m_quartile"),
     )
 
 

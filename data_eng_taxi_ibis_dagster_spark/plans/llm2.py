@@ -26,20 +26,15 @@ from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
     tags=("E10", "E11"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold join). Brute-force
-    all-pairs here (oracle-able, bit-exact); at 100 TB candidates come
-    from SRP buckets first (similarity_ann_srp's machinery) — the
-    verify step is this exact expression either way."""
+    """Embedding-cosine near-dup pairs (threshold join), via the EXACT
+    blocked self-join (operators.similarity.cosine_threshold_pairs_
+    blocked): nearest-centroid blocking + triangle-inequality block-pair
+    pruning + equi-join candidates. Zero false negatives, so the result
+    is bit-identical to the all-pairs oracle — but the corpus is never
+    broadcast and per-task memory is bounded by block size, not corpus
+    size."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), S.as_double("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), S.as_double("embedding").alias("vb"))
-    return (
-        F.broadcast(a).crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b",
-                S.cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= 0.4)
-    )
+    return S.cosine_threshold_pairs_blocked(e, 0.4, n_blocks=8)
 
 
 @query(

@@ -28,6 +28,7 @@ BNLJ_ALLOWED = {
     "similarity_ivf",              # probe×centroid assignment
     "global_sales_opportunity",    # TPC-H Q22: vs 1-row global avg
     "important_part_volume",       # TPC-H Q11: HAVING vs 1-row scalar
+    "rfm_segmentation",            # distributed_rank: 1-row (min,max) scalar join ×3
 }
 
 #: Tags whose queries may cross the JVM→Python boundary.
@@ -61,3 +62,14 @@ def test_plan_lint(spark, sf_dir, name):
         assert set(spec.tags) & PY_TAGS, (
             f"{name}: Python evaluation in the plan but the query is not "
             f"a declared E13/E15 Python-surface query")
+
+
+def test_rfm_has_no_global_ntile_window(spark, sf_dir):
+    """rfm_segmentation must not sort the customer relation through a
+    single-partition ntile window; quartiles come from
+    operators.order.distributed_ntile (bucket-partitioned rank windows
+    + ≤256-row offset windows)."""
+    df = all_specs()["rfm_segmentation"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
+    assert "windowspecdefinition(_dr_bucket" in plan
