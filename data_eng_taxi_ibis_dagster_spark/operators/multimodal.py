@@ -5,22 +5,29 @@ payload columns plus a typed metadata struct — the lakehouse-standard
 shape (same as ``spark.read.format("binaryFile")`` produces). The Spark
 side of decode / feature-extract / resize / frame-sample is real:
 Arrow-batched ``mapInPandas`` with explicit output schemas and
-partition-size control. The codec itself is STUBBED (image/audio
-libraries are not in this container): ``decode_stub`` derives a
-deterministic fake decode from the payload bytes, and raises
-``NotImplementedError`` when a real codec is requested, so swapping in
-Pillow/librosa later changes one function, not the pipeline.
+partition-size control.
+
+Codecs: uncompressed container formats are decoded FOR REAL with
+stdlib + numpy — BMP (24-bit uncompressed), PPM (P6), and WAV (PCM via
+``wave``) — yielding true per-pixel / per-sample statistics.
+Compressed formats (PNG/JPEG/MP3/H.264…) require codec libraries this
+container doesn't ship and raise ``NotImplementedError`` at the single
+``decode_payload`` dispatch point; installing Pillow/soundfile swaps
+one function, not the pipeline.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -44,6 +51,13 @@ FEATURE_SCHEMA = StructType([
     StructField("n_bytes", LongType(), True),
     StructField("checksum", StringType(), True),
     StructField("feat_mean_byte", LongType(), True),
+    # decoded-media fields (NULL for non-media payloads)
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_channels", IntegerType(), True),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("duration_ms", LongType(), True),
+    StructField("feat_mean", DoubleType(), True),
 ])
 
 
@@ -62,19 +76,151 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_stub(payload: bytes, mime: str) -> dict:
-    """Deterministic fake decode. A real deployment replaces this with
-    Pillow / soundfile / pyav; everything around it (batching, schema,
-    partitioning) is production-shaped already."""
-    if mime.startswith(("image/", "audio/", "video/")):
-        raise NotImplementedError(
-            f"real codec for {mime} not available in this environment; "
-            "install the codec lib and replace decode_stub"
-        )
+# ---------------------------------------------------------------------------
+# Real codecs for uncompressed formats (stdlib + numpy only)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding)."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img = bytearray()
+    pad = b"\x00" * (row_bytes - w * 3)
+    for y in range(h - 1, -1, -1):          # bottom-up row order
+        row = pixels[y][:, ::-1]            # RGB → BGR
+        img += row.tobytes() + pad
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img),
+                       2835, 2835, 0, 0)
+    return header + info + bytes(img)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Decode a 24-bit uncompressed BMP to per-pixel statistics."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * row_bytes, offset=data_offset
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    pixels = (rows if top_down else rows[::-1])[:, :, ::-1]  # BGR → RGB
     return {
+        "width": int(w), "height": int(h), "n_channels": 3,
+        "feat_mean": float(pixels.mean()),
+    }
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Decode a binary PPM (P6, maxval ≤ 255)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = 3 whitespace-separated tokens after P6, '#' comments allowed
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while payload[pos:pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM")
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3,
+                           offset=pos).reshape(h, w, 3)
+    return {
+        "width": int(w), "height": int(h), "n_channels": 3,
+        "feat_mean": float(pixels.mean()),
+    }
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode an int16 mono/stereo sample array as PCM WAV."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(samples.shape[1] if samples.ndim == 2 else 1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a PCM WAV (16-bit) to per-sample statistics."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_channels = wf.getnchannels()
+        sample_rate = wf.getframerate()
+        n_frames = wf.getnframes()
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError(f"{8 * wf.getsampwidth()}-bit WAV")
+        samples = np.frombuffer(wf.readframes(n_frames), dtype="<i2")
+    return {
+        "n_channels": int(n_channels), "sample_rate": int(sample_rate),
+        "duration_ms": int(n_frames * 1000 // sample_rate),
+        # normalized RMS amplitude — the standard loudness feature
+        "feat_mean": float(np.sqrt(np.mean((samples / 32768.0) ** 2)))
+        if len(samples) else 0.0,
+    }
+
+
+#: mime → real decoder for formats needing no external codec library.
+_DECODERS = {
+    "image/bmp": decode_bmp,
+    "image/x-portable-pixmap": decode_ppm,
+    "audio/wav": decode_wav,
+    "audio/x-wav": decode_wav,
+}
+
+
+def decode_payload(payload: bytes, mime: str) -> dict:
+    """Single codec dispatch point. Uncompressed formats decode for
+    real; compressed formats raise until a codec lib is installed;
+    text/other payloads fall back to byte statistics. Always returns
+    ``n_bytes``/``feat_mean_byte`` plus whatever the format yields."""
+    out = {
         "n_bytes": len(payload),
         "feat_mean_byte": int(sum(payload) // len(payload)) if payload else 0,
     }
+    decoder = _DECODERS.get(mime)
+    if decoder is not None:
+        out.update(decoder(payload))
+        return out
+    if mime.startswith(("image/", "audio/", "video/")):
+        raise NotImplementedError(
+            f"codec for {mime} requires an external library not in this "
+            "environment; install it and register in _DECODERS"
+        )
+    return out
+
+
+#: Backwards-compatible alias (pre-codec name).
+decode_stub = decode_payload
 
 
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
@@ -93,7 +239,7 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [
-                decode_stub(bytes(p) if p is not None else b"", m)
+                decode_payload(bytes(p) if p is not None else b"", m)
                 for p, m in zip(pdf["payload"], pdf["mime"])
             ]
             yield pd.DataFrame({
@@ -105,9 +251,70 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                     for p in pdf["payload"]
                 ],
                 "feat_mean_byte": [d["feat_mean_byte"] for d in decoded],
+                "width": pd.array([d.get("width") for d in decoded], dtype="Int32"),
+                "height": pd.array([d.get("height") for d in decoded], dtype="Int32"),
+                "n_channels": pd.array([d.get("n_channels") for d in decoded], dtype="Int32"),
+                "sample_rate": pd.array([d.get("sample_rate") for d in decoded], dtype="Int32"),
+                "duration_ms": pd.array([d.get("duration_ms") for d in decoded], dtype="Int64"),
+                "feat_mean": pd.array([d.get("feat_mean") for d in decoded], dtype="float64"),
             })
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def synthetic_media(docs: DataFrame, *, image_side: int = 16,
+                    wav_samples: int = 800) -> DataFrame:
+    """Deterministic REAL media payloads derived from the documents
+    table: doc_id mod 3 picks BMP / PPM / WAV, pixel and sample values
+    are seeded from the doc_id (no RNG), and every payload round-trips
+    through the real encoders above — so the decode path is exercised
+    end-to-end on genuine format bytes, not fakes. Runs as an
+    Arrow-batched mapInPandas stage: generation is row-local, the
+    frame partitions exactly like any binary ingest."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "mime", "payload",
+                                    "meta_width", "meta_height",
+                                    "meta_duration_ms")}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                kind = did % 3
+                if kind in (0, 1):
+                    side = image_side
+                    base = np.arange(side * side * 3, dtype=np.int64)
+                    pixels = ((base * (did % 251 + 1) + did) % 256
+                              ).astype(np.uint8).reshape(side, side, 3)
+                    if kind == 0:
+                        mime, payload = "image/bmp", encode_bmp(pixels)
+                    else:
+                        mime, payload = "image/x-portable-pixmap", encode_ppm(pixels)
+                    w = h = side
+                    dur = None
+                else:
+                    t = np.arange(wav_samples, dtype=np.float64)
+                    freq = 100.0 + (did % 40) * 10.0
+                    samples = (np.sin(2 * np.pi * freq * t / 16000.0)
+                               * 12000).astype(np.int16)
+                    mime, payload = "audio/wav", encode_wav(samples, 16000)
+                    w = h = None
+                    dur = wav_samples * 1000 // 16000
+                rows["media_id"].append(did)
+                rows["mime"].append(mime)
+                rows["payload"].append(payload)
+                rows["meta_width"].append(w)
+                rows["meta_height"].append(h)
+                rows["meta_duration_ms"].append(dur)
+            yield pd.DataFrame({
+                "media_id": rows["media_id"],
+                "mime": rows["mime"],
+                "payload": rows["payload"],
+                "meta_width": pd.array(rows["meta_width"], dtype="Int32"),
+                "meta_height": pd.array(rows["meta_height"], dtype="Int32"),
+                "meta_duration_ms": pd.array(rows["meta_duration_ms"], dtype="Int64"),
+            })
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType([

@@ -300,3 +300,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.documents_as_media(docs)
     return M.extract_features(media).select("media_id", "mime", "n_bytes", "checksum")
+
+
+@query(
+    "multimodal_decode_stats",
+    oracle=None,  # real BMP/PPM/WAV decode — not SQL-expressible
+    tags=("E13", "E15"),
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path: deterministic BMP / PPM / WAV payloads generated
+    from doc_ids (operators.multimodal.synthetic_media — genuine format
+    bytes through the real encoders), decoded by the real stdlib+numpy
+    decoders inside Arrow-batched mapInPandas, then aggregated per mime:
+    decoded dimensions, durations, and per-pixel/per-sample means.
+    Deterministic across runs (no RNG anywhere), rows-only checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthetic_media(docs)
+    feats = M.extract_features(media)
+    return (
+        feats.groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("width").alias("min_width"),
+            F.max("height").alias("max_height"),
+            F.max("duration_ms").alias("max_duration_ms"),
+            # decoded per-pixel/sample means, quantized for stability
+            F.floor(F.avg("feat_mean") * 1000).cast("long").alias("avg_feat_x1000"),
+        )
+        .orderBy("mime")
+    )
