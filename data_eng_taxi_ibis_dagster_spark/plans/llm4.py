@@ -174,3 +174,53 @@ def global_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_sort_index(
         d, h, F.col("doc_id"), name="shuffle_pos"
     ).select("doc_id", "shuffle_pos")
+
+
+#: 2^52 + 1 — maps the 13-hex-digit md5 prefix into u ∈ (0, 1].
+_U_DENOM = 4503599627370497.0
+_SAMPLE_K = 100
+
+
+@query(
+    "weighted_sample_aes",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+                   (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                        ::UBIGINT::DOUBLE + 1.0) / {_U_DENOM!r} AS u
+            FROM documents
+        )
+        SELECT doc_id, CAST(w AS BIGINT) AS weight
+        FROM m
+        ORDER BY ln(u) / w DESC, doc_id
+        LIMIT {_SAMPLE_K}
+    """,
+    tags=("E5", "EXT"),
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each document draws a deterministic uniform u from its md5 (so both
+    engines — and every epoch — agree), gets priority ln(u)/w for
+    weight w = token count, and the k largest priorities form an exact
+    weighted sample. The mixture-construction primitive: 'sample 10M
+    docs ∝ quality score'.
+
+    Scale shape: priority is a row-local expression (one scan, no
+    shuffle), and top-k-by-priority plans as TakeOrderedAndProject —
+    per-partition heaps of k rows then a k·partitions merge, never a
+    global sort. Bigger samples (k beyond driver comfort) switch to
+    the distributed_rank machinery with a priority threshold; the
+    priority expression is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    m = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("double")
+    u = (m + F.lit(1.0)) / F.lit(_U_DENOM)
+    w = F.size(T.tokens("text")).cast("double")
+    return (
+        d.select("doc_id", w.alias("_w"), (F.log(u) / w).alias("_key"))
+        .orderBy(F.col("_key").desc(), F.col("doc_id"))
+        .limit(_SAMPLE_K)
+        .select("doc_id", F.col("_w").cast("long").alias("weight"))
+    )

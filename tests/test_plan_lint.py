@@ -64,6 +64,29 @@ def test_plan_lint(spark, sf_dir, name):
             f"a declared E13/E15 Python-surface query")
 
 
+def test_registry_analyzes_at_every_sf_dir(spark):
+    """Fixture-drift tripwire: every registered query must ANALYZE
+    (schema resolution — no execution) against every generated sf dir.
+    Round 2's events `ts` type drift broke 8 queries silently; this
+    fails loudly, in-repo, for any column/type change at any scale."""
+    import os
+
+    root = os.path.dirname(os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/"))
+    sf_dirs = [os.path.join(root, d) for d in sorted(os.listdir(root))
+               if d.startswith("sf")]
+    assert sf_dirs, root
+    failures = []
+    for d in sf_dirs:
+        for name, spec in all_specs().items():
+            try:
+                spec.builder(spark, d).schema
+            except Exception as e:  # noqa: BLE001 — collecting all breakage
+                failures.append(f"{name} @ {os.path.basename(d)}: "
+                                f"{type(e).__name__}: {str(e)[:120]}")
+    assert not failures, "\n".join(failures)
+
+
 def test_rfm_has_no_global_ntile_window(spark, sf_dir):
     """rfm_segmentation must not sort the customer relation through a
     single-partition ntile window; quartiles come from
