@@ -195,6 +195,27 @@ def training_data_definitions(sf_dir: str, out_dir: str, *,
         )
 
     @defs.asset(deps=("drop_near_dups",), compute_kind="pyspark")
+    def mixture_sample(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+        """Token-weighted A-ES sample of the cleaned corpus (the
+        mixture-construction stage): deterministic md5 uniforms,
+        priority ln(u)/n_tokens, top-k via TakeOrderedAndProject —
+        row-local expression, no shuffle (plans/llm4.weighted_sample_aes
+        is the oracle-checked twin of this stage)."""
+        m = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+        ).cast("double")
+        u = (m + F.lit(1.0)) / F.lit(4503599627370497.0)
+        w = F.col("n_tokens").cast("double")
+        k = 100
+        return (
+            corpus.select("doc_id", "text", "n_tokens",
+                          (F.log(u) / w).alias("_key"))
+            .orderBy(F.col("_key").desc(), F.col("doc_id"))
+            .limit(k)
+            .drop("_key")
+        )
+
+    @defs.asset(deps=("drop_near_dups",), compute_kind="pyspark")
     def export_corpus(spark: SparkSession, corpus: DataFrame):
         return write_clustered(corpus, f"{out_dir}/corpus",
                                cluster_by="doc_id", files_per_partition=2)

@@ -131,6 +131,38 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sketch_rollup_uniques",
+    oracle=None,  # HLL estimates — approximate by design, rows-only
+    tags=("E8", "E14", "EXT"),
+)
+def sketch_rollup_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch-column rollup — THE pattern for incremental
+    distinct counts at 100 TB: per-day HLL sketches (Spark's native
+    datasketches ``hll_sketch_agg``) are data, not just aggregates —
+    persist them with each daily partition and any later rollup
+    (week/month/all-time) is a cheap ``hll_union_agg`` over sketch
+    bytes instead of a re-scan of raw events. Register-wise max-merge
+    is commutative, so estimates are partition-order deterministic.
+    Emits per-week estimated uniques from merged daily sketches; the
+    pytest twin (test_operators) asserts <2% error vs exact."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    daily = e.groupBy(day).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+    )
+    week = (F.unix_micros(F.col("day")) / F.lit(_WEEK_US)).cast("long")
+    return (
+        daily.groupBy(week.alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                .alias("est_weekly_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("week")
+    )
+
+
 _BIN_W = 10_000
 
 

@@ -97,6 +97,32 @@ def test_multimodal_frame_sampling(spark, sf_dir):
     assert bytes(one["frame_payload"].iloc[0]) == text.encode()[:64]
 
 
+def test_sketch_rollup_error_bound(spark, sf_dir):
+    """Merged daily HLL sketches estimate weekly uniques within 2% of
+    exact, and the merge is deterministic across repeated runs."""
+    from pyspark.sql import functions as F
+
+    from data_eng_taxi_ibis_dagster_spark.plans.registry import all_specs
+
+    spec = all_specs()["sketch_rollup_uniques"]
+    got = {r["week"]: r["est_weekly_users"]
+           for r in spec.builder(spark, sf_dir).collect()}
+    again = {r["week"]: r["est_weekly_users"]
+             for r in spec.builder(spark, sf_dir).collect()}
+    assert got == again  # register-max merge ⇒ order-independent
+    ev = load_table(spark, sf_dir, "events")
+    week_us = 7 * 24 * 3600 * 1_000_000
+    day_us = F.unix_micros(F.date_trunc("day", F.col("ts")))
+    exact = {
+        r["week"]: r["n"]
+        for r in ev.groupBy((day_us / F.lit(week_us)).cast("long").alias("week"))
+        .agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    assert set(got) == set(exact)
+    for wk, est in got.items():
+        assert abs(est - exact[wk]) <= max(1, 0.02 * exact[wk]), (wk, est, exact[wk])
+
+
 def test_multimodal_compressed_codecs_raise():
     with pytest.raises(NotImplementedError):
         decode_stub(b"\x89PNG", "image/png")

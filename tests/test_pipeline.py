@@ -83,3 +83,10 @@ def test_training_data_pipeline_end_to_end(spark, sf_dir, tmp_path):
     exported = spark.read.parquet(f"{tmp_path}/corpus")
     assert exported.count() == n_final
     assert set(exported.columns) >= {"doc_id", "text", "quality", "n_tokens"}
+    # mixture sample: ≤100 docs, all survivors, deterministic
+    sample = results["mixture_sample"].value
+    pdf = sample.toPandas()
+    assert 0 < len(pdf) <= 100
+    assert pdf["doc_id"].isin(exported.toPandas()["doc_id"]).all()
+    again = sample.toPandas()
+    assert sorted(pdf["doc_id"]) == sorted(again["doc_id"])
