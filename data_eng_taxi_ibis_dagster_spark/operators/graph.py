@@ -1,0 +1,123 @@
+"""Iterative graph analytics as DataFrame rounds: weighted PageRank.
+
+Complements the other iterative operators (Lloyd k-means in
+``similarity.py``, min-label connected components in ``dedup.py``) with
+the damped-random-surfer class — the standard quality/centrality signal
+for link-structured corpora (web-crawl curation) and, over token
+co-occurrence graphs, the TextRank keyword extractor.
+
+Spark-first shape per iteration (classic pregel-by-join):
+
+* contribution pass — ranks join edges on src (one hash shuffle keyed
+  by vertex), each edge carries ``rank · w/out_w`` to its dst;
+* combine pass — one groupBy(dst) aggregate with map-side combine.
+
+State between iterations is one (vertex, rank) relation — never
+collected to the driver. Rank sums are quantized-decimal
+(functions/exact.py) so the combine is associative in *integer* space:
+results are bit-identical run-to-run regardless of partition order,
+which keeps the operator in the deterministic rows-only check class.
+Lineage is truncated with ``localCheckpoint`` every few rounds, same as
+the connected-components loop — at 100 TB the per-iteration cost is the
+edge-relation shuffle, so edges should be pre-partitioned by src (the
+rank join then reuses the exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.functions.exact import dsum
+
+#: decimal places carried through rank accumulation — integer-exact sums.
+_RANK_SCALE = 12
+
+
+def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+             weight: str | None = None, damping: float = 0.85,
+             iters: int = 10,
+             checkpoint_every: int = 4) -> DataFrame:
+    """Weighted PageRank over a directed edge list. Returns
+    ``(vertex, rank)`` with ranks summing to ~1.
+
+    Dangling vertices (no out-edges) leak their mass to the teleport
+    term — the standard simplification; renormalization keeps the
+    total stable. ``weight=None`` treats every edge as weight 1.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
+                     w.alias("_w"))
+    # normalized transition weight per edge: w / total out-weight(src)
+    out_w = e.groupBy("_src").agg(dsum("_w", 6).alias("_out"))
+    trans = (
+        e.join(out_w, "_src")
+        .select("_src", "_dst", (F.col("_w") / F.col("_out")).alias("_p"))
+    )
+    vertices = (
+        e.select(F.col("_src").alias("vertex"))
+        .unionByName(e.select(F.col("_dst").alias("vertex")))
+        .distinct()
+    )
+    n = vertices.count()  # bounded scalar (vocab/site count, not corpus)
+    ranks = vertices.select("vertex", F.lit(1.0 / n).alias("rank"))
+
+    teleport = (1.0 - damping) / n
+    for i in range(iters):
+        contrib = (
+            trans.join(ranks, trans["_src"] == ranks["vertex"])
+            .select(F.col("_dst").alias("vertex"),
+                    (F.col("rank") * F.col("_p")).alias("_c"))
+            .groupBy("vertex")
+            .agg(dsum("_c", _RANK_SCALE).alias("_in"))
+        )
+        ranks = (
+            vertices.join(contrib, "vertex", "left")
+            .select(
+                "vertex",
+                (F.lit(teleport)
+                 + F.lit(damping) * F.coalesce("_in", F.lit(0.0)))
+                .alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    # quantize the emitted rank so the output itself is hash-stable
+    return ranks.select(
+        "vertex",
+        F.col("rank").cast(f"decimal(38,{_RANK_SCALE})").cast("double")
+        .alias("rank"),
+    )
+
+
+def cooccurrence_edges(docs: DataFrame, tokens_col, *,
+                       min_count: int = 2) -> DataFrame:
+    """Undirected token co-occurrence edges from adjacent token pairs
+    (window = 1, the TextRank construction): explode each document's
+    consecutive pairs, count, emit both directions. The edge relation
+    is vocabulary², but in practice count-filtered to the observed
+    pairs — one explode + one aggregate, corpus-bounded shuffle."""
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                tokens_col,
+                F.slice(tokens_col, 2, F.greatest(
+                    F.size(tokens_col) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("u"), b.alias("v")),
+            )
+        ).alias("p")
+    ).select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    counted = (
+        # zip_with pads to the longer side: the final element pairs with
+        # NULL — drop it (and self-loops)
+        pairs.filter(F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_count)
+    )
+    return (
+        counted.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .unionByName(
+            counted.select(F.col("v").alias("src"), F.col("u").alias("dst"),
+                           "w"))
+        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    )

@@ -231,6 +231,35 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "textrank_keywords",
+    oracle=None,  # iterative PageRank — not SQL-expressible (rows-only);
+                  # decimal-quantized sums make it run-deterministic
+    tags=("E12", "EXT"),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: weighted PageRank over the token
+    co-occurrence graph (adjacent-pair edges, both directions), top 25
+    tokens by rank. The corpus-curation centrality signal — the same
+    pagerank operator runs over page/link graphs for crawl quality
+    weighting. Iterations are pregel-by-join DataFrame rounds with
+    integer-exact decimal combines (operators/graph.py), so output is
+    bit-stable across runs despite being float-iterative."""
+    from data_eng_taxi_ibis_dagster_spark.operators.graph import (
+        cooccurrence_edges,
+        pagerank,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = cooccurrence_edges(d, T.tokens("text"), min_count=2)
+    ranks = pagerank(edges, weight="w", damping=0.85, iters=8)
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("vertex").asc())
+        .limit(25)
+        .select(F.col("vertex").alias("token"), "rank")
+    )
+
+
+@query(
     "events_funnel_conversion",
     oracle="""
         WITH first_touch AS (

@@ -1,0 +1,116 @@
+"""Unit tests for the distributed rank / ntile machinery
+(operators/order.py) and the exact blocked cosine threshold join
+(operators/similarity.py) — the round-3 replacements for
+single-partition windows and whole-corpus broadcasts. Edge cases the
+query-level parity tests don't reach: total skew (every score equal →
+one bucket), duplicate scores across buckets, k > n, and degenerate
+block counts.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_eng_taxi_ibis_dagster_spark.operators.order import (
+    distributed_ntile,
+    distributed_rank,
+)
+from data_eng_taxi_ibis_dagster_spark.operators.similarity import (
+    cosine_threshold_pairs_blocked,
+    cosine_topk,
+)
+
+
+def _rows(spark, vals):
+    return spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                 ["id", "v"])
+
+
+@pytest.mark.parametrize("vals", [
+    [5.0, 1.0, 3.0, 2.0, 4.0, 0.0, 6.0],
+    [1.0] * 9,                       # total skew: one bucket holds all
+    [1.0, 1.0, 2.0, 2.0, 2.0, 3.0],  # duplicate scores
+    [float(x) for x in range(100)],
+])
+def test_distributed_rank_matches_global_window(spark, vals):
+    df = _rows(spark, vals)
+    got = distributed_rank(df, F.col("v"), F.col("id"), buckets=4,
+                           name="pos", total_name="n")
+    want = df.withColumn(
+        "pos", F.row_number().over(Window.orderBy("v", "id")))
+    g = {(r["id"]): (r["pos"], r["n"]) for r in got.collect()}
+    w = {(r["id"]): r["pos"] for r in want.collect()}
+    assert {k: v[0] for k, v in g.items()} == w
+    assert all(v[1] == len(vals) for v in g.values())
+
+
+@pytest.mark.parametrize("n,k", [(7, 4), (8, 4), (3, 5), (100, 7), (1, 1)])
+def test_distributed_ntile_matches_spark_ntile(spark, n, k):
+    df = _rows(spark, [float((i * 13) % n) for i in range(n)])
+    got = distributed_ntile(df, F.col("v"), F.col("id"), k=k, buckets=4,
+                            name="tile")
+    want = df.withColumn(
+        "tile", F.ntile(k).over(Window.orderBy("v", "id")))
+    g = {r["id"]: r["tile"] for r in got.collect()}
+    w = {r["id"]: r["tile"] for r in want.collect()}
+    assert g == w
+
+
+def _vecs(spark, arrays):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in a]) for i, a in enumerate(arrays)],
+        ["vec_id", "embedding"])
+
+
+def test_blocked_cosine_matches_bruteforce(spark):
+    import itertools
+    import math
+    import random
+
+    rng = random.Random(7)
+    arrays = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    df = _vecs(spark, arrays)
+    got = {(r["vec_a"], r["vec_b"]) for r in
+           cosine_threshold_pairs_blocked(df, 0.5, n_blocks=4).collect()}
+    want = set()
+    for a, b in itertools.combinations(range(len(arrays)), 2):
+        va, vb = arrays[a], arrays[b]
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        if dot / (na * nb) >= 0.5:
+            want.add((a, b))
+    assert got == want  # exact recall: triangle pruning drops nothing
+
+
+def test_blocked_cosine_identical_vectors_one_block(spark):
+    # every vector identical → one block, radius 0; all pairs qualify
+    df = _vecs(spark, [[1.0, 2.0, 3.0]] * 6)
+    got = cosine_threshold_pairs_blocked(df, 0.99, n_blocks=3)
+    assert got.count() == 15  # C(6,2)
+    assert got.agg(F.min("cosine_sim")).first()[0] == pytest.approx(1.0)
+
+
+def test_blocked_cosine_more_blocks_than_vectors(spark):
+    df = _vecs(spark, [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    got = {(r["vec_a"], r["vec_b"]) for r in
+           cosine_threshold_pairs_blocked(df, 0.7, n_blocks=8).collect()}
+    # cos(e1,e2)=0, cos(e1,diag)=cos(e2,diag)=1/sqrt(2)≈0.707
+    assert got == {(0, 2), (1, 2)}
+
+
+def test_blocked_cosine_agrees_with_topk_operator(spark):
+    """Cross-operator consistency: every pair the blocked join reports
+    above threshold must appear in the exact top-k scan, same scores."""
+    import random
+
+    rng = random.Random(3)
+    arrays = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(20)]
+    df = _vecs(spark, arrays)
+    pairs = cosine_threshold_pairs_blocked(df, 0.4, n_blocks=4).collect()
+    topk = cosine_topk(df, df, k=19)
+    scores = {(r["query_id"], r["match_id"]): r["cosine_sim"]
+              for r in topk.collect()}
+    for r in pairs:
+        assert scores[(r["vec_a"], r["vec_b"])] == pytest.approx(
+            r["cosine_sim"], abs=1e-12)
