@@ -313,6 +313,83 @@ def join_band_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_band_bucketized",
+    oracle="""
+        SELECT s.s_suppkey,
+               COUNT(*) AS n_close_customers
+        FROM supplier s
+        JOIN customer c
+          ON c.c_acctbal BETWEEN s.s_acctbal - 10.0 AND s.s_acctbal + 10.0
+        GROUP BY s.s_suppkey
+    """,
+    tags=("E2",),
+)
+def join_band_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME band join as ``join_band_acctbal``, through the
+    large-large path: both sides quantized into band-width buckets, the
+    left exploded into its three candidate buckets, shuffle equi-join on
+    the bucket, exact band predicate after
+    (operators.relational.band_join_bucketized). No broadcast, no
+    nested loop — cost tracks bucket occupancy, so this is the shape
+    that survives when NEITHER side fits in memory. Same oracle as the
+    broadcast-NL twin proves the rewrite is semantics-preserving."""
+    from data_eng_taxi_ibis_dagster_spark.operators.relational import (
+        band_join_bucketized,
+    )
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_acctbal"))
+    return (
+        band_join_bucketized(supplier, customer, left_val="s_acctbal",
+                             right_val="c_acctbal", band=10.0)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_close_customers"))
+    )
+
+
+@query(
+    "agg_salted_hot_key",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+                   AS total_price,
+               MAX(l_quantity) AS max_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("A1", "E8"),
+)
+def agg_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on a 3-value key where every key is
+    hot (operators.skew.salted_agg): stage 1 groups on (key, salt) so
+    each hot key spreads across 16 reducers, stage 2 merges partials
+    per key. The decomposition (count→sum, decimal-sum→sum, max→max)
+    makes the rewrite exact — proven by sharing the plain GROUP BY
+    oracle. At 100 TB this is the pattern for skewed aggregation keys
+    that AQE's skew handling (joins only) does not cover."""
+    from data_eng_taxi_ibis_dagster_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity")
+    # partials stay DECIMAL through the merge (a double partial-merge
+    # would reintroduce order-dependence); single cast after stage 2
+    merged = salted_agg(li, "l_returnflag", {
+        "n": ("sum", F.count(F.lit(1))),
+        "total_dec": ("sum",
+                      F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))),
+        "max_qty": ("max", F.max("l_quantity")),
+    })
+    return merged.select(
+        "l_returnflag", "n",
+        F.col("total_dec").cast("double").alias("total_price"),
+        "max_qty",
+    )
+
+
 # ---------------------------------------------------------------------------
 # E3 — sort / limit / top-k
 # ---------------------------------------------------------------------------
