@@ -41,9 +41,11 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     """Weighted PageRank over a directed edge list. Returns
     ``(vertex, rank)`` with ranks summing to ~1.
 
-    Dangling vertices (no out-edges) leak their mass to the teleport
-    term — the standard simplification; renormalization keeps the
-    total stable. ``weight=None`` treats every edge as weight 1.
+    Dangling vertices (no out-edges) redistribute their mass uniformly
+    each iteration — a 1-row aggregate broadcast back into the update,
+    so total rank is conserved on any graph shape. ``weight=None``
+    treats every edge as weight 1. An empty edge list returns an empty
+    result rather than dividing by the zero vertex count.
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
@@ -60,6 +62,10 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         .distinct()
     )
     n = vertices.count()  # bounded scalar (vocab/site count, not corpus)
+    if n == 0:
+        return vertices.select("vertex", F.lit(0.0).alias("rank"))
+    # vertices WITH out-edges; everyone else is dangling
+    has_out = out_w.select(F.col("_src").alias("vertex"))
     ranks = vertices.select("vertex", F.lit(1.0 / n).alias("rank"))
 
     teleport = (1.0 - damping) / n
@@ -71,12 +77,23 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
             .groupBy("vertex")
             .agg(dsum("_c", _RANK_SCALE).alias("_in"))
         )
+        # dangling vertices have no out-edges: their mass redistributes
+        # uniformly (1-row aggregate, broadcast back — the standard
+        # correction; without it total rank leaks every iteration)
+        dang = (
+            ranks.join(has_out, "vertex", "left_anti")
+            .agg(F.coalesce(dsum("rank", _RANK_SCALE), F.lit(0.0))
+                 .alias("_dm"))
+        )
         ranks = (
             vertices.join(contrib, "vertex", "left")
+            .join(F.broadcast(dang))
             .select(
                 "vertex",
                 (F.lit(teleport)
-                 + F.lit(damping) * F.coalesce("_in", F.lit(0.0)))
+                 + F.lit(damping)
+                 * (F.coalesce("_in", F.lit(0.0))
+                    + F.col("_dm") / F.lit(float(n))))
                 .alias("rank"),
             )
         )
@@ -107,10 +124,14 @@ def cooccurrence_edges(docs: DataFrame, tokens_col, *,
             )
         ).alias("p")
     ).select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    # canonicalize each adjacent pair to (min, max) BEFORE counting so
+    # "x y" and "y x" occurrences merge; min_count then applies to the
+    # true undirected co-occurrence count, not a per-direction split
     counted = (
         # zip_with pads to the longer side: the final element pairs with
         # NULL — drop it (and self-loops)
         pairs.filter(F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= min_count)
     )
@@ -119,5 +140,4 @@ def cooccurrence_edges(docs: DataFrame, tokens_col, *,
         .unionByName(
             counted.select(F.col("v").alias("src"), F.col("u").alias("dst"),
                            "w"))
-        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
     )

@@ -85,11 +85,11 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding)."""
     h, w, _ = pixels.shape
     row_bytes = (w * 3 + 3) & ~3
-    img = bytearray()
-    pad = b"\x00" * (row_bytes - w * 3)
-    for y in range(h - 1, -1, -1):          # bottom-up row order
-        row = pixels[y][:, ::-1]            # RGB → BGR
-        img += row.tobytes() + pad
+    # vectorized: flip rows (bottom-up) and channels (RGB→BGR) in one
+    # strided view, pour into a padded row matrix, one tobytes()
+    arr = np.zeros((h, row_bytes), dtype=np.uint8)
+    arr[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    img = arr.tobytes()
     header = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img),
                        2835, 2835, 0, 0)

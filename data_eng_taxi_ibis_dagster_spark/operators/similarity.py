@@ -218,8 +218,12 @@ def cosine_threshold_pairs_blocked(df: DataFrame, threshold: float, *,
     radii = assigned.groupBy("_block").agg(F.max("_ang").alias("_r"))
 
     # 3. directional block-pair list, triangle-inequality pruned (≤ B²
-    #    rows; the ε absorbs acos round-off so pruning never clips a
-    #    boundary pair)
+    #    rows). The ε absorbs acos round-off, which is AMPLIFIED near
+    #    θ≈0 (d/dx acos = -1/sin θ): a ~1e-13 cosine fold error on a
+    #    tight near-duplicate block becomes ~1e-7 in angle space, so ε
+    #    must sit well above that — 1e-6 of slack costs essentially no
+    #    pruning power (block-pair angles are O(1)) and preserves the
+    #    zero-false-negative guarantee.
     cx = centroids.select(F.col("_cid").alias("_bx"), F.col("_cv").alias("_cvx"))
     cy = centroids.select(F.col("_cid").alias("_by"), F.col("_cv").alias("_cvy"))
     pairs = (
@@ -231,7 +235,7 @@ def cosine_threshold_pairs_blocked(df: DataFrame, threshold: float, *,
         .join(F.broadcast(radii.select(F.col("_block").alias("_by"),
                                        F.col("_r").alias("_ry"))), "_by")
         .filter(F.col("_tcc") - F.col("_rx") - F.col("_ry")
-                <= theta_max + F.lit(1e-9))
+                <= theta_max + F.lit(1e-6))
         .select("_bx", "_by")
     )
 

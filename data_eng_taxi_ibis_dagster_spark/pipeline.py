@@ -201,17 +201,15 @@ def training_data_definitions(sf_dir: str, out_dir: str, *,
         priority ln(u)/n_tokens, top-k via TakeOrderedAndProject —
         row-local expression, no shuffle (plans/llm4.weighted_sample_aes
         is the oracle-checked twin of this stage)."""
-        m = F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
-        ).cast("double")
-        u = (m + F.lit(1.0)) / F.lit(4503599627370497.0)
-        w = F.col("n_tokens").cast("double")
-        k = 100
+        from data_eng_taxi_ibis_dagster_spark.operators.sampling import (
+            aes_priority,
+        )
+
+        key = aes_priority(F.col("doc_id"), F.col("n_tokens"))
         return (
-            corpus.select("doc_id", "text", "n_tokens",
-                          (F.log(u) / w).alias("_key"))
+            corpus.select("doc_id", "text", "n_tokens", key.alias("_key"))
             .orderBy(F.col("_key").desc(), F.col("doc_id"))
-            .limit(k)
+            .limit(100)
             .drop("_key")
         )
 

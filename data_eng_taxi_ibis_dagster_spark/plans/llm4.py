@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from data_eng_taxi_ibis_dagster_spark.operators import text as T
 from data_eng_taxi_ibis_dagster_spark.operators.order import global_sort_index
+from data_eng_taxi_ibis_dagster_spark.operators.sampling import U_DENOM, aes_priority
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 
@@ -176,8 +177,6 @@ def global_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shuffle_pos")
 
 
-#: 2^52 + 1 — maps the 13-hex-digit md5 prefix into u ∈ (0, 1].
-_U_DENOM = 4503599627370497.0
 _SAMPLE_K = 100
 
 
@@ -188,7 +187,7 @@ _SAMPLE_K = 100
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
                    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
-                        ::UBIGINT::DOUBLE + 1.0) / {_U_DENOM!r} AS u
+                        ::UBIGINT::DOUBLE + 1.0) / {U_DENOM!r} AS u
             FROM documents
         )
         SELECT doc_id, CAST(w AS BIGINT) AS weight
@@ -213,13 +212,10 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed_rank machinery with a priority threshold; the
     priority expression is unchanged."""
     d = load_table(spark, sf_dir, "documents")
-    m = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
-    ).cast("double")
-    u = (m + F.lit(1.0)) / F.lit(_U_DENOM)
     w = F.size(T.tokens("text")).cast("double")
+    key = aes_priority(F.col("doc_id"), w)
     return (
-        d.select("doc_id", w.alias("_w"), (F.log(u) / w).alias("_key"))
+        d.select("doc_id", w.alias("_w"), key.alias("_key"))
         .orderBy(F.col("_key").desc(), F.col("doc_id"))
         .limit(_SAMPLE_K)
         .select("doc_id", F.col("_w").cast("long").alias("weight"))

@@ -34,6 +34,53 @@ def test_pagerank_matches_power_iteration(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-2)
 
 
+def test_pagerank_dangling_mass_conserved(spark):
+    """Graphs with sinks (every web crawl) must conserve total rank:
+    dangling mass redistributes uniformly each iteration."""
+    import numpy as np
+
+    edges = [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0)]  # 2 is dangling
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {r["vertex"]: r["rank"]
+           for r in pagerank(df, weight="w", damping=0.85, iters=15).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    n, d = 3, 0.85
+    P = np.zeros((n, n))
+    P[1, 0] = 0.5
+    P[2, 0] = 0.5
+    P[2, 1] = 1.0
+    r = np.full(n, 1.0 / n)
+    for _ in range(15):
+        r = (1 - d) / n + d * (P @ r + r[2] / n)  # vertex 2's mass spreads
+    for v in range(n):
+        assert got[v] == pytest.approx(r[v], abs=1e-9), v
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("src", LongType()),
+                        StructField("dst", LongType()),
+                        StructField("w", DoubleType())]))
+    assert pagerank(empty, weight="w").count() == 0
+
+
+def test_cooccurrence_min_count_applies_to_undirected_total(spark):
+    """'x y' in one doc and 'y x' in another is TWO co-occurrences of
+    {x,y}: min_count=2 must keep the edge (counts merge before the
+    threshold, not per-direction)."""
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "y x")], ["doc_id", "text"])
+    toks = F.split(F.col("text"), " ")
+    got = {(r["src"], r["dst"]): r["w"]
+           for r in cooccurrence_edges(docs, toks, min_count=2).collect()}
+    assert got == {("x", "y"): 2, ("y", "x"): 2}
+
+
 def test_pagerank_deterministic_across_partitionings(spark):
     edges = [(i % 7, (i * 3) % 7, float(1 + i % 4)) for i in range(60)]
     a = spark.createDataFrame(edges, ["src", "dst", "w"]).repartition(1)

@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "global_sales_opportunity",    # TPC-H Q22: vs 1-row global avg
     "important_part_volume",       # TPC-H Q11: HAVING vs 1-row scalar
     "rfm_segmentation",            # distributed_rank: 1-row (min,max) scalar join ×3
+    "textrank_keywords",           # pagerank: 1-row dangling-mass scalar join per iter
 }
 
 #: Tags whose queries may cross the JVM→Python boundary.
@@ -65,10 +66,13 @@ def test_plan_lint(spark, sf_dir, name):
 
 
 def test_registry_analyzes_at_every_sf_dir(spark):
-    """Fixture-drift tripwire: every registered query must ANALYZE
-    (schema resolution — no execution) against every generated sf dir.
-    Round 2's events `ts` type drift broke 8 queries silently; this
-    fails loudly, in-repo, for any column/type change at any scale."""
+    """Fixture-drift tripwire: every registered query must BUILD
+    against every generated sf dir. Mostly schema resolution, but
+    builders of iterative/driver-seeded queries (k-means seeds,
+    PageRank vertex counts, CC convergence loops) legitimately run
+    bounded Spark jobs at build time, so this test costs a few
+    minutes — the price of catching drift like round 2's events `ts`
+    type change in-repo instead of in the driver."""
     import os
 
     root = os.path.dirname(os.environ.get(
