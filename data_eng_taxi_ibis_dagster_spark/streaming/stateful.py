@@ -65,3 +65,58 @@ def running_user_spend(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def tws_available() -> bool:
+    """Spark 4's ``transformWithStateInPandas`` runner needs protobuf
+    on the Python side; absent in this container, present in most
+    production images. Gate, don't crash."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_spend_tws(events: DataFrame) -> DataFrame:
+    """The same accumulator on Spark 4's arbitrary-state API
+    (``transformWithStateInPandas`` + ``StatefulProcessor``): typed
+    ValueState instead of a tuple blob, explicit init/close lifecycle,
+    and (unused here) timers and TTL — the forward path for custom
+    stateful operators. Semantics are identical to
+    :func:`running_user_spend`; requires protobuf at runtime
+    (:func:`tws_available`)."""
+    import pandas as pd  # noqa: F811 — worker-side import
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _SpendProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("spend", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total_cents = (
+                self._state.get() if self._state.exists() else (0, 0))
+            for pdf in rows:
+                n += len(pdf)
+                total_cents += int(
+                    (pdf["value"] * 100 + 0.5).astype("int64").sum())
+            self._state.update((n, total_cents))
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "n_purchases": [n],
+                "total_spend": [total_cents / 100.0],
+            })
+
+        def close(self) -> None:
+            pass
+
+    purchases = events.filter(events.event_type == "purchase")
+    return (
+        purchases.groupBy("user_id")
+        .transformWithStateInPandas(
+            _SpendProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -37,3 +37,45 @@ def test_stateful_running_spend_matches_batch(spark, sf_dir):
     assert (got.index == want.index).all()
     assert (got["n_purchases"].values == want["n_purchases"].values).all()
     assert (got["total_spend"].values == want["total_spend"].values).all()
+
+
+def test_stateful_tws_twin_matches_batch(spark, sf_dir):
+    """Spark 4 arbitrary-state API twin (transformWithStateInPandas):
+    identical semantics to the applyInPandasWithState path. Skipped
+    where the runner's protobuf dependency is absent (this container);
+    runs in full production images."""
+    import pytest
+
+    from data_eng_taxi_ibis_dagster_spark.streaming.stateful import (
+        running_user_spend_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithStateInPandas needs protobuf (not in container)")
+
+    stream = running_user_spend_tws(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory").queryName("user_spend_tws")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("user_spend_tws")
+        .groupBy("user_id")
+        .agg(F.max("n_purchases").alias("n_purchases"),
+             F.max("total_spend").alias("total_spend"))
+        .toPandas().set_index("user_id").sort_index()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"),
+             (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) / 100.0)
+             .alias("total_spend"))
+        .toPandas().set_index("user_id").sort_index()
+    )
+    assert (got.index == want.index).all()
+    assert (got["n_purchases"].values == want["n_purchases"].values).all()
+    assert (got["total_spend"].values == want["total_spend"].values).all()
