@@ -221,3 +221,39 @@ def test_multiset_setops_match_duckdb(_spark, a, b):
                 index=False, name=None)))
         assert got == want, name
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# distributed_rank: property-based equivalence with the global window
+# ---------------------------------------------------------------------------
+
+score_strategy = st.lists(
+    st.one_of(
+        st.floats(min_value=-1e12, max_value=1e12,
+                  allow_nan=False, allow_infinity=False),
+        st.sampled_from([0.0, -0.0, 1.0, -1.0, 1e-300, -1e-300]),
+    ),
+    min_size=1, max_size=60,
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=score_strategy)
+def test_distributed_rank_property(_spark, vals):
+    """Any finite score distribution — duplicates, negatives, subnormal
+    magnitudes, ±0 — must rank identically to the single-partition
+    global window."""
+    from pyspark.sql.window import Window
+
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        distributed_rank,
+    )
+
+    sdf = _spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["id", "v"])
+    got = {r["id"]: r["pos"] for r in distributed_rank(
+        sdf, F.col("v"), F.col("id"), buckets=8, name="pos").collect()}
+    want = {r["id"]: r["pos"] for r in sdf.withColumn(
+        "pos", F.row_number().over(Window.orderBy("v", "id"))).collect()}
+    assert got == want
