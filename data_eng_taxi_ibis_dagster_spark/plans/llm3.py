@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_eng_taxi_ibis_dagster_spark.operators import text as T
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 
@@ -29,6 +30,46 @@ _PACK_BUDGET = 4096
 def _tokens() -> F.Column:
     return F.greatest(F.lit(1).cast("long"),
                       F.ceil(F.col("n_chars") / F.lit(4.0)).cast("long"))
+
+
+@query(
+    "bpe_learn_merges",
+    oracle=None,  # iterative argmax sequence — not SQL-expressible;
+                  # integer counts + total tiebreak ⇒ run-deterministic
+    tags=("E12", "EXT"),
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.py): ONE corpus-scale
+    token-frequency aggregate, then merge rounds over the bounded
+    vocabulary relation — each round one explode+aggregate plus a 1-row
+    argmax (the merge rule, driver-sized by nature). Emits the learned
+    merge table with per-rule pair counts plus the resulting mean
+    units-per-word over the vocabulary — the compression the tokenizer
+    achieves."""
+    from data_eng_taxi_ibis_dagster_spark.operators.bpe import (
+        learn_bpe_merges,
+        segment_words,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    merges = learn_bpe_merges(d, toks, n_merges=12)
+    seg = segment_words(d, toks, merges)
+    stats = seg.agg(
+        F.count(F.lit(1)).alias("_vocab"),
+        F.sum("n_units").alias("_units"),
+    )
+    mtab = spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long")
+    return (
+        mtab.join(F.broadcast(stats))
+        .select(
+            "rank", "left", "right", "merged", "pair_count",
+            (F.col("_units").cast("double") / F.col("_vocab"))
+            .alias("mean_units_per_word"),
+        )
+        .orderBy("rank")
+    )
 
 
 @query(
