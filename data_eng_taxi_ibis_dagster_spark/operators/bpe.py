@@ -21,9 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: end-of-word sentinel (classic BPE): lets merges learn word-final
-#: units without crossing word boundaries.
-EOW = "</w>"
+#: End-of-word sentinel (classic BPE role of "</w>"). A PRIVATE-USE
+#: character rather than the classic markup string: merged symbols are
+#: concatenations of corpus characters, so a corpus containing
+#: '<','/','w','>' could literally rebuild "</w>" and silently corrupt
+#: boundary statistics — an alphabet-external character cannot be
+#: reconstructed. It is also stripped from input words defensively.
+EOW = ""
 
 
 def _merge_pair(symbols: Column, left: str, right: str) -> Column:
@@ -52,21 +56,34 @@ def word_freq(docs: DataFrame, tokens_col) -> DataFrame:
     )
 
 
-def learn_bpe_merges(docs: DataFrame, tokens_col, *,
-                     n_merges: int = 10,
-                     checkpoint_every: int = 4) -> list[tuple]:
-    """Learn ``n_merges`` BPE merge rules. Returns
-    ``[(rank, left, right, merged, pair_count), …]`` — the trained
-    artifact (driver-sized by nature, like k-means centroids).
-    """
+def _initial_state(docs: DataFrame, tokens_col) -> DataFrame:
     vocab = word_freq(docs, tokens_col)
-    state = vocab.select(
+    return vocab.select(
         "cnt",
         F.concat(
-            F.split(F.col("w"), ""),  # characters
+            # defensive sentinel strip (see EOW), then characters
+            F.split(F.regexp_replace(F.col("w"), EOW, ""), ""),
             F.array(F.lit(EOW)),
         ).alias("syms"),
     )
+
+
+def learn_bpe_merges(docs: DataFrame, tokens_col, *,
+                     n_merges: int = 10,
+                     checkpoint_every: int = 4,
+                     return_state: bool = False):
+    """Learn ``n_merges`` BPE merge rules. Returns
+    ``[(rank, left, right, merged, pair_count), …]`` — the trained
+    artifact (driver-sized by nature, like k-means centroids) — or,
+    with ``return_state``, ``(merges, state)`` where ``state`` is the
+    final vocabulary-sized ``(cnt, syms)`` relation (saves consumers a
+    corpus re-scan + merge replay when they need segmentations).
+    """
+    # materialize the vocab-sized state ONCE: this is the single
+    # corpus-scale action; every merge round's lineage is rooted here,
+    # not at the parquet scan (lazy checkpoint would leave rounds
+    # before the first truncation re-scanning the corpus)
+    state = _initial_state(docs, tokens_col).localCheckpoint(eager=True)
     merges: list[tuple] = []
     for rank in range(n_merges):
         pairs = state.select(
@@ -94,7 +111,7 @@ def learn_bpe_merges(docs: DataFrame, tokens_col, *,
             "syms", _merge_pair(F.col("syms"), best["l"], best["r"]))
         if (rank + 1) % checkpoint_every == 0:
             state = state.localCheckpoint(eager=False)
-    return merges
+    return (merges, state) if return_state else merges
 
 
 def segment_words(docs: DataFrame, tokens_col,
@@ -106,7 +123,10 @@ def segment_words(docs: DataFrame, tokens_col,
     word."""
     out = docs.select(F.explode(tokens_col).alias("w")).distinct().select(
         "w",
-        F.concat(F.split(F.col("w"), ""), F.array(F.lit(EOW))).alias("syms"),
+        F.concat(
+            F.split(F.regexp_replace(F.col("w"), EOW, ""), ""),
+            F.array(F.lit(EOW)),
+        ).alias("syms"),
     )
     for _, left, right, _, _ in merges:
         out = out.withColumn("syms", _merge_pair(F.col("syms"), left, right))

@@ -48,16 +48,17 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     achieves."""
     from data_eng_taxi_ibis_dagster_spark.operators.bpe import (
         learn_bpe_merges,
-        segment_words,
     )
 
     d = load_table(spark, sf_dir, "documents")
     toks = T.tokens("text")
-    merges = learn_bpe_merges(d, toks, n_merges=12)
-    seg = segment_words(d, toks, merges)
-    stats = seg.agg(
+    # return_state: the trainer's final (cnt, syms) relation IS the
+    # per-word segmentation — no corpus re-scan or merge replay needed
+    merges, state = learn_bpe_merges(d, toks, n_merges=12,
+                                     return_state=True)
+    stats = state.agg(
         F.count(F.lit(1)).alias("_vocab"),
-        F.sum("n_units").alias("_units"),
+        F.sum(F.size("syms")).alias("_units"),
     )
     mtab = spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long")

@@ -26,28 +26,41 @@ OUTPUT_SCHEMA = "user_id long, n_purchases long, total_spend double"
 STATE_SCHEMA = "n long, total double"
 
 
+def _accumulate(n: int, total_cents: int,
+                batches: Iterator[pd.DataFrame]) -> tuple[int, int]:
+    """Shared accumulation core for BOTH stateful APIs (legacy
+    applyInPandasWithState and Spark-4 transformWithStateInPandas) —
+    one definition so the twins cannot drift. Spend is summed in
+    integer cents so the result is order-exact (same discipline as
+    functions.exact.lsum)."""
+    for pdf in batches:
+        n += len(pdf)
+        # positive values: int64 truncation == floor, matching lsum's
+        # floor(x*100 + 0.5) quantization
+        total_cents += int((pdf["value"] * 100 + 0.5).astype("int64").sum())
+    return n, total_cents
+
+
+def _emit(user_id, n: int, total_cents: int) -> pd.DataFrame:
+    return pd.DataFrame({
+        "user_id": [user_id],
+        "n_purchases": [n],
+        "total_spend": [total_cents / 100.0],
+    })
+
+
 def _update_user_spend(
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterable[pd.DataFrame]:
     """Accumulate (count, cent-exact total) per user across micro-batches;
-    emit the running state each time the key appears. Spend is summed in
-    integer cents inside the state so the result is order-exact (same
-    discipline as functions.exact.lsum)."""
+    emit the running state each time the key appears."""
     (user_id,) = key
-    n, total_cents = state.get if state.exists else (0, 0)
-    for pdf in batches:
-        n += len(pdf)
-        # positive values: int64 truncation == floor, matching lsum's
-        # floor(x*100 + 0.5) quantization
-        total_cents += int((pdf["value"] * 100 + 0.5).astype("int64").sum())
+    n, total_cents = _accumulate(*(state.get if state.exists else (0, 0)),
+                                 batches)
     state.update((n, total_cents))
-    yield pd.DataFrame({
-        "user_id": [user_id],
-        "n_purchases": [n],
-        "total_spend": [total_cents / 100.0],
-    })
+    yield _emit(user_id, n, total_cents)
 
 
 def running_user_spend(events: DataFrame) -> DataFrame:
@@ -84,9 +97,9 @@ def running_user_spend_tws(events: DataFrame) -> DataFrame:
     ValueState instead of a tuple blob, explicit init/close lifecycle,
     and (unused here) timers and TTL — the forward path for custom
     stateful operators. Semantics are identical to
-    :func:`running_user_spend`; requires protobuf at runtime
-    (:func:`tws_available`)."""
-    import pandas as pd  # noqa: F811 — worker-side import
+    :func:`running_user_spend` — both paths run through the shared
+    :func:`_accumulate`/:func:`_emit` core, so the twins cannot drift;
+    requires protobuf at runtime (:func:`tws_available`)."""
     from pyspark.sql.streaming import StatefulProcessor
 
     class _SpendProcessor(StatefulProcessor):
@@ -94,18 +107,11 @@ def running_user_spend_tws(events: DataFrame) -> DataFrame:
             self._state = handle.getValueState("spend", STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timer_values):
-            n, total_cents = (
-                self._state.get() if self._state.exists() else (0, 0))
-            for pdf in rows:
-                n += len(pdf)
-                total_cents += int(
-                    (pdf["value"] * 100 + 0.5).astype("int64").sum())
+            n, total_cents = _accumulate(
+                *(self._state.get() if self._state.exists() else (0, 0)),
+                rows)
             self._state.update((n, total_cents))
-            yield pd.DataFrame({
-                "user_id": [key[0]],
-                "n_purchases": [n],
-                "total_spend": [total_cents / 100.0],
-            })
+            yield _emit(key[0], n, total_cents)
 
         def close(self) -> None:
             pass

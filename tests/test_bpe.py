@@ -46,6 +46,24 @@ def test_bpe_stops_when_exhausted(spark):
     assert merges == []
 
 
+def test_bpe_sentinel_unreconstructible(spark):
+    """Markup-heavy corpora ('</w>' as real characters) must not
+    corrupt word boundaries: the sentinel is an alphabet-external
+    private-use char, so merges can never rebuild it, and every word's
+    symbol list ends with exactly one sentinel."""
+    docs = spark.createDataFrame(
+        [(1, "</w> </w> </w> a</w>b a</w>b a</w>b")], ["doc_id", "text"])
+    merges = learn_bpe_merges(docs, _toks(), n_merges=12)
+    seg = segment_words(docs, _toks(), merges).collect()
+    for r in seg:
+        syms = list(r["syms"])
+        assert syms[-1].endswith(EOW)
+        assert sum(s.count(EOW) for s in syms) == 1, syms
+    # learned symbols never equal the bare sentinel
+    for _, left, right, merged, _ in merges:
+        assert EOW not in (left, right) or merged.endswith(EOW)
+
+
 def test_bpe_deterministic(spark):
     docs = spark.createDataFrame(
         [(i, f"tok{i % 7} tok{i % 3} shared shared") for i in range(40)],
