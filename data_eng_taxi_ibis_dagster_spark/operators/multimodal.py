@@ -7,18 +7,22 @@ side of decode / feature-extract / resize / frame-sample is real:
 Arrow-batched ``mapInPandas`` with explicit output schemas and
 partition-size control.
 
-Codecs: uncompressed container formats are decoded FOR REAL with
-stdlib + numpy — BMP (24-bit uncompressed), PPM (P6), and WAV (PCM via
-``wave``) — yielding true per-pixel / per-sample statistics.
-Compressed formats (PNG/JPEG/MP3/H.264…) require codec libraries this
-container doesn't ship and raise ``NotImplementedError`` at the single
-``decode_payload`` dispatch point; installing Pillow/soundfile swaps
-one function, not the pipeline.
+Codecs: container formats with stdlib-expressible codecs are decoded
+FOR REAL with stdlib + numpy — BMP (24-bit uncompressed), PPM (P6),
+WAV (PCM via ``wave``), and PNG (zlib inflate + full five-filter
+scanline reconstruction) — yielding true per-pixel / per-sample
+statistics. Formats needing external codec libraries (JPEG/MP3/H.264…)
+raise ``NotImplementedError`` at the single ``decode_payload`` dispatch
+point; installing Pillow/soundfile swaps one function, not the
+pipeline. ``extract_features`` quarantines per-row decode failures
+(corrupt/truncated payloads) into a ``decode_error`` column instead of
+failing the stage.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -58,6 +62,9 @@ FEATURE_SCHEMA = StructType([
     StructField("sample_rate", IntegerType(), True),
     StructField("duration_ms", LongType(), True),
     StructField("feat_mean", DoubleType(), True),
+    # non-NULL iff the payload claimed a decodable mime but failed to
+    # decode (corrupt/truncated bytes) — the quarantine column
+    StructField("decode_error", StringType(), True),
 ])
 
 
@@ -189,10 +196,124 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def _paeth_rows(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor over aligned arrays (left, up, upper-left)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a PNG (8-bit truecolor,
+    non-interlaced). Rows cycle through all five scanline filters
+    (None/Sub/Up/Average/Paeth) so a decoder must implement the full
+    filter set to round-trip these payloads."""
+    h, w, _ = pixels.shape
+    raw = pixels.astype(np.int32).reshape(h, w * 3)
+    zero = np.zeros(3, dtype=np.int32)
+    prev = np.zeros(w * 3, dtype=np.int32)
+    lines = []
+    for y in range(h):
+        row = raw[y]
+        left = np.concatenate([zero, row[:-3]])
+        up_left = np.concatenate([zero, prev[:-3]])
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - (left + prev) // 2
+        else:
+            filt = row - _paeth_rows(left, prev, up_left)
+        lines.append(bytes([ft]) + (filt & 255).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decode an 8-bit non-interlaced PNG (gray/RGB/gray+alpha/RGBA)
+    to per-pixel statistics: zlib inflate + per-scanline reconstruction
+    of all five filters with the exact Paeth tie-breaking order."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, bytearray()
+    w = h = None
+    bit_depth = color_type = interlace = 0
+    while pos + 8 <= len(payload):
+        length, tag = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data))
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if bit_depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace}")
+    raw = zlib.decompress(bytes(idat))
+    stride, bpp = w * channels, channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride,
+                             y * (stride + 1) + 1).astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up — no intra-row dependency, vectorize
+            cur = (line + prev) & 255
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 255
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        img[y] = cur
+        prev = cur
+    pixels = img.reshape(h, w, channels)
+    return {
+        "width": int(w), "height": int(h), "n_channels": int(channels),
+        "feat_mean": float(pixels.mean()),
+    }
+
+
 #: mime → real decoder for formats needing no external codec library.
 _DECODERS = {
     "image/bmp": decode_bmp,
     "image/x-portable-pixmap": decode_ppm,
+    "image/png": decode_png,
     "audio/wav": decode_wav,
     "audio/x-wav": decode_wav,
 }
@@ -236,10 +357,25 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
 
+    def _decode_or_quarantine(payload: bytes, mime: str) -> dict:
+        # Real binary ingests routinely contain corrupt rows: keep the
+        # byte-level stats, NULL the media fields, record the error —
+        # never abort the stage for one bad payload.
+        try:
+            return decode_payload(payload, mime)
+        except NotImplementedError:
+            raise  # absent codec is a config error, not a data error
+        except Exception as exc:  # corrupt/truncated payload
+            return {
+                "n_bytes": len(payload),
+                "feat_mean_byte": int(sum(payload) // len(payload)) if payload else 0,
+                "decode_error": f"{type(exc).__name__}: {exc}",
+            }
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [
-                decode_payload(bytes(p) if p is not None else b"", m)
+                _decode_or_quarantine(bytes(p) if p is not None else b"", m)
                 for p, m in zip(pdf["payload"], pdf["mime"])
             ]
             yield pd.DataFrame({
@@ -256,7 +392,10 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 "n_channels": pd.array([d.get("n_channels") for d in decoded], dtype="Int32"),
                 "sample_rate": pd.array([d.get("sample_rate") for d in decoded], dtype="Int32"),
                 "duration_ms": pd.array([d.get("duration_ms") for d in decoded], dtype="Int64"),
-                "feat_mean": pd.array([d.get("feat_mean") for d in decoded], dtype="float64"),
+                # masked Float64 (not float64): missing feat_mean must
+                # round-trip to a SQL NULL through Arrow, not a NaN
+                "feat_mean": pd.array([d.get("feat_mean") for d in decoded], dtype="Float64"),
+                "decode_error": [d.get("decode_error") for d in decoded],
             })
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
@@ -265,12 +404,19 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
 def synthetic_media(docs: DataFrame, *, image_side: int = 16,
                     wav_samples: int = 800) -> DataFrame:
     """Deterministic REAL media payloads derived from the documents
-    table: doc_id mod 3 picks BMP / PPM / WAV, pixel and sample values
-    are seeded from the doc_id (no RNG), and every payload round-trips
-    through the real encoders above — so the decode path is exercised
-    end-to-end on genuine format bytes, not fakes. Runs as an
-    Arrow-batched mapInPandas stage: generation is row-local, the
-    frame partitions exactly like any binary ingest."""
+    table: doc_id mod 4 picks BMP / PPM / WAV / PNG, pixel and sample
+    values are seeded from the doc_id (no RNG), and every payload
+    round-trips through the real encoders above — so the decode path is
+    exercised end-to-end on genuine format bytes (including PNG's
+    filtered+deflated scanlines), not fakes. Runs as an Arrow-batched
+    mapInPandas stage: generation is row-local, the frame partitions
+    exactly like any binary ingest."""
+
+    _IMAGE_ENCODERS = {
+        0: ("image/bmp", encode_bmp),
+        1: ("image/x-portable-pixmap", encode_ppm),
+        3: ("image/png", encode_png),
+    }
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -279,16 +425,14 @@ def synthetic_media(docs: DataFrame, *, image_side: int = 16,
                                     "meta_duration_ms")}
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
-                kind = did % 3
-                if kind in (0, 1):
+                kind = did % 4
+                if kind != 2:
                     side = image_side
                     base = np.arange(side * side * 3, dtype=np.int64)
                     pixels = ((base * (did % 251 + 1) + did) % 256
                               ).astype(np.uint8).reshape(side, side, 3)
-                    if kind == 0:
-                        mime, payload = "image/bmp", encode_bmp(pixels)
-                    else:
-                        mime, payload = "image/x-portable-pixmap", encode_ppm(pixels)
+                    mime, enc = _IMAGE_ENCODERS[kind]
+                    payload = enc(pixels)
                     w = h = side
                     dur = None
                 else:

@@ -304,13 +304,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_decode_stats",
-    oracle=None,  # real BMP/PPM/WAV decode — not SQL-expressible
+    oracle=None,  # real BMP/PPM/WAV/PNG decode — not SQL-expressible
     tags=("E13", "E15"),
 )
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL codec path: deterministic BMP / PPM / WAV payloads generated
-    from doc_ids (operators.multimodal.synthetic_media — genuine format
-    bytes through the real encoders), decoded by the real stdlib+numpy
+    """REAL codec path: deterministic BMP / PPM / WAV / PNG payloads
+    generated from doc_ids (operators.multimodal.synthetic_media —
+    genuine format bytes through the real encoders, PNG via
+    filtered+deflated scanlines), decoded by the real stdlib+numpy
     decoders inside Arrow-batched mapInPandas, then aggregated per mime:
     decoded dimensions, durations, and per-pixel/per-sample means.
     Deterministic across runs (no RNG anywhere), rows-only checked."""

@@ -125,7 +125,7 @@ def test_sketch_rollup_error_bound(spark, sf_dir):
 
 def test_multimodal_compressed_codecs_raise():
     with pytest.raises(NotImplementedError):
-        decode_stub(b"\x89PNG", "image/png")
+        decode_stub(b"\xff\xd8\xff\xe0", "image/jpeg")
 
 
 def test_multimodal_bmp_ppm_wav_roundtrip():
@@ -136,13 +136,15 @@ def test_multimodal_bmp_ppm_wav_roundtrip():
     from data_eng_taxi_ibis_dagster_spark.operators.multimodal import (
         decode_payload,
         encode_bmp,
+        encode_png,
         encode_ppm,
         encode_wav,
     )
 
     pixels = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
     for mime, payload in [("image/bmp", encode_bmp(pixels)),
-                          ("image/x-portable-pixmap", encode_ppm(pixels))]:
+                          ("image/x-portable-pixmap", encode_ppm(pixels)),
+                          ("image/png", encode_png(pixels))]:
         d = decode_payload(payload, mime)
         assert (d["width"], d["height"], d["n_channels"]) == (7, 5, 3)
         assert d["feat_mean"] == pytest.approx(float(pixels.mean()))
@@ -161,10 +163,78 @@ def test_multimodal_bmp_ppm_wav_roundtrip():
     assert d["feat_mean"] == pytest.approx(rms)
 
 
+def test_multimodal_png_filters_and_strictness():
+    """PNG: pixel-exact recovery through all five scanline filters
+    (the encoder cycles them per row, so ≥5-row images exercise each),
+    byte-exact per-pixel mean, and spec-valid chunk CRCs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_eng_taxi_ibis_dagster_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for shape in [(16, 16, 3), (7, 5, 3), (1, 1, 3), (11, 23, 3)]:
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        d = decode_png(encode_png(px))
+        assert (d["width"], d["height"], d["n_channels"]) == (shape[1], shape[0], 3)
+        assert d["feat_mean"] == float(px.mean())  # bit-exact
+    payload = encode_png(np.zeros((3, 3, 3), np.uint8))
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        assert crc == (zlib.crc32(payload[pos + 4:pos + 8 + ln]) & 0xFFFFFFFF), tag
+        pos += 12 + ln
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"garbage")
+
+
+def test_multimodal_corrupt_payload_quarantined(spark):
+    """A corrupt/truncated media payload must NOT abort the stage:
+    extract_features emits byte stats + NULL media fields + a
+    decode_error, and healthy feat_mean NULLs are true SQL NULLs."""
+    import pandas as pd
+
+    from data_eng_taxi_ibis_dagster_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        extract_features,
+    )
+    import numpy as np
+
+    good = encode_bmp(np.full((2, 2, 3), 9, np.uint8))
+    rows = [
+        (1, "image/bmp", bytearray(good), 2, 2, None),
+        (2, "image/bmp", bytearray(b""), None, None, None),          # empty
+        (3, "image/bmp", bytearray(good[:20]), None, None, None),    # truncated
+        (4, "text/plain", bytearray(b"hello"), None, None, None),    # non-media
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    pdf = extract_features(media).toPandas().set_index("media_id")
+    assert pdf.loc[1, "decode_error"] is None
+    assert pdf.loc[1, "feat_mean"] == pytest.approx(9.0)
+    for bad in (2, 3):
+        assert pdf.loc[bad, "decode_error"]  # non-empty message
+        assert pd.isna(pdf.loc[bad, "feat_mean"])
+        assert pd.isna(pdf.loc[bad, "width"])
+        assert pdf.loc[bad, "n_bytes"] == (0 if bad == 2 else 20)
+    # non-media rows: byte stats only, no error, feat_mean is SQL NULL
+    assert pdf.loc[4, "decode_error"] is None
+    sdf = extract_features(media)
+    n_null = sdf.filter(sdf.feat_mean.isNull()).count()
+    assert n_null == 3  # 2 quarantined + 1 non-media — NULL, not NaN
+
+
 def test_multimodal_synthetic_media_decodes_on_cluster(spark, sf_dir):
-    """End-to-end through Spark: real BMP/PPM/WAV payloads generated and
-    decoded inside mapInPandas; checksums match a driver-side re-encode
-    of the same deterministic payloads."""
+    """End-to-end through Spark: real BMP/PPM/WAV/PNG payloads generated
+    and decoded inside mapInPandas; checksums match a driver-side
+    re-encode of the same deterministic payloads."""
     import hashlib
 
     import numpy as np
@@ -179,22 +249,25 @@ def test_multimodal_synthetic_media_decodes_on_cluster(spark, sf_dir):
     feats = extract_features(synthetic_media(docs)).toPandas()
     assert len(feats) == 30
     by_mime = feats.groupby("mime").size().to_dict()
-    assert set(by_mime) == {"image/bmp", "image/x-portable-pixmap", "audio/wav"}
-    img = feats[feats["mime"] == "image/bmp"]
+    assert set(by_mime) == {"image/bmp", "image/x-portable-pixmap",
+                            "image/png", "audio/wav"}
+    img = feats[feats["mime"].str.startswith("image/")]
     assert (img["width"] == 16).all() and (img["height"] == 16).all()
     assert img["feat_mean"].between(0, 255).all()
+    assert feats["decode_error"].isna().all()
     wav = feats[feats["mime"] == "audio/wav"]
     assert (wav["duration_ms"] == 50).all()      # 800 samples @ 16 kHz
     assert (wav["sample_rate"] == 16000).all()
     assert wav["feat_mean"].between(0.0, 1.0).all()
     # checksum parity: rebuild one BMP payload driver-side
-    did = int(img["media_id"].iloc[0])
+    bmp = feats[feats["mime"] == "image/bmp"]
+    did = int(bmp["media_id"].iloc[0])
     side = 16
     base = np.arange(side * side * 3, dtype=np.int64)
     pixels = ((base * (did % 251 + 1) + did) % 256
               ).astype(np.uint8).reshape(side, side, 3)
     expect = hashlib.md5(encode_bmp(pixels)).hexdigest()
-    assert img.set_index("media_id").loc[did, "checksum"] == expect
+    assert bmp.set_index("media_id").loc[did, "checksum"] == expect
 
 
 def test_multimodal_resize_schema_preserving(spark, sf_dir):
