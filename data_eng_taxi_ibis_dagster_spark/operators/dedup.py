@@ -37,14 +37,20 @@ from data_eng_taxi_ibis_dagster_spark.operators.text import (
 )
 
 def _right_size(df: DataFrame) -> DataFrame:
-    """Right-size the scan for CPU-bound per-row work: if the plan has
-    fewer partitions than the cluster has slots (small files, tiny SF),
-    fan out to ``defaultParallelism`` so codegen'd per-document hashing
-    uses every core. At 100 TB input splits vastly outnumber slots, the
-    condition is false, and this is a no-op — the corpus is never
-    shuffled just to parallelize."""
+    """Right-size the scan for CPU-bound per-row work: if the input is
+    backed by fewer files than the cluster has slots (small files, tiny
+    SF), fan out to ``defaultParallelism`` so codegen'd per-document
+    hashing uses every core. At 100 TB input splits vastly outnumber
+    slots, the condition is false, and this is a no-op — the corpus is
+    never shuffled just to parallelize. Deliberately avoids
+    ``df.rdd.getNumPartitions()``: touching ``.rdd`` forces a full plan
+    translation per call and blocks Connect-API portability; the file
+    count is available from plan metadata for free. Non-scan inputs
+    (``inputFiles() == []``, e.g. in-memory test frames) already
+    parallelize to the session default and pass through untouched."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n_files = len(df.inputFiles())
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

@@ -48,17 +48,26 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     result rather than dividing by the zero vertex count.
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
-                     w.alias("_w"))
+    e_all = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
+                         w.alias("_w"))
+    # Zero/negative-weight edges carry no transition probability: drop
+    # them before normalization. A src whose weights all quantize to 0
+    # at the dsum scale is likewise treated as dangling (the _out > 0
+    # filter) — otherwise _p = _w/0 goes NULL and its rank mass would
+    # silently leak instead of redistributing.
+    e = e_all.filter(F.col("_w") > 0)
     # normalized transition weight per edge: w / total out-weight(src)
-    out_w = e.groupBy("_src").agg(dsum("_w", 6).alias("_out"))
+    out_w = (e.groupBy("_src").agg(dsum("_w", 6).alias("_out"))
+             .filter(F.col("_out") > 0))
     trans = (
         e.join(out_w, "_src")
         .select("_src", "_dst", (F.col("_w") / F.col("_out")).alias("_p"))
     )
+    # vertex set comes from ALL edges (zero-weight ones still name
+    # vertices — they just contribute no transitions)
     vertices = (
-        e.select(F.col("_src").alias("vertex"))
-        .unionByName(e.select(F.col("_dst").alias("vertex")))
+        e_all.select(F.col("_src").alias("vertex"))
+        .unionByName(e_all.select(F.col("_dst").alias("vertex")))
         .distinct()
     )
     n = vertices.count()  # bounded scalar (vocab/site count, not corpus)

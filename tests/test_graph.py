@@ -57,6 +57,26 @@ def test_pagerank_dangling_mass_conserved(spark):
         assert got[v] == pytest.approx(r[v], abs=1e-9), v
 
 
+def test_pagerank_zero_weight_edges_treated_dangling(spark):
+    """A vertex whose out-edges all have zero weight must behave as
+    dangling — rank still sums to 1 (no silent leak through _p = w/0),
+    and the zero-weight edge's endpoints stay in the vertex set."""
+    edges = [(0, 1, 1.0), (1, 2, 0.0), (1, 3, 0.0), (2, 0, 2.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {r["vertex"]: r["rank"]
+           for r in pagerank(df, weight="w", damping=0.85, iters=12).collect()}
+    assert set(got) == {0, 1, 2, 3}          # dst 3 only named by a 0-edge
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # equivalent graph with the zero edges dropped but vertices kept
+    # must produce identical ranks (zero edges carry no probability)
+    ref_edges = [(0, 1, 1.0), (2, 0, 2.0), (3, 3, 0.0)]
+    ref_df = spark.createDataFrame(ref_edges, ["src", "dst", "w"])
+    ref = {r["vertex"]: r["rank"]
+           for r in pagerank(ref_df, weight="w", damping=0.85, iters=12).collect()}
+    for v in got:
+        assert got[v] == pytest.approx(ref[v], abs=1e-12), v
+
+
 def test_pagerank_empty_edges_returns_empty(spark):
     from pyspark.sql.types import (
         DoubleType, LongType, StructField, StructType,
