@@ -91,15 +91,13 @@ def tws_available() -> bool:
         return False
 
 
-def running_user_spend_tws(events: DataFrame) -> DataFrame:
-    """The same accumulator on Spark 4's arbitrary-state API
-    (``transformWithStateInPandas`` + ``StatefulProcessor``): typed
-    ValueState instead of a tuple blob, explicit init/close lifecycle,
-    and (unused here) timers and TTL — the forward path for custom
-    stateful operators. Semantics are identical to
-    :func:`running_user_spend` — both paths run through the shared
-    :func:`_accumulate`/:func:`_emit` core, so the twins cannot drift;
-    requires protobuf at runtime (:func:`tws_available`)."""
+def _make_spend_processor():
+    """Build the :class:`StatefulProcessor` for the Spark-4 path.
+    Module-level (not closed over inside the plan builder) so the
+    processor's state-handling logic is unit-testable with a mocked
+    handle where the runner's protobuf dependency is absent — the class
+    itself imports fine without protobuf; only executing the
+    ``transformWithStateInPandas`` runner needs it."""
     from pyspark.sql.streaming import StatefulProcessor
 
     class _SpendProcessor(StatefulProcessor):
@@ -116,11 +114,23 @@ def running_user_spend_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return _SpendProcessor()
+
+
+def running_user_spend_tws(events: DataFrame) -> DataFrame:
+    """The same accumulator on Spark 4's arbitrary-state API
+    (``transformWithStateInPandas`` + ``StatefulProcessor``): typed
+    ValueState instead of a tuple blob, explicit init/close lifecycle,
+    and (unused here) timers and TTL — the forward path for custom
+    stateful operators. Semantics are identical to
+    :func:`running_user_spend` — both paths run through the shared
+    :func:`_accumulate`/:func:`_emit` core, so the twins cannot drift;
+    requires protobuf at runtime (:func:`tws_available`)."""
     purchases = events.filter(events.event_type == "purchase")
     return (
         purchases.groupBy("user_id")
         .transformWithStateInPandas(
-            _SpendProcessor(),
+            _make_spend_processor(),
             outputStructType=OUTPUT_SCHEMA,
             outputMode="Update",
             timeMode="None",

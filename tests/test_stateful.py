@@ -39,6 +39,58 @@ def test_stateful_running_spend_matches_batch(spark, sf_dir):
     assert (got["total_spend"].values == want["total_spend"].values).all()
 
 
+def test_stateful_tws_processor_with_mocked_handle():
+    """Execute the Spark-4 StatefulProcessor's actual init /
+    handleInputRows / close surface against a fake ValueState handle —
+    so the transformWithStateInPandas wiring (state get/update tuple
+    shapes, emission schema) has an executed assertion even where the
+    runner's protobuf dependency is absent."""
+    import pandas as pd
+
+    from data_eng_taxi_ibis_dagster_spark.streaming.stateful import (
+        _make_spend_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            assert isinstance(v, tuple) and len(v) == 2, v
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            assert schema == "n long, total double"
+            return self.states.setdefault(name, FakeValueState())
+
+    proc = _make_spend_processor()
+    handle = FakeHandle()
+    proc.init(handle)
+    # micro-batch 1: two purchases for user 7
+    out1 = list(proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": [1.25, 2.50]})]), None))
+    assert len(out1) == 1
+    row = out1[0].iloc[0]
+    assert (row["user_id"], row["n_purchases"], row["total_spend"]) == (7, 2, 3.75)
+    # micro-batch 2: state carries — one more purchase accumulates
+    out2 = list(proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": [0.25]})]), None))
+    row = out2[0].iloc[0]
+    assert (row["n_purchases"], row["total_spend"]) == (3, 4.00)
+    assert handle.states["spend"].get() == (3, 400)  # integer cents
+    proc.close()
+
+
 def test_stateful_tws_twin_matches_batch(spark, sf_dir):
     """Spark 4 arbitrary-state API twin (transformWithStateInPandas):
     identical semantics to the applyInPandasWithState path. Skipped
