@@ -1,0 +1,108 @@
+"""Driver-side AUDIT companions for rows-only operators.
+
+The hash-based operator family (MinHash-LSH, SRP-ANN) is deterministic
+but engine-specific, so its production queries carry no DuckDB oracle —
+their quality evidence lives in in-repo recall tests only. These
+companions move that evidence to the external gate: each runs the SAME
+Spark machinery (banding, bucket joins, re-rank) in a configuration
+whose output is provably equal to an exactly-SQL-expressible answer on
+the fixture, so the driver's strict hash compare now bounds the quality
+of the rows-only siblings.
+
+* ``dedup_minhash_audit`` — the production MinHash(32)+LSH(8×4)
+  pipeline at threshold 0.6 against the GLOBAL all-pairs exact-Jaccard
+  oracle (no blocking). On the fixture the banded candidate generation
+  has 100% recall at 0.6 and the exact-Jaccard verify gives 100%
+  precision, so LSH output ≡ the exact pair set — pair-for-pair and
+  value-for-value. A regression in signatures, banding, bucket joins,
+  skew caps, or the verifier breaks the hash match.
+* ``similarity_ann_audit`` — the SRP-LSH ANN path in a
+  wide-bucket / many-table configuration (2 planes × 16 tables) whose
+  candidate union provably covers the true top-10 on the fixture, so
+  the ANN result ≡ the brute-force exact top-k the oracle computes. A
+  regression in plane hashing, the stacked bucket join, dedup, or the
+  re-rank ordering breaks the match. (The production config —
+  ``similarity_ann_srp``, 4×8 — intentionally trades recall for bucket
+  size; its recall bound stays covered by tests/test_similarity.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.operators import dedup as D
+from data_eng_taxi_ibis_dagster_spark.operators import similarity as S
+from data_eng_taxi_ibis_dagster_spark.operators import text as T
+from data_eng_taxi_ibis_dagster_spark.plans.registry import query
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+_JACCARD_SQL = (
+    "CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)"
+    " / CAST(len(a.s) + len(b.s)"
+    " - len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)"
+)
+
+
+@query(
+    "dedup_minhash_audit",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, {T.sql_shingles("string_split(text, ' ')", 3)} AS s
+            FROM documents
+        )
+        SELECT doc_a, doc_b, jaccard_sim FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   {_JACCARD_SQL} AS jaccard_sim
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard_sim >= 0.6
+    """,
+    tags=("E10",),
+)
+def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production MinHash+LSH near-dedup pipeline, strictly
+    oracle-checked: its output must equal the global all-pairs exact
+    3-gram Jaccard pairs at 0.6 (the fixture admits no recall loss at
+    this banding). Same code path as ``dedup_minhash_lsh`` — this is
+    that query's external correctness bound."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        D.minhash_near_dup_pairs(d, threshold=0.6)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "similarity_ann_audit",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),
+             scored AS (
+                 SELECT query_id, match_id,
+                        {S.sql_cosine('qv', 'cv')} AS cosine_sim
+                 FROM q CROSS JOIN c
+                 WHERE query_id != match_id
+             )
+        SELECT query_id, match_id, cosine_sim, rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, match_id ASC) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 10
+    """,
+    tags=("E11",),
+)
+def similarity_ann_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SRP-LSH ANN path (bucket equi-join candidates + exact cosine
+    re-rank) at 2 planes × 16 tables, strictly oracle-checked against
+    the brute-force exact top-10 — on the fixture this configuration's
+    candidate union covers every true neighbor, so any drift in the ANN
+    machinery (plane hashing, stacked join, candidate dedup, rank
+    ordering, or the fold-based cosine itself) breaks the hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        S.ann_topk_srp(emb.filter(F.col("vec_id") < 5), emb, k=10,
+                       num_planes=2, num_tables=16)
+        .orderBy("query_id", "rnk")
+    )

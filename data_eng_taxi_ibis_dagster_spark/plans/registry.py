@@ -56,6 +56,7 @@ def query(name: str, *, oracle: str | None = None,
 def _load_all() -> None:
     # Import side-effect-registers every query module exactly once.
     from data_eng_taxi_ibis_dagster_spark.plans import (  # noqa: F401
+        audits,
         analytics,
         relational,
         llm,
