@@ -135,6 +135,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch_rollup_uniques",
     oracle=None,  # HLL estimates — approximate by design, rows-only
     tags=("E8", "E14", "EXT"),
+    bench=True,
 )
 def sketch_rollup_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch-column rollup — THE pattern for incremental

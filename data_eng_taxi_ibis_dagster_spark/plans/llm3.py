@@ -37,6 +37,7 @@ def _tokens() -> F.Column:
     oracle=None,  # iterative argmax sequence — not SQL-expressible;
                   # integer counts + total tiebreak ⇒ run-deterministic
     tags=("E12", "EXT"),
+    bench=True,
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators/bpe.py): ONE corpus-scale

@@ -235,6 +235,7 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # iterative PageRank — not SQL-expressible (rows-only);
                   # decimal-quantized sums make it run-deterministic
     tags=("E12", "EXT"),
+    bench=True,
 )
 def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword extraction: weighted PageRank over the token
@@ -255,6 +256,34 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranks.orderBy(F.col("rank").desc(), F.col("vertex").asc())
         .limit(25)
+        .select(F.col("vertex").alias("token"), "rank")
+    )
+
+
+@query(
+    "pagerank_cooccurrence",
+    oracle=None,  # iterative PageRank — not SQL-expressible (rows-only);
+                  # decimal-quantized sums make it run-deterministic
+    tags=("E12", "EXT"),
+    bench=True,
+)
+def pagerank_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full weighted PageRank over the token co-occurrence graph — the
+    whole (vertex, rank) relation, unlike ``textrank_keywords``'s top-25
+    projection, so the bench tracks the iterative pregel-by-join rounds
+    end-to-end including the final full-relation quantization (the
+    top-k truncation in textrank can mask a regression in the tail).
+    Emitted ranks are decimal-quantized → bit-stable run-to-run."""
+    from data_eng_taxi_ibis_dagster_spark.operators.graph import (
+        cooccurrence_edges,
+        pagerank,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = cooccurrence_edges(d, T.tokens("text"), min_count=2)
+    return (
+        pagerank(edges, weight="w", damping=0.85, iters=8)
+        .orderBy(F.col("rank").desc(), F.col("vertex").asc())
         .select(F.col("vertex").alias("token"), "rank")
     )
 
