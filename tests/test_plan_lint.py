@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "important_part_volume",       # TPC-H Q11: HAVING vs 1-row scalar
     "rfm_segmentation",            # distributed_rank: 1-row (min,max) scalar join ×3
     "textrank_keywords",           # pagerank: 1-row dangling-mass scalar join per iter
+    "pagerank_cooccurrence",       # same pagerank 1-row dangling-mass scalar join
     "bpe_learn_merges",            # 1-row vocab-stats scalar join onto the merge table
 }
 
