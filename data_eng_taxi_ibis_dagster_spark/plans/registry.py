@@ -75,6 +75,7 @@ def _load_all() -> None:
         llm9,
         llm10,
         llm11,
+        llm12,
         semantics,
         tpch,
         windows2,
