@@ -244,6 +244,12 @@ def dedup_clusters(pairs: DataFrame, *, max_iterations: int = 20) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("src"),
                                   F.col("doc_a").alias("dst")))
         .distinct()
+        # materialize the loop-invariant edge relation ONCE: pairs
+        # usually come from the full MinHash pipeline (corpus-scale
+        # lineage), and every round below runs an action (the
+        # convergence check) — without truncation each round would
+        # re-run signature generation + banding + verification
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))

@@ -70,11 +70,23 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         .unionByName(e_all.select(F.col("_dst").alias("vertex")))
         .distinct()
     )
+    # Checkpoint the vocab-sized loop-invariant relations so they
+    # materialize ONCE. They derive from the edge list — often a
+    # corpus-scale extraction (token co-occurrence explode) — and every
+    # iteration's lineage references them, so without truncation the
+    # final action would re-derive the edges once per iteration. Lazy
+    # (eager=False): blocks are stored at first computation inside the
+    # caller's action, and after that the corpus is never touched
+    # again; iterations shuffle only vocabulary-sized state.
+    trans = trans.localCheckpoint(eager=False)
+    vertices = vertices.localCheckpoint(eager=False)
     n = vertices.count()  # bounded scalar (vocab/site count, not corpus)
     if n == 0:
         return vertices.select("vertex", F.lit(0.0).alias("rank"))
-    # vertices WITH out-edges; everyone else is dangling
-    has_out = out_w.select(F.col("_src").alias("vertex"))
+    # vertices WITH out-edges; everyone else is dangling (trans only
+    # holds srcs with positive quantized out-weight — see filters above)
+    has_out = (trans.select(F.col("_src").alias("vertex")).distinct()
+               .localCheckpoint(eager=False))
     ranks = vertices.select("vertex", F.lit(1.0 / n).alias("rank"))
 
     teleport = (1.0 - damping) / n

@@ -91,11 +91,15 @@ def hierarchy_pointer_doubling(spark: SparkSession,
     iterative query strictly integer-oracle-checked. The root self-loop
     ``(0, 0, 0)`` absorbs finished chains: once a node's ancestor hits
     the root, further rounds add 0 steps — no frontier bookkeeping.
-    At 100 TB each round is one self-join shuffle on the ancestor key;
-    rounds = ⌈log₂(max depth)⌉ is the whole scaling story, and skew
-    concentrates on the root key late in the process — the classic fix
-    (stop joining converged rows, they're exactly the root-keyed ones)
-    drops both the skew and the data volume per round."""
+    At 100 TB each round is one self-join shuffle on the ancestor key.
+    Two structural guards (round 4): (1) converged rows — ancestor
+    already at the root — bypass the join via union, which removes both
+    the late-round root-key skew and their join volume; (2) each
+    round's state is lazily ``localCheckpoint``-ed, because the round
+    plan references the previous state THREE times (converged split ×2
+    + hop side) and without truncation the lineage — and the number of
+    source scans — grows exponentially in the round count (16 scans at
+    4 rounds, measured)."""
     e = load_table(spark, sf_dir, "events")
     users = e.select("user_id").distinct()
     # state: node → (anc = ancestor reached, d = steps to it)
@@ -105,16 +109,20 @@ def hierarchy_pointer_doubling(spark: SparkSession,
         .otherwise(F.lit(0)).cast("bigint").alias("anc"),
         F.when(F.col("user_id") > 0, F.lit(1))
         .otherwise(F.lit(0)).cast("int").alias("d"),
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(_DOUBLING_ROUNDS):
+        done = state.filter(F.col("anc") == 0)
+        active = state.filter(F.col("anc") != 0)
         hop = state.select(F.col("node").alias("h_node"),
                            F.col("anc").alias("h_anc"),
                            F.col("d").alias("h_d"))
         state = (
-            state.join(hop, state["anc"] == hop["h_node"])
+            active.join(hop, active["anc"] == hop["h_node"])
             .select("node",
                     F.col("h_anc").alias("anc"),
                     (F.col("d") + F.col("h_d")).alias("d"))
+            .unionByName(done)
+            .localCheckpoint(eager=False)
         )
     return state.select(
         "node",
