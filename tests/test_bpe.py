@@ -71,3 +71,27 @@ def test_bpe_deterministic(spark):
     a = learn_bpe_merges(docs, _toks(), n_merges=6)
     b = learn_bpe_merges(docs.repartition(13), _toks(), n_merges=6)
     assert a == b
+
+
+def test_bpe_encode_corpus_invariants(spark, sf_dir):
+    """The registered encode query: every doc appears once, unit counts
+    bound below by token counts (each word ≥ 1 unit) and above by the
+    unmerged character+sentinel count, and the ratio column is exactly
+    units/tokens."""
+    from data_eng_taxi_ibis_dagster_spark.plans.registry import get
+
+    pdf = get("bpe_encode_corpus").builder(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(pdf) == docs
+    assert pdf["doc_id"].is_unique
+    assert (pdf["n_bpe_units"] >= pdf["n_tokens"]).all()
+    assert (pdf["units_per_token"]
+            == pdf["n_bpe_units"] / pdf["n_tokens"]).all()
+    # merges actually fired: compression beats the char+sentinel ceiling
+    chars = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .select((F.length("w") + 1).alias("c"))
+        .agg(F.sum("c")).collect()[0][0]
+    )
+    assert pdf["n_bpe_units"].sum() < chars
