@@ -295,8 +295,13 @@ def kmeans_lloyd(df: DataFrame, *, vec_col: str = "embedding",
     """
     from data_eng_taxi_ibis_dagster_spark.functions.exact import davg
 
+    # materialize the normalized vector relation ONCE: the dim/seed
+    # probes and every iteration's E-step + M-step action would
+    # otherwise each re-run the parquet scan + double-cast (iters + 2
+    # corpus scans instead of 1) — the "cache the assigned frame"
+    # advice below, applied to the loop-invariant input
     vecs = df.select(F.col(id_col).alias("_id"),
-                     as_double(vec_col).alias("_v"))
+                     as_double(vec_col).alias("_v")).localCheckpoint(eager=True)
     dim = len(vecs.select("_v").first()[0])
     centroids = [r["_v"] for r in vecs.orderBy("_id").limit(k).collect()]
 
