@@ -7,13 +7,13 @@ side of decode / feature-extract / resize / frame-sample is real:
 Arrow-batched ``mapInPandas`` with explicit output schemas and
 partition-size control.
 
-Codecs: container formats with stdlib-expressible codecs are decoded
-FOR REAL with stdlib + numpy — BMP (24-bit uncompressed), PPM (P6),
-WAV (PCM via ``wave``), and PNG (zlib inflate + full five-filter
-scanline reconstruction) — yielding true per-pixel / per-sample
-statistics. Formats needing external codec libraries (JPEG/MP3/H.264…)
+Codecs: decoded FOR REAL with stdlib + numpy — BMP (24-bit
+uncompressed), PPM (P6), WAV (PCM via ``wave``), PNG (zlib inflate +
+full five-filter scanline reconstruction), and baseline JPEG (Huffman
++ IDCT, ``operators/jpeg.py``) — yielding true per-pixel / per-sample
+statistics. Formats needing external codec libraries (MP3/H.264/…)
 raise ``NotImplementedError`` at the single ``decode_payload`` dispatch
-point; installing Pillow/soundfile swaps one function, not the
+point; installing soundfile/pyav swaps one function, not the
 pipeline. ``extract_features`` quarantines per-row decode failures
 (corrupt/truncated payloads) into a ``decode_error`` column instead of
 failing the stage.
@@ -103,8 +103,8 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + info + bytes(img)
 
 
-def decode_bmp(payload: bytes) -> dict:
-    """Decode a 24-bit uncompressed BMP to per-pixel statistics."""
+def bmp_pixels(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to an (h, w, 3) uint8 RGB array."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
@@ -119,7 +119,13 @@ def decode_bmp(payload: bytes) -> dict:
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=h * row_bytes, offset=data_offset
     ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
-    pixels = (rows if top_down else rows[::-1])[:, :, ::-1]  # BGR → RGB
+    return (rows if top_down else rows[::-1])[:, :, ::-1]  # BGR → RGB
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Decode a 24-bit uncompressed BMP to per-pixel statistics."""
+    pixels = bmp_pixels(payload)
+    h, w, _ = pixels.shape
     return {
         "width": int(w), "height": int(h), "n_channels": 3,
         "feat_mean": float(pixels.mean()),
@@ -132,8 +138,8 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """Decode a binary PPM (P6, maxval ≤ 255)."""
+def ppm_pixels(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval ≤ 255) to (h, w, 3) uint8 RGB."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     # header = 3 whitespace-separated tokens after P6, '#' comments allowed
@@ -153,8 +159,14 @@ def decode_ppm(payload: bytes) -> dict:
     w, h, maxval = tokens
     if maxval > 255:
         raise NotImplementedError("16-bit PPM")
-    pixels = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3,
-                           offset=pos).reshape(h, w, 3)
+    return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3,
+                         offset=pos).reshape(h, w, 3)
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Decode a binary PPM (P6, maxval ≤ 255) to statistics."""
+    pixels = ppm_pixels(payload)
+    h, w, _ = pixels.shape
     return {
         "width": int(w), "height": int(h), "n_channels": 3,
         "feat_mean": float(pixels.mean()),
@@ -242,10 +254,11 @@ def encode_png(pixels: np.ndarray) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
-def decode_png(payload: bytes) -> dict:
-    """Decode an 8-bit non-interlaced PNG (gray/RGB/gray+alpha/RGBA)
-    to per-pixel statistics: zlib inflate + per-scanline reconstruction
-    of all five filters with the exact Paeth tie-breaking order."""
+def png_pixels(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (gray/RGB/gray+alpha/RGBA) to
+    an (h, w, channels) uint8 array: zlib inflate + per-scanline
+    reconstruction of all five filters with the exact Paeth
+    tie-breaking order."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
     pos, idat = 8, bytearray()
@@ -302,18 +315,31 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"bad PNG filter type {ft}")
         img[y] = cur
         prev = cur
-    pixels = img.reshape(h, w, channels)
+    return img.reshape(h, w, channels)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decode an 8-bit non-interlaced PNG to per-pixel statistics."""
+    pixels = png_pixels(payload)
+    h, w, channels = pixels.shape
     return {
         "width": int(w), "height": int(h), "n_channels": int(channels),
         "feat_mean": float(pixels.mean()),
     }
 
 
+from data_eng_taxi_ibis_dagster_spark.operators.jpeg import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_pixels,
+)
+
 #: mime → real decoder for formats needing no external codec library.
 _DECODERS = {
     "image/bmp": decode_bmp,
     "image/x-portable-pixmap": decode_ppm,
     "image/png": decode_png,
+    "image/jpeg": decode_jpeg,
     "audio/wav": decode_wav,
     "audio/x-wav": decode_wav,
 }
@@ -404,18 +430,19 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
 def synthetic_media(docs: DataFrame, *, image_side: int = 16,
                     wav_samples: int = 800) -> DataFrame:
     """Deterministic REAL media payloads derived from the documents
-    table: doc_id mod 4 picks BMP / PPM / WAV / PNG, pixel and sample
-    values are seeded from the doc_id (no RNG), and every payload
-    round-trips through the real encoders above — so the decode path is
-    exercised end-to-end on genuine format bytes (including PNG's
-    filtered+deflated scanlines), not fakes. Runs as an Arrow-batched
-    mapInPandas stage: generation is row-local, the frame partitions
-    exactly like any binary ingest."""
+    table: doc_id mod 5 picks BMP / PPM / WAV / PNG / JPEG, pixel and
+    sample values are seeded from the doc_id (no RNG), and every
+    payload round-trips through the real encoders above — so the decode
+    path is exercised end-to-end on genuine format bytes (PNG's
+    filtered+deflated scanlines, JPEG's Huffman-coded DCT blocks), not
+    fakes. Runs as an Arrow-batched mapInPandas stage: generation is
+    row-local, the frame partitions exactly like any binary ingest."""
 
     _IMAGE_ENCODERS = {
         0: ("image/bmp", encode_bmp),
         1: ("image/x-portable-pixmap", encode_ppm),
         3: ("image/png", encode_png),
+        4: ("image/jpeg", encode_jpeg),
     }
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -425,7 +452,7 @@ def synthetic_media(docs: DataFrame, *, image_side: int = 16,
                                     "meta_duration_ms")}
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
-                kind = did % 4
+                kind = did % 5
                 if kind != 2:
                     side = image_side
                     base = np.arange(side * side * 3, dtype=np.int64)
@@ -471,14 +498,35 @@ RESIZED_SCHEMA = StructType([
 ])
 
 
+#: mime → (pixel decoder, RGB encoder) for formats we can re-encode.
+_IMAGE_CODECS = {
+    "image/bmp": (bmp_pixels, encode_bmp),
+    "image/x-portable-pixmap": (ppm_pixels, encode_ppm),
+    "image/png": (png_pixels, encode_png),
+    "image/jpeg": (jpeg_pixels, encode_jpeg),
+}
+
+
+def _nn_resample(pixels: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Nearest-neighbor resample to (th, tw) — pixel-center sampling,
+    pure indexing (no interpolation arithmetic → deterministic)."""
+    h, w = pixels.shape[:2]
+    rows = np.minimum((np.arange(th) + 0.5) * h / th, h - 1).astype(np.int64)
+    cols = np.minimum((np.arange(tw) + 0.5) * w / tw, w - 1).astype(np.int64)
+    return pixels[rows][:, cols]
+
+
 def resize_media(media: DataFrame, *, target_width: int = 224,
                  target_height: int = 224) -> DataFrame:
-    """Payload-transforming stage (resize under a real codec): maps each
-    binary payload to a new, typically smaller payload and updates the
-    size metadata, schema-preserving — so resize stages compose with any
-    other media op. Under the stub the "resample" is a deterministic
-    byte-stride decimation to ``target_width*target_height`` bytes; a
-    Pillow/pyav implementation replaces only the inner function.
+    """Payload-transforming resize stage, schema-preserving so it
+    composes with any other media op.
+
+    Decodable 3-channel image formats (BMP/PPM/PNG) resize FOR REAL:
+    decode to pixels, nearest-neighbor resample to the target
+    dimensions, re-encode in the same format. Everything else — audio,
+    unknown formats, corrupt payloads — falls back to the deterministic
+    byte-stride decimation stub, so the stage never fails and never
+    grows a payload.
 
     Output payloads shrink, so this is the stage to run EARLY in a 100 TB
     media pipeline — every byte dropped here is a byte not shuffled,
@@ -486,16 +534,31 @@ def resize_media(media: DataFrame, *, target_width: int = 224,
     """
     target = max(1, target_width * target_height)
 
+    def _byte_stub(raw: bytes) -> bytes:
+        if len(raw) <= target:
+            return raw
+        stride = len(raw) / target
+        return bytes(raw[int(i * stride)] for i in range(target))
+
+    def _one(raw: bytes, mime: str) -> bytes:
+        codec = _IMAGE_CODECS.get(mime)
+        if codec is None:
+            return _byte_stub(raw)
+        decode, encode = codec
+        try:
+            pixels = decode(raw)
+            if pixels.ndim != 3 or pixels.shape[2] != 3:
+                return _byte_stub(raw)  # gray/alpha: no 3-ch re-encoder
+            return encode(_nn_resample(pixels, target_height, target_width))
+        except Exception:  # corrupt payload — quarantine-grade fallback
+            return _byte_stub(raw)
+
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for payload in pdf["payload"]:
-                raw = bytes(payload) if payload is not None else b""
-                if len(raw) <= target:
-                    out.append(raw)
-                else:
-                    stride = len(raw) / target
-                    out.append(bytes(raw[int(i * stride)] for i in range(target)))
+            out = [
+                _one(bytes(p) if p is not None else b"", m)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "mime": pdf["mime"],

@@ -125,7 +125,7 @@ def test_sketch_rollup_error_bound(spark, sf_dir):
 
 def test_multimodal_compressed_codecs_raise():
     with pytest.raises(NotImplementedError):
-        decode_stub(b"\xff\xd8\xff\xe0", "image/jpeg")
+        decode_stub(b"\xff\xfb\x90\x00", "audio/mpeg")
 
 
 def test_multimodal_bmp_ppm_wav_roundtrip():
@@ -250,7 +250,7 @@ def test_multimodal_synthetic_media_decodes_on_cluster(spark, sf_dir):
     assert len(feats) == 30
     by_mime = feats.groupby("mime").size().to_dict()
     assert set(by_mime) == {"image/bmp", "image/x-portable-pixmap",
-                            "image/png", "audio/wav"}
+                            "image/png", "image/jpeg", "audio/wav"}
     img = feats[feats["mime"].str.startswith("image/")]
     assert (img["width"] == 16).all() and (img["height"] == 16).all()
     assert img["feat_mean"].between(0, 255).all()
@@ -268,6 +268,41 @@ def test_multimodal_synthetic_media_decodes_on_cluster(spark, sf_dir):
               ).astype(np.uint8).reshape(side, side, 3)
     expect = hashlib.md5(encode_bmp(pixels)).hexdigest()
     assert bmp.set_index("media_id").loc[did, "checksum"] == expect
+
+
+def test_multimodal_resize_real_codecs(spark, sf_dir):
+    """BMP/PPM/PNG payloads resize FOR REAL: decode → nearest-neighbor
+    → re-encode in the same format; the resized payload decodes to the
+    target dimensions and matches a driver-side resample bit-for-bit.
+    Audio (WAV) falls back to the byte-stride stub."""
+    import numpy as np
+
+    from data_eng_taxi_ibis_dagster_spark.operators.multimodal import (
+        _IMAGE_CODECS,
+        _nn_resample,
+        extract_features,
+        resize_media,
+        synthetic_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(16)
+    media = synthetic_media(docs)
+    small = resize_media(media, target_width=4, target_height=4)
+    feats = extract_features(small).toPandas()
+    img = feats[feats["mime"].str.startswith("image/")]
+    assert len(img) > 0
+    assert (img["width"] == 4).all() and (img["height"] == 4).all()
+    assert img["decode_error"].isna().all()
+    # bit-exact vs a driver-side decode → resample → re-encode
+    orig = media.toPandas().set_index("media_id")
+    got = small.toPandas().set_index("media_id")
+    for mid, row in orig.iterrows():
+        codec = _IMAGE_CODECS.get(row["mime"])
+        if codec is None:
+            continue
+        decode, encode = codec
+        expect = encode(_nn_resample(decode(bytes(row["payload"])), 4, 4))
+        assert bytes(got.loc[mid, "payload"]) == expect, (mid, row["mime"])
 
 
 def test_multimodal_resize_schema_preserving(spark, sf_dir):
