@@ -326,29 +326,39 @@ def simhash(df: DataFrame, *, id_col: str = "doc_id",
     )
 
 
-def simhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
-                           text_col: str = "text",
-                           max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup: 4×16-bit band candidates (any equal band ⇒
-    hamming ≤ 48, and by pigeonhole every pair with hamming ≤ 3 shares
-    ≥ one band), verified with an exact popcount. Emits
-    (doc_a, doc_b, hamming)."""
-    sh = simhash(df, id_col=id_col, text_col=text_col)
-    banded = sh.select(
+def hamming_band_pairs(sigs: DataFrame, *, id_col: str, sig_col: str,
+                       max_hamming: int, bands: int) -> DataFrame:
+    """Banded hamming near-dup join over a 64-bit signature column —
+    the shared core of SimHash (text) and pHash (image) dedup.
+
+    The 64 bits split into ``bands`` equal slices; any equal slice makes
+    a candidate pair, and an exact popcount verifies. By pigeonhole the
+    banding is COMPLETE for ``max_hamming ≤ bands - 1`` (a pair with
+    fewer differing bits than bands must agree on ≥ one whole band), so
+    callers must keep that inequality — asserted here. Arithmetic
+    shiftright + mask is sign-safe for every band. Emits
+    (doc_a, doc_b, hamming ≤ max_hamming)."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding incomplete: max_hamming={max_hamming} needs "
+            f"≥ {max_hamming + 1} bands, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sigs.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col).alias("_sig"),
         F.stack(
-            F.lit(4),
-            *[c for b in range(4) for c in (
+            F.lit(bands),
+            *[c for b in range(bands) for c in (
                 F.lit(b),
-                F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright(F.col(sig_col), b * width).bitwiseAND(F.lit(mask)),
             )],
         ).alias("band", "bucket"),
     )
     a = banded.select("band", "bucket", F.col(id_col).alias("doc_a"),
-                      F.col("simhash").alias("sh_a"))
+                      F.col("_sig").alias("sh_a"))
     b = banded.select("band", "bucket", F.col(id_col).alias("doc_b"),
-                      F.col("simhash").alias("sh_b"))
+                      F.col("_sig").alias("sh_b"))
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -357,3 +367,14 @@ def simhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup: 4×16-bit band candidates (pigeonhole-complete
+    for hamming ≤ 3), verified with an exact popcount. Emits
+    (doc_a, doc_b, hamming)."""
+    sh = simhash(df, id_col=id_col, text_col=text_col)
+    return hamming_band_pairs(sh, id_col=id_col, sig_col="simhash",
+                              max_hamming=max_hamming, bands=4)

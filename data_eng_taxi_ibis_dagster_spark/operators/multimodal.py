@@ -517,22 +517,27 @@ def _nn_resample(pixels: np.ndarray, th: int, tw: int) -> np.ndarray:
 
 
 def resize_media(media: DataFrame, *, target_width: int = 224,
-                 target_height: int = 224) -> DataFrame:
+                 target_height: int = 224,
+                 convert_to: str | None = None) -> DataFrame:
     """Payload-transforming resize stage, schema-preserving so it
     composes with any other media op.
 
-    Decodable 3-channel image formats (BMP/PPM/PNG) resize FOR REAL:
-    decode to pixels, nearest-neighbor resample to the target
-    dimensions, re-encode in the same format. Everything else — audio,
-    unknown formats, corrupt payloads — falls back to the deterministic
-    byte-stride decimation stub, so the stage never fails and never
-    grows a payload.
+    Decodable 3-channel image formats (BMP/PPM/PNG/JPEG) resize FOR
+    REAL: decode to pixels, nearest-neighbor resample to the target
+    dimensions, re-encode — in the same format, or in ``convert_to``'s
+    format when given (resize-and-normalize-format, the standard
+    training-pipeline preprocessing shape; the emitted ``mime`` column
+    reflects the conversion). Everything else — audio, unknown formats,
+    corrupt payloads — falls back to the deterministic byte-stride
+    decimation stub, so the stage never fails and never grows a payload.
 
     Output payloads shrink, so this is the stage to run EARLY in a 100 TB
     media pipeline — every byte dropped here is a byte not shuffled,
     cached, or Arrow-transferred by later stages.
     """
     target = max(1, target_width * target_height)
+    if convert_to is not None and convert_to not in _IMAGE_CODECS:
+        raise ValueError(f"no encoder for convert_to={convert_to!r}")
 
     def _byte_stub(raw: bytes) -> bytes:
         if len(raw) <= target:
@@ -540,35 +545,120 @@ def resize_media(media: DataFrame, *, target_width: int = 224,
         stride = len(raw) / target
         return bytes(raw[int(i * stride)] for i in range(target))
 
-    def _one(raw: bytes, mime: str) -> bytes:
+    def _one(raw: bytes, mime: str) -> tuple[bytes, str]:
         codec = _IMAGE_CODECS.get(mime)
         if codec is None:
-            return _byte_stub(raw)
+            return _byte_stub(raw), mime
         decode, encode = codec
+        out_mime = mime
+        if convert_to is not None:
+            encode = _IMAGE_CODECS[convert_to][1]
+            out_mime = convert_to
         try:
             pixels = decode(raw)
             if pixels.ndim != 3 or pixels.shape[2] != 3:
-                return _byte_stub(raw)  # gray/alpha: no 3-ch re-encoder
-            return encode(_nn_resample(pixels, target_height, target_width))
+                return _byte_stub(raw), mime  # gray/alpha: no 3-ch encoder
+            return (encode(_nn_resample(pixels, target_height, target_width)),
+                    out_mime)
         except Exception:  # corrupt payload — quarantine-grade fallback
-            return _byte_stub(raw)
+            return _byte_stub(raw), mime
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [
+            outs = [
                 _one(bytes(p) if p is not None else b"", m)
                 for p, m in zip(pdf["payload"], pdf["mime"])
             ]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "mime": pdf["mime"],
-                "payload": out,
+                "mime": [m for _, m in outs],
+                "payload": [p for p, _ in outs],
                 "meta_width": pd.array([target_width] * len(pdf), dtype="int32"),
                 "meta_height": pd.array([target_height] * len(pdf), dtype="int32"),
                 "meta_duration_ms": pdf["meta_duration_ms"],
             })
 
     return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash) — image near-dedup signature
+# ---------------------------------------------------------------------------
+
+def _dct_mat(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (generalizes operators/jpeg.py's 8×8)."""
+    k = np.arange(n)
+    d = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+    d *= np.sqrt(2.0 / n)
+    d[0, :] /= np.sqrt(2.0)
+    return d
+
+
+_DCT32 = _dct_mat(32)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Classic 64-bit DCT perceptual hash: grayscale → 32×32
+    nearest-neighbor resample → 2-D DCT → 8×8 low-frequency block →
+    bit per coefficient vs the median (DC excluded — it only encodes
+    global brightness). Visually similar images differ in few bits;
+    returned as a SIGNED 64-bit int so it rides a Spark LongType."""
+    gray = pixels.astype(np.float64).mean(axis=-1) if pixels.ndim == 3 \
+        else pixels.astype(np.float64)
+    g32 = _nn_resample(gray[..., None], 32, 32)[..., 0]
+    low = (_DCT32 @ g32 @ _DCT32.T)[:8, :8].reshape(-1)
+    med = float(np.median(low[1:]))
+    v = 0
+    for i in range(1, 64):
+        if low[i] > med:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """(media_id, phash) for every decodable image payload — Arrow
+    mapInPandas (the DCT is Python-side, the codec boundary); non-image
+    and corrupt payloads are dropped (they have no perceptual hash).
+    The compact (id, long) relation is what downstream banding
+    shuffles — payload bytes never leave this stage."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), False),
+    ])
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, mime, payload in zip(pdf["media_id"], pdf["mime"],
+                                          pdf["payload"]):
+                codec = _IMAGE_CODECS.get(mime)
+                if codec is None or payload is None:
+                    continue
+                try:
+                    pixels = codec[0](bytes(payload))
+                except Exception:
+                    continue  # corrupt → no signature (quarantine class)
+                ids.append(mid)
+                hashes.append(phash64(pixels))
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return media.mapInPandas(_hash, schema=out_schema)
+
+
+def phash_near_dup_pairs(media: DataFrame, *,
+                         max_hamming: int = 6) -> DataFrame:
+    """Image near-dedup: pHash signatures + the shared banded hamming
+    join (operators/dedup.py — 8×8-bit bands, pigeonhole-complete for
+    hamming ≤ 7, exact popcount verify). The image twin of SimHash text
+    dedup: same candidate-generation scale shape, signatures are
+    row-local, only (id, long) pairs shuffle."""
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    sigs = phash_media(media)
+    return hamming_band_pairs(sigs, id_col="media_id", sig_col="phash",
+                              max_hamming=max_hamming, bands=8)
 
 
 FRAME_SCHEMA = StructType([

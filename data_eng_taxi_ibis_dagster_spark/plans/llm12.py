@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_eng_taxi_ibis_dagster_spark.operators import bpe as B
+from data_eng_taxi_ibis_dagster_spark.operators import multimodal as M
 from data_eng_taxi_ibis_dagster_spark.operators import text as T
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
@@ -133,6 +134,40 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
              - F.col("n_seen_before").cast("double")
              / F.col("n_shingles").cast("double")).alias("novelty"),
         )
+    )
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=None,  # real image decode + DCT perceptual hash — not
+                  # SQL-expressible; fully deterministic (no RNG, fixed
+                  # tables, exact integer banding + popcount verify)
+    tags=("E10", "E13", "EXT"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dedup across formats and resolutions: the media
+    corpus is unioned with resized-and-PNG-normalized twins of every
+    image (resize_media with convert_to — the standard preprocessing
+    shape), each image gets a 64-bit DCT perceptual hash, and the
+    shared banded-hamming join (the SimHash core) emits near-dup pairs.
+    Every original must pair with its own twin (pHash is invariant to
+    NN resampling and lossless re-encode — including JPEG sources,
+    whose hash is computed from decoded pixels on both sides), proving
+    cross-format duplicate detection; unrelated noise textures sit at
+    hamming ≥ 8 on this fixture, outside the threshold. Signatures are
+    row-local; only (id, long) relations shuffle — at 100 TB the
+    payload bytes never leave the hashing stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthetic_media(docs)
+    twins = (
+        M.resize_media(media, target_width=32, target_height=32,
+                       convert_to="image/png")
+        .withColumn("media_id", F.col("media_id") + F.lit(1_000_000))
+    )
+    corpus = media.unionByName(twins)
+    return (
+        M.phash_near_dup_pairs(corpus, max_hamming=6)
+        .orderBy("doc_a", "doc_b")
     )
 
 

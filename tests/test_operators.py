@@ -305,6 +305,25 @@ def test_multimodal_resize_real_codecs(spark, sf_dir):
         assert bytes(got.loc[mid, "payload"]) == expect, (mid, row["mime"])
 
 
+def test_multimodal_phash_cross_format_dedup(spark, sf_dir):
+    """pHash image near-dedup: every original image must pair with its
+    resized-and-PNG-normalized twin at hamming 0 (the hash is invariant
+    to NN resampling + lossless re-encode, including JPEG sources), and
+    the banded join must emit nothing above the threshold."""
+    from data_eng_taxi_ibis_dagster_spark.plans.registry import get
+
+    pdf = get("multimodal_phash_dedup").builder(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    img_ids = [r[0] for r in docs.select("doc_id").collect() if r[0] % 5 != 2]
+    twin = pdf[pdf["doc_b"] - pdf["doc_a"] == 1_000_000]
+    assert set(twin["doc_a"]) == set(img_ids)  # completeness
+    assert (twin["hamming"] == 0).all()
+    assert (pdf["hamming"] <= 6).all()
+    # deterministic run-to-run
+    again = get("multimodal_phash_dedup").builder(spark, sf_dir).toPandas()
+    assert pdf.values.tolist() == again.values.tolist()
+
+
 def test_multimodal_resize_schema_preserving(spark, sf_dir):
     from data_eng_taxi_ibis_dagster_spark.operators.multimodal import (
         extract_features,
