@@ -661,6 +661,87 @@ def phash_near_dup_pairs(media: DataFrame, *,
                               max_hamming=max_hamming, bands=8)
 
 
+# ---------------------------------------------------------------------------
+# Audio spectral fingerprint — audio near-dedup signature
+# ---------------------------------------------------------------------------
+
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """64-bit spectral fingerprint (Haitsma-Kalker shape): two analysis
+    frames (the full clip and its first half — two spectral
+    resolutions), each folded into 33 LOG-spaced frequency bands (fine
+    low-frequency resolution, where real signals concentrate energy),
+    and each of the 2×32 bits is the sign of an adjacent band-energy
+    difference — robust to amplitude scaling (signs only). Deterministic:
+    no window function, no RNG; identical payloads hash identically.
+    Returned as a SIGNED 64-bit int for Spark LongType."""
+    x = samples.astype(np.float64)
+    if len(x) < 4:
+        return 0
+    v = 0
+    for f, frame in enumerate((x, x[:len(x) // 2])):
+        mag = np.abs(np.fft.rfft(frame))
+        power = mag * mag
+        edges = np.unique(np.geomspace(1, len(power), 34).astype(np.int64))
+        # geomspace can collapse low edges; pad to keep 34 boundaries
+        while len(edges) < 34:
+            edges = np.append(edges, edges[-1])
+        e = np.array([float(power[edges[i]:max(edges[i + 1], edges[i] + 1)].sum())
+                      for i in range(33)])
+        for b in range(32):
+            if e[b] > e[b + 1]:
+                v |= 1 << (f * 32 + b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_fingerprint_media(media: DataFrame) -> DataFrame:
+    """(media_id, afp) for every decodable audio payload — the audio
+    twin of :func:`phash_media`: signatures row-local in mapInPandas,
+    payload bytes never leave the stage."""
+    import io
+    import wave
+
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("afp", LongType(), False),
+    ])
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, mime, payload in zip(pdf["media_id"], pdf["mime"],
+                                          pdf["payload"]):
+                if payload is None or not mime.startswith("audio/"):
+                    continue
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+                        if wf.getsampwidth() != 2:
+                            continue
+                        samples = np.frombuffer(
+                            wf.readframes(wf.getnframes()), dtype="<i2")
+                except Exception:
+                    continue  # corrupt → no signature (quarantine class)
+                ids.append(mid)
+                fps.append(audio_fingerprint64(samples))
+            yield pd.DataFrame({"media_id": ids, "afp": fps})
+
+    return media.mapInPandas(_hash, schema=out_schema)
+
+
+def audio_near_dup_pairs(media: DataFrame, *,
+                         max_hamming: int = 5) -> DataFrame:
+    """Audio near-dedup via the shared banded-hamming join (8×8-bit
+    bands, pigeonhole-complete for hamming ≤ 7, exact popcount
+    verify) — the third member of the signature-dedup family after
+    SimHash (text) and pHash (image)."""
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    sigs = audio_fingerprint_media(media)
+    return hamming_band_pairs(sigs, id_col="media_id", sig_col="afp",
+                              max_hamming=max_hamming, bands=8)
+
+
 FRAME_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("frame_index", IntegerType(), False),

@@ -172,6 +172,31 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_dedup",
+    oracle=None,  # real WAV decode + FFT spectral fingerprint — not
+                  # SQL-expressible; fully deterministic (no window
+                  # function, no RNG, integer banding + popcount)
+    tags=("E10", "E13", "EXT"),
+)
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dedup: 64-bit spectral fingerprints (log-banded FFT
+    energy signs, Haitsma-Kalker shape — amplitude-invariant) over the
+    WAV payloads, joined through the same banded-hamming core as
+    SimHash (text) and pHash (image). The fixture's synthetic clips
+    repeat tone classes, so every same-class pair must surface at
+    hamming 0 (identical payloads ⇒ identical fingerprints), and
+    immediately-neighboring tones land within the tight threshold —
+    the three signature families prove one shared scale shape:
+    row-local signatures, (id, long) shuffles only."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthetic_media(docs)
+    return (
+        M.audio_near_dup_pairs(media, max_hamming=2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
     "bpe_encode_corpus",
     oracle=None,  # applies an iteratively-learned merge table — not
                   # SQL-expressible; deterministic (integer-count argmax

@@ -324,6 +324,35 @@ def test_multimodal_phash_cross_format_dedup(spark, sf_dir):
     assert pdf.values.tolist() == again.values.tolist()
 
 
+def test_multimodal_audio_fingerprint_dedup(spark, sf_dir):
+    """Audio spectral-fingerprint dedup: every same-tone-class WAV pair
+    (identical payloads by construction) surfaces at hamming 0; all
+    emitted pairs respect the threshold; deterministic run-to-run."""
+    import itertools
+
+    from data_eng_taxi_ibis_dagster_spark.plans.registry import get
+
+    pdf = get("multimodal_audio_dedup").builder(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wav_ids = [r[0] for r in docs.select("doc_id").collect() if r[0] % 5 == 2]
+    by_class: dict[int, list[int]] = {}
+    for d in wav_ids:
+        by_class.setdefault(d % 40, []).append(d)
+    expected_exact = {
+        (a, b)
+        for ids in by_class.values()
+        for a, b in itertools.combinations(sorted(ids), 2)
+    }
+    got = set(zip(pdf["doc_a"], pdf["doc_b"]))
+    assert expected_exact <= got  # completeness on identical payloads
+    exact = pdf[[(a, b) in expected_exact
+                 for a, b in zip(pdf["doc_a"], pdf["doc_b"])]]
+    assert (exact["hamming"] == 0).all()
+    assert (pdf["hamming"] <= 2).all()
+    again = get("multimodal_audio_dedup").builder(spark, sf_dir).toPandas()
+    assert pdf.values.tolist() == again.values.tolist()
+
+
 def test_multimodal_resize_schema_preserving(spark, sf_dir):
     from data_eng_taxi_ibis_dagster_spark.operators.multimodal import (
         extract_features,
