@@ -344,3 +344,113 @@ def kmeans_lloyd(df: DataFrame, *, vec_col: str = "embedding",
         .select(F.col("cluster").alias("cluster_id"),
                 "n_vectors", "min_vec_id", "sse")
     )
+
+
+# -- exact covariance sufficient statistics / PCA --------------------------
+
+def quantized_components(vec: str | Column, *, scale: int = 1_000_000) -> Column:
+    """Integer-quantized components: ``FLOOR(x·scale + 0.5)`` per
+    element — the order-independent exact-sum pattern of
+    ``agg_exact_linear_stats`` (plans/aggregates.py) lifted to vectors.
+    ``floor(+0.5)`` is round-half-up in Spark AND DuckDB (unlike
+    ``round``/``CAST``, whose half-way / truncation semantics differ),
+    so both engines see identical integers."""
+    return F.transform(
+        as_double(vec), lambda x: F.floor(x * scale + F.lit(0.5)))
+
+
+def covariance_sums(df: DataFrame, *, vec_col: str = "embedding",
+                    scale: int = 1_000_000) -> tuple[DataFrame, DataFrame]:
+    """Exact integer sufficient statistics of the d×d covariance matrix
+    in one corpus pass: ``pairs`` = (i, j, n_vec, sij) for the upper
+    triangle 1 ≤ i ≤ j ≤ d with sij = Σ qᵢqⱼ as decimal(38,0), and
+    ``dims`` = (i, n_vec, si) with si = Σ qᵢ.
+
+    Scale shape: the flattened upper-triangle outer product is built
+    row-locally (d(d+1)/2 structs per row, whole-stage codegen) and
+    exploded into the groupBy — Spark's map-side partial aggregation
+    collapses the explosion to d(d+1)/2 groups per partition before
+    the single shuffle, so the exchange carries ~#partitions · d²/2
+    rows regardless of corpus size. Products fit a long (|q| ≤
+    scale·|x| ⇒ |qᵢqⱼ| ≤ scale²) and accumulate as decimal(38,0), so
+    the sums stay exact far past 10^12 rows."""
+    q = quantized_components(vec_col, scale=scale)
+    d = F.size(q)
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), d),
+        lambda i: F.transform(
+            F.sequence(i, d),
+            lambda j: F.struct(
+                i.alias("i"), j.alias("j"),
+                (F.element_at(q, i) * F.element_at(q, j))
+                .cast("decimal(38,0)").alias("p"))),
+    ))
+    pairs = (
+        df.select(F.explode(pair_structs).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_vec"), F.sum("p").alias("sij"))
+    )
+    dim_structs = F.transform(
+        F.sequence(F.lit(1), d),
+        lambda i: F.struct(i.alias("i"),
+                           F.element_at(q, i).cast("decimal(38,0)")
+                           .alias("qv")))
+    dims = (
+        df.select(F.explode(dim_structs).alias("e"))
+        .select("e.i", "e.qv")
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("n_vec"), F.sum("qv").alias("si"))
+    )
+    return pairs, dims
+
+
+def pca_top_components(df: DataFrame, *, vec_col: str = "embedding",
+                       n_components: int = 2, scale: int = 1_000_000,
+                       iters: int = 500) -> tuple[list[list[float]], list[float], list[float]]:
+    """Top principal components of the embedding column via power
+    iteration with deflation. The DISTRIBUTED work is the single
+    covariance-statistics pass of :func:`covariance_sums`; only the
+    d×d matrix (d(d+1)/2 + d scalars — a bounded artifact, like
+    k-means centroids) ever reaches the driver, where the tiny
+    eigen-iteration runs in numpy. Deterministic: fixed start vector
+    (uniform 1/√d), fixed iteration count, no RNG.
+
+    Returns (components, eigenvalues, mean) — components are unit
+    vectors in original (un-quantized) units."""
+    import numpy as np
+
+    pairs, dims = covariance_sums(df, vec_col=vec_col, scale=scale)
+    dim_rows = dims.collect()
+    d = len(dim_rows)
+    n = int(dim_rows[0]["n_vec"])
+    s = np.zeros(d)
+    for r in dim_rows:
+        s[r["i"] - 1] = float(r["si"])
+    cov = np.zeros((d, d))
+    for r in pairs.collect():
+        i, j = r["i"] - 1, r["j"] - 1
+        c = (n * float(r["sij"]) - s[i] * s[j]) / (n * n) / (scale * scale)
+        cov[i, j] = cov[j, i] = c
+    mean = (s / n / scale).tolist()
+
+    comps: list[list[float]] = []
+    eigs: list[float] = []
+    work = cov.copy()
+    for _ in range(n_components):
+        v = np.full(d, 1.0 / np.sqrt(d))
+        for _ in range(iters):
+            v = work @ v
+            # re-orthogonalize against found components every step:
+            # deflation alone re-admits numerical leakage when the
+            # spectral gap is small (random embeddings are nearly
+            # isotropic), and Gram-Schmidt keeps it out
+            for c in comps:
+                cv = np.array(c)
+                v = v - (cv @ v) * cv
+            v = v / np.linalg.norm(v)
+        lam = float(v @ work @ v)
+        comps.append(v.tolist())
+        eigs.append(lam)
+        work = work - lam * np.outer(v, v)
+    return comps, eigs, mean

@@ -76,6 +76,7 @@ def _load_all() -> None:
         llm10,
         llm11,
         llm12,
+        llm13,
         semantics,
         tpch,
         windows2,

@@ -100,3 +100,33 @@ def test_simhash_finds_planted_dups(spark, sf_dir):
     recall = len(planted & pairs) / len(planted)
     # one appended token flips few bits; the near-total-overlap pairs dominate
     assert recall >= 0.5, f"simhash recall {recall:.2f}"
+
+
+def test_span_dedup_excises_planted_passage(spark):
+    """A boilerplate passage pasted into two otherwise-unique documents
+    must be detected window-exactly and cut from BOTH documents, while
+    a document without any shared k-token window is untouched."""
+    from data_eng_taxi_ibis_dagster_spark.plans.llm13 import (
+        SPAN_K,
+        _cov_array,
+        _doc_spans,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(SPAN_K + 4))  # 20 tokens
+    u1 = " ".join(f"u{i}" for i in range(30))
+    u2 = " ".join(f"v{i}" for i in range(30))
+    u3 = " ".join(f"w{i}" for i in range(40))
+    docs = from_rows(
+        spark,
+        [(1, f"{u1} {boiler}"), (2, f"{boiler} {u2}"), (3, u3)],
+        ["doc_id", "text"],
+    )
+    spans = _doc_spans(docs, SPAN_K)
+    out = {r["doc_id"]: r for r in
+           spans.select("doc_id", "dup_windows",
+                        _cov_array(SPAN_K).alias("cov")).collect()}
+    # the pasted passage spans positions 31..50 in doc 1, 1..20 in doc 2
+    assert out[1]["dup_windows"] == 5 and out[2]["dup_windows"] == 5
+    assert sorted(out[1]["cov"]) == list(range(31, 51))
+    assert sorted(out[2]["cov"]) == list(range(1, 21))
+    assert out[3]["dup_windows"] == 0 and out[3]["cov"] == []

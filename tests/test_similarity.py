@@ -46,3 +46,52 @@ def test_ann_srp_recall_vs_exact(spark, sf_dir):
     merged = approx.merge(exact, on=["query_id", "match_id"],
                           suffixes=("_a", "_e"))
     assert (merged["cosine_sim_a"] == merged["cosine_sim_e"]).all()
+
+
+def test_pca_spectral_properties(spark, sf_dir):
+    """Power iteration must recover genuine eigenpairs of the exact
+    covariance: Cv ≈ λv, components orthonormal, λ1 ≥ λ2 ≥ max
+    diagonal-variance-after-deflation, and the projected scores'
+    population variance equals the eigenvalue."""
+    import numpy as np
+
+    from data_eng_taxi_ibis_dagster_spark.operators.similarity import (
+        covariance_sums,
+        pca_top_components,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, eigs, mean = pca_top_components(emb, n_components=2)
+    v1, v2 = np.array(comps[0]), np.array(comps[1])
+    assert abs(np.linalg.norm(v1) - 1) < 1e-9
+    assert abs(np.linalg.norm(v2) - 1) < 1e-9
+    assert abs(v1 @ v2) < 1e-6
+    assert eigs[0] >= eigs[1] > 0
+
+    # rebuild the covariance matrix the same way the operator does
+    pairs, dims = covariance_sums(emb)
+    drows = dims.collect()
+    d, n = len(drows), int(drows[0]["n_vec"])
+    s = np.zeros(d)
+    for r in drows:
+        s[r["i"] - 1] = float(r["si"])
+    cov = np.zeros((d, d))
+    for r in pairs.collect():
+        i, j = r["i"] - 1, r["j"] - 1
+        cov[i, j] = cov[j, i] = (
+            (n * float(r["sij"]) - s[i] * s[j]) / (n * n) / 1e12)
+    # eigenpair residual
+    assert np.linalg.norm(cov @ v1 - eigs[0] * v1) < 1e-6 * max(eigs[0], 1)
+    # top eigenvalue dominates every single-dimension variance
+    assert eigs[0] >= cov.diagonal().max() - 1e-12
+
+    # projected population variance == eigenvalue (PCA's defining prop)
+    from data_eng_taxi_ibis_dagster_spark.plans.llm13 import (
+        embedding_pca_project,
+    )
+    proj = embedding_pca_project(spark, sf_dir).toPandas()
+    assert abs(proj["pc1"].var(ddof=0) - eigs[0]) < 1e-6 * eigs[0] + 1e-9
+    assert abs(proj["pc2"].var(ddof=0) - eigs[1]) < 1e-6 * eigs[1] + 1e-9
+    # deterministic: a second build must produce identical components
+    comps2, eigs2, _ = pca_top_components(emb, n_components=2)
+    assert comps2 == comps and eigs2 == eigs
