@@ -344,3 +344,213 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(eigs[0]).alias("eig1"),
         F.lit(eigs[1]).alias("eig2"),
     )
+
+
+_ANCHOR_COS = S.sql_cosine("a.avec", "e.embedding")
+
+
+@query(
+    "contrastive_pair_mining",
+    oracle=f"""
+        WITH anchors AS (
+            SELECT vec_id AS anchor_id, label AS anchor_label,
+                   embedding AS avec
+            FROM embeddings WHERE vec_id % 10 = 0
+        ),
+        cand AS (
+            SELECT a.anchor_id, a.anchor_label, e.vec_id AS match_id,
+                   e.label AS match_label,
+                   {_ANCHOR_COS} AS sim
+            FROM anchors a, embeddings e
+            WHERE e.vec_id <> a.anchor_id
+        ),
+        pos AS (
+            SELECT anchor_id, match_id AS pos_id, sim AS pos_sim
+            FROM cand WHERE match_label = anchor_label
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY anchor_id ORDER BY sim DESC, match_id) = 1
+        ),
+        neg AS (
+            SELECT anchor_id, match_id AS neg_id, sim AS neg_sim
+            FROM cand WHERE match_label <> anchor_label
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY anchor_id ORDER BY sim DESC, match_id) = 1
+        )
+        SELECT a.anchor_id, a.anchor_label,
+               p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+               p.pos_sim - n.neg_sim AS margin
+        FROM anchors a JOIN pos p USING (anchor_id)
+                       JOIN neg n USING (anchor_id)
+    """,
+    tags=("E11", "EXT"),
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-learning pair mining over the embedding corpus: for
+    every anchor, the hardest positive (most-similar vector of the SAME
+    label, excluding itself) and the hardest negative (most-similar
+    vector of a DIFFERENT label), plus the triplet margin — the data
+    op behind hard-negative mining for retrieval/embedding training.
+
+    Scale shape: the anchor set is the broadcast side (here a 10%%
+    systematic probe; in production the per-batch anchor set), the
+    corpus streams through one pass, and WindowGroupLimit keeps one
+    row per (anchor, branch) per partition — the same brute-force-
+    by-design baseline as ``similarity_cosine_topk``; the SRP/IVF
+    bucketed paths are the registered 100 TB variants. Cosine is the
+    sequential-fold dot product, bit-identical to DuckDB."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = (emb.filter(F.col("vec_id") % 10 == 0)
+               .select(F.col("vec_id").alias("anchor_id"),
+                       F.col("label").alias("anchor_label"),
+                       F.col("embedding").alias("avec")))
+    cand = (
+        F.broadcast(anchors).crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select("anchor_id", "anchor_label",
+                F.col("vec_id").alias("match_id"),
+                F.col("label").alias("match_label"),
+                S.cosine(S.as_double("avec"), S.as_double("embedding"))
+                .alias("sim"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("match_id"))
+    pos = (cand.filter(F.col("match_label") == F.col("anchor_label"))
+           .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+           .select("anchor_id", F.col("match_id").alias("pos_id"),
+                   F.col("sim").alias("pos_sim")))
+    neg = (cand.filter(F.col("match_label") != F.col("anchor_label"))
+           .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+           .select("anchor_id", F.col("match_id").alias("neg_id"),
+                   F.col("sim").alias("neg_sim")))
+    return (
+        anchors.select("anchor_id", "anchor_label")
+        .join(pos, "anchor_id").join(neg, "anchor_id")
+        .select("anchor_id", "anchor_label", "pos_id", "pos_sim",
+                "neg_id", "neg_sim",
+                (F.col("pos_sim") - F.col("neg_sim")).alias("margin"))
+    )
+
+
+#: CDC boundary probability 1/8 (first md5 hex digit ∈ {0,1}) → mean
+#: chunk length 8 tokens; chunks shorter than this are too collision-
+#: prone on a small vocabulary to witness duplication.
+_CDC_MIN_LEN = 4
+
+_CDC_CTES = f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ),
+        b AS (
+            SELECT doc_id, t,
+                   list_filter(generate_series(1, len(t)),
+                               p -> substr(md5(t[p]), 1, 1) IN ('0','1')
+                                    OR p = len(t)) AS bounds
+            FROM toks
+        ),
+        chunks AS (
+            SELECT doc_id, t,
+                   unnest(list_transform(bounds,
+                       (e, j) -> struct_pack(
+                           s := CASE WHEN j = 1 THEN 1
+                                     ELSE bounds[j-1] + 1 END,
+                           e := e))) AS ch
+            FROM b
+        ),
+        cc AS (
+            SELECT doc_id, ch.e - ch.s + 1 AS ln,
+                   array_to_string(t[ch.s:ch.e], ' ') AS ctext
+            FROM chunks
+            WHERE ch.e - ch.s + 1 >= {_CDC_MIN_LEN}
+        ),
+        cnt AS (SELECT ctext, COUNT(*) AS c FROM cc GROUP BY ctext),
+        stats AS (
+            SELECT doc_id, COUNT(*) AS n_chunks,
+                   SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS dup_chunks,
+                   SUM(CASE WHEN c >= 2 THEN ln ELSE 0 END)
+                       AS dup_chunk_tokens
+            FROM cc JOIN cnt USING (ctext)
+            GROUP BY doc_id
+        )
+"""
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=_CDC_CTES + """
+        SELECT t.doc_id,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(s.n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(COALESCE(s.dup_chunks, 0) AS BIGINT) AS dup_chunks,
+               CAST(COALESCE(s.dup_chunk_tokens, 0) AS BIGINT)
+                   AS dup_chunk_tokens
+        FROM toks t LEFT JOIN stats s USING (doc_id)
+    """,
+    tags=("E10", "E12", "EXT"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup: chunk boundaries are placed
+    where the token's own md5 starts with hex 0 or 1 (p = 1/8 → mean
+    chunk 8 tokens), so an insertion or deletion only perturbs its OWN
+    chunk — unlike fixed windows, the chunking re-synchronizes
+    immediately after the edit (the rsync/LBFS property, the standard
+    storage-dedup complement to Lee-et-al window dedup). Chunks of ≥ 4
+    tokens are counted globally and every document reports how many of
+    its chunks (and how many tokens inside them) occur elsewhere.
+
+    Scale shape: chunking is entirely row-local higher-order array
+    math (no shuffle), the global chunk count is the one shuffle on
+    the chunk text key, and the md5 boundary rule is engine-portable —
+    the oracle mirrors it call for call."""
+    d = load_table(spark, sf_dir, "documents")
+    w1 = d.select("doc_id", _toks().alias("t"))
+    n = F.size(F.col("t"))
+    w2 = w1.select(
+        "doc_id", "t",
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda p: F.substring(F.md5(F.element_at(F.col("t"), p)), 1, 1)
+            .isin("0", "1") | (p == n),
+        ).alias("bounds"))
+    # Spark transform lambda indices are 0-based (DuckDB's are 1-based):
+    # j == 0 is the first chunk; element_at(bounds, j) is the previous
+    # boundary for j ≥ 1.
+    chunk_structs = F.transform(
+        F.col("bounds"),
+        lambda e, j: F.struct(
+            F.when(j == 0, F.lit(1))
+            .otherwise(F.element_at(F.col("bounds"), j) + 1).alias("s"),
+            e.alias("e")))
+    cc = (
+        w2.select("doc_id", "t", F.explode(chunk_structs).alias("ch"))
+        .select("doc_id",
+                (F.col("ch.e") - F.col("ch.s") + 1).alias("ln"),
+                F.array_join(
+                    F.slice(F.col("t"), F.col("ch.s"),
+                            F.col("ch.e") - F.col("ch.s") + 1), " ")
+                .alias("ctext"))
+        .filter(F.col("ln") >= _CDC_MIN_LEN)
+    )
+    cnt = cc.groupBy("ctext").agg(F.count(F.lit(1)).alias("c"))
+    stats = (
+        cc.join(cnt, "ctext")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+             .alias("dup_chunks"),
+             F.sum(F.when(F.col("c") >= 2, F.col("ln")).otherwise(0))
+             .alias("dup_chunk_tokens"))
+    )
+    base = w1.select("doc_id", F.size(F.col("t")).cast("long")
+                     .alias("n_tokens"))
+    return (
+        base.join(stats, "doc_id", "left")
+        .select("doc_id", "n_tokens",
+                F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long")
+                .alias("n_chunks"),
+                F.coalesce(F.col("dup_chunks"), F.lit(0)).cast("long")
+                .alias("dup_chunks"),
+                F.coalesce(F.col("dup_chunk_tokens"), F.lit(0)).cast("long")
+                .alias("dup_chunk_tokens"))
+    )

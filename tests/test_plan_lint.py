@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "textrank_keywords",           # pagerank: 1-row dangling-mass scalar join per iter
     "pagerank_cooccurrence",       # same pagerank 1-row dangling-mass scalar join
     "bpe_learn_merges",            # 1-row vocab-stats scalar join onto the merge table
+    "contrastive_pair_mining",     # brute-force cosine, anchor probe set broadcast
 }
 
 #: Tags whose queries may cross the JVM→Python boundary.
