@@ -77,6 +77,7 @@ def _load_all() -> None:
         llm11,
         llm12,
         llm13,
+        llm14,
         semantics,
         tpch,
         windows2,
