@@ -121,6 +121,7 @@ _SPAN_CTES = f"""
 
 @query(
     "dedup_span_windows",
+    bench=True,
     oracle=_SPAN_CTES + """
         SELECT t.doc_id,
                CAST(len(t.t) AS BIGINT) AS n_tokens,
@@ -267,6 +268,7 @@ _COV_SQL = """
 
 @query(
     "embedding_covariance",
+    bench=True,
     oracle=_COV_SQL,
     tags=("E8", "E11", "EXT"),
 )
