@@ -366,41 +366,54 @@ def covariance_sums(df: DataFrame, *, vec_col: str = "embedding",
     triangle 1 ≤ i ≤ j ≤ d with sij = Σ qᵢqⱼ as decimal(38,0), and
     ``dims`` = (i, n_vec, si) with si = Σ qᵢ.
 
-    Scale shape: the flattened upper-triangle outer product is built
-    row-locally (d(d+1)/2 structs per row, whole-stage codegen) and
-    exploded into the groupBy — Spark's map-side partial aggregation
-    collapses the explosion to d(d+1)/2 groups per partition before
-    the single shuffle, so the exchange carries ~#partitions · d²/2
-    rows regardless of corpus size. Products fit a long (|q| ≤
-    scale·|x| ⇒ |qᵢqⱼ| ≤ scale²) and accumulate as decimal(38,0), so
-    the sums stay exact far past 10^12 rows."""
-    q = quantized_components(vec_col, scale=scale)
-    d = F.size(q)
-    pair_structs = F.flatten(F.transform(
-        F.sequence(F.lit(1), d),
-        lambda i: F.transform(
-            F.sequence(i, d),
-            lambda j: F.struct(
-                i.alias("i"), j.alias("j"),
-                (F.element_at(q, i) * F.element_at(q, j))
-                .cast("decimal(38,0)").alias("p"))),
-    ))
+    The O(n·d²) multiply-add kernel runs as an Arrow-batched integer
+    GEMM (``QᵀQ`` in int64 numpy per batch) — the dense-linear-algebra
+    boundary where a vectorized kernel beats row-expression codegen by
+    orders of magnitude (the first JVM formulation exploded n·d²/2
+    struct rows through a hash aggregate: 46 s vs ~1 s at sf0.1 for
+    d=64). Each batch emits ONE d(d+1)/2-row partial, so the exchange
+    carries (#batches)·d²/2 rows regardless of corpus size — partial
+    aggregation happens inside the kernel, not the hash map. Exactness
+    is unchanged: the quantization ``floor(x·scale + 0.5)`` is the same
+    IEEE op in numpy as in SQL, per-batch int64 sums cannot overflow
+    (|qᵢqⱼ| ≤ scale² = 10¹², Arrow batches ≤ ~10⁴ rows), and
+    cross-batch accumulation is decimal(38,0) — order-independent far
+    past 10^12 rows."""
+    import numpy as np
+    import pandas as pd
+
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(x * scale + 0.5).astype(np.int64)
+            n, d = q.shape
+            g = q.T @ q
+            iu, ju = np.triu_indices(d)
+            s = q.sum(axis=0)
+            yield pd.DataFrame({
+                "kind": np.concatenate([np.zeros(len(iu), np.int32),
+                                        np.ones(d, np.int32)]),
+                "i": np.concatenate([iu + 1, np.arange(1, d + 1)]),
+                "j": np.concatenate([ju + 1, np.zeros(d, np.int64)]),
+                "n": np.full(len(iu) + d, n, np.int64),
+                "v": np.concatenate([g[iu, ju], s]),
+            })
+
+    parts = df.select(vec_col).mapInPandas(
+        _partials, "kind int, i long, j long, n long, v long")
     pairs = (
-        df.select(F.explode(pair_structs).alias("e"))
-        .select("e.i", "e.j", "e.p")
+        parts.filter(F.col("kind") == 0)
         .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("n_vec"), F.sum("p").alias("sij"))
+        .agg(F.sum("n").alias("n_vec"),
+             F.sum(F.col("v").cast("decimal(38,0)")).alias("sij"))
     )
-    dim_structs = F.transform(
-        F.sequence(F.lit(1), d),
-        lambda i: F.struct(i.alias("i"),
-                           F.element_at(q, i).cast("decimal(38,0)")
-                           .alias("qv")))
     dims = (
-        df.select(F.explode(dim_structs).alias("e"))
-        .select("e.i", "e.qv")
+        parts.filter(F.col("kind") == 1)
         .groupBy("i")
-        .agg(F.count(F.lit(1)).alias("n_vec"), F.sum("qv").alias("si"))
+        .agg(F.sum("n").alias("n_vec"),
+             F.sum(F.col("v").cast("decimal(38,0)")).alias("si"))
     )
     return pairs, dims
 

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_eng_taxi_ibis_dagster_spark.operators import similarity as S
+from data_eng_taxi_ibis_dagster_spark.operators.dedup import _right_size
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 
@@ -58,9 +59,13 @@ def _windows(d: DataFrame, k: int) -> DataFrame:
         F.size(t) >= k, F.sequence(F.lit(1), F.size(t) - k + 1)
     ).otherwise(F.array().cast("array<int>"))
     return (
-        d.select("doc_id", t.alias("t"), F.explode(starts).alias("s"))
+        _right_size(d).select("doc_id", t.alias("t"),
+                              F.explode(starts).alias("s"))
+        # shuffle the 32-byte md5 fingerprint, not the ~100-byte window
+        # text — the oracle hashes identically, so counts (and any
+        # astronomically unlikely collision) mirror exactly
         .select("doc_id", "s",
-                F.array_join(F.slice(F.col("t"), F.col("s"), k), " ")
+                F.md5(F.array_join(F.slice(F.col("t"), F.col("s"), k), " "))
                 .alias("w"))
     )
 
@@ -270,7 +275,7 @@ _COV_SQL = """
     "embedding_covariance",
     bench=True,
     oracle=_COV_SQL,
-    tags=("E8", "E11", "EXT"),
+    tags=("E8", "E11", "E15", "EXT"),
 )
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact covariance and Pearson correlation of every embedding
@@ -322,7 +327,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                   # embedding_covariance, and pytest pins the spectral
                   # properties (Rayleigh quotient, orthogonality,
                   # projection variance ≈ eigenvalue)
-    tags=("E11", "EXT"),
+    tags=("E11", "E15", "EXT"),
 )
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding corpus onto its top-2 principal
@@ -462,7 +467,7 @@ _CDC_CTES = f"""
         ),
         cc AS (
             SELECT doc_id, ch.e - ch.s + 1 AS ln,
-                   array_to_string(t[ch.s:ch.e], ' ') AS ctext
+                   md5(array_to_string(t[ch.s:ch.e], ' ')) AS ctext
             FROM chunks
             WHERE ch.e - ch.s + 1 >= {_CDC_MIN_LEN}
         ),
@@ -506,7 +511,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chunk text key, and the md5 boundary rule is engine-portable —
     the oracle mirrors it call for call."""
     d = load_table(spark, sf_dir, "documents")
-    w1 = d.select("doc_id", _toks().alias("t"))
+    w1 = _right_size(d).select("doc_id", _toks().alias("t"))
     n = F.size(F.col("t"))
     w2 = w1.select(
         "doc_id", "t",
@@ -528,9 +533,9 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         w2.select("doc_id", "t", F.explode(chunk_structs).alias("ch"))
         .select("doc_id",
                 (F.col("ch.e") - F.col("ch.s") + 1).alias("ln"),
-                F.array_join(
+                F.md5(F.array_join(
                     F.slice(F.col("t"), F.col("ch.s"),
-                            F.col("ch.e") - F.col("ch.s") + 1), " ")
+                            F.col("ch.e") - F.col("ch.s") + 1), " "))
                 .alias("ctext"))
         .filter(F.col("ln") >= _CDC_MIN_LEN)
     )

@@ -78,6 +78,7 @@ def _load_all() -> None:
         llm12,
         llm13,
         llm14,
+        runtime_filters,
         semantics,
         tpch,
         windows2,

@@ -1,0 +1,72 @@
+"""Runtime-filter joins: the explicit bloom pre-filter.
+
+At 100 TB the dominant join cost is shuffling the fact side; when the
+build side is selective, a runtime filter applied at the SCAN cuts the
+shuffled volume by the build side's selectivity before any exchange.
+Spark injects these only under optimizer heuristics — this module
+makes the technique a first-class, auditable operator
+(operators/bloom.py) and proves exactness by letting the exact
+semi-join remove the bloom's false positives: the registered result is
+bit-identical to the plain join, which is precisely what makes it
+strictly oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.functions.exact import dsum
+from data_eng_taxi_ibis_dagster_spark.operators import bloom as B
+from data_eng_taxi_ibis_dagster_spark.plans.registry import query
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+_BUILD_FILTER = "o_orderpriority = '1-URGENT' AND o_totalprice > 150000"
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+        SELECT l.l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        WHERE l.l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE {_BUILD_FILTER})
+        GROUP BY l.l_returnflag
+    """,
+    tags=("E1", "EXT"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by return flag for line items of urgent high-value orders,
+    executed as a bloom-runtime-filtered semi-join: the selective build
+    side (≈14%% of orders) aggregates into a fixed 128 Kibit bitmap
+    (≤ 2,048-row exchange, 16 KiB driver artifact), every lineitem row
+    is probed ROW-LOCALLY against the broadcast-literal bitmap before
+    the shuffle, and the exact semi-join then removes the bloom's false
+    positives — so the result is bit-identical to the plain semi-join
+    the oracle runs, while the fact side's shuffle volume shrinks to
+    roughly the build-side selectivity. The hand-built analog of
+    Spark's injected bloom runtime filter, made explicit and
+    plan-auditable."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey")
+    bitmap = B.build_bloom(keys, "o_orderkey")
+    pre = li.filter(B.might_contain(bitmap, F.col("l_orderkey")))
+    survivors = pre.join(
+        F.broadcast(keys),
+        pre["l_orderkey"] == keys["o_orderkey"],
+        "left_semi",
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        survivors
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             dsum(rev, 4).alias("revenue"))
+    )

@@ -375,3 +375,24 @@ def test_multimodal_resize_schema_preserving(spark, sf_dir):
     # composes with feature extraction
     feats = extract_features(small).toPandas()
     assert (feats["n_bytes"] <= 64).all()
+
+
+def test_bloom_filter_no_false_negatives_and_prunes(spark):
+    """The bloom pre-filter must pass EVERY build key (no false
+    negatives — exactness depends on it) and actually prune: the
+    false-positive rate at the design load factor stays well under the
+    ~8% analytic bound for m=2^17, k=3, n=2000."""
+    from data_eng_taxi_ibis_dagster_spark.operators.bloom import (
+        build_bloom,
+        might_contain,
+    )
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import from_rows
+
+    keys = from_rows(spark, [(i,) for i in range(2000)], ["k"])
+    bitmap = build_bloom(keys, "k")
+    probe = from_rows(spark, [(i,) for i in range(20000)], ["k"])
+    hits = (probe.filter(might_contain(bitmap, F.col("k")))
+            .toPandas()["k"].tolist())
+    assert set(range(2000)) <= set(hits)          # no false negatives
+    fp = (len(hits) - 2000) / 18000
+    assert fp < 0.08, f"false-positive rate {fp:.3f}"
