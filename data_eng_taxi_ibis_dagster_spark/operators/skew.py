@@ -79,3 +79,29 @@ def count_exchanges(df: DataFrame) -> int:
     plan = plan.split("== Initial Plan ==")[0]
     return sum(1 for line in plan.splitlines()
                if "Exchange" in line and "BroadcastExchange" not in line)
+
+
+def salted_join(big: DataFrame, small: DataFrame, big_key: str,
+                small_key: str, *, salt: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join: the big side gets a deterministic row-level
+    salt in [0, salt) (hash of the whole row, like :func:`salted_agg`),
+    the small side replicates ``salt``× via explode, and the join runs
+    on (key, salt) — a hot key's rows spread across ``salt`` reducer
+    tasks instead of one straggler. AQE's skew-join split covers the
+    plain sort-merge case at runtime; the explicit salt is for shapes
+    AQE can't rewrite (skew reappearing after an intermediate
+    aggregation, or when the join must stay deterministic under a
+    disabled-AQE audit). Exactness: salting is a pure partitioning
+    trick — every (big row, small row) key match still meets exactly
+    once, on the big row's own salt value."""
+    b = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+               F.lit(salt)).cast("int"))
+    s = small.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    joined = b.join(
+        s, (b[big_key] == s[small_key]) & (b["_salt"] == s["_salt"]), how)
+    return joined.drop("_salt")

@@ -561,3 +561,99 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("dup_chunk_tokens"), F.lit(0)).cast("long")
                 .alias("dup_chunk_tokens"))
     )
+
+
+#: Winnowing parameters: k-gram length and window of consecutive gram
+#: hashes; density of selected fingerprints ≈ 2/(w+1).
+_WIN_K = 8
+_WIN_W = 4
+
+_WINNOW_CTES = f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, len(t) - {_WIN_K} + 1),
+                       i -> md5(array_to_string(t[i:i+{_WIN_K - 1}], ' ')))
+                       AS h
+            FROM toks
+        ),
+        sels AS (
+            SELECT doc_id,
+                   CASE WHEN len(h) >= {_WIN_W}
+                        THEN list_distinct(list_transform(
+                            generate_series(1, len(h) - {_WIN_W} + 1),
+                            j -> list_min(h[j:j+{_WIN_W - 1}])))
+                        ELSE list_distinct(h) END AS fps
+            FROM h
+        ),
+        fp AS (SELECT doc_id, unnest(fps) AS f FROM sels),
+        cnt AS (SELECT f, COUNT(*) AS c FROM fp GROUP BY f)
+"""
+
+
+@query(
+    "fingerprint_winnowing",
+    oracle=_WINNOW_CTES + """
+        SELECT s.doc_id,
+               CAST(len(s.fps) AS BIGINT) AS n_fingerprints,
+               CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS shared_fingerprints
+        FROM sels s
+        LEFT JOIN fp ON fp.doc_id = s.doc_id
+        LEFT JOIN cnt ON cnt.f = fp.f
+        GROUP BY s.doc_id, len(s.fps)
+    """,
+    tags=("E10", "E12", "EXT"),
+)
+def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken —
+    the MOSS plagiarism-detection scheme): hash every k-gram, slide a
+    w-window over the hash sequence, keep the minimum hash of each
+    window — guaranteeing any shared run of ≥ w+k-1 tokens shares at
+    least one selected fingerprint, at ~2/(w+1) the storage of full
+    k-gram sets. Emits per-doc selected-fingerprint counts and how
+    many are shared with other documents.
+
+    Scale shape: gram hashing and window-min selection are row-local
+    higher-order array ops (hash ORDER is lexicographic over md5 hex —
+    identical in both engines, so selection mirrors exactly); only the
+    selected fingerprints (a ~2/(w+1) sample) explode into the one
+    corpus shuffle — winnowing IS the shuffle reducer."""
+    d = load_table(spark, sf_dir, "documents")
+    t = _toks()
+    n = F.size(t)
+    grams = F.when(
+        n >= _WIN_K,
+        F.transform(
+            F.sequence(F.lit(1), n - _WIN_K + 1),
+            lambda i: F.md5(F.array_join(F.slice(t, i, _WIN_K), " "))),
+    ).otherwise(F.array().cast("array<string>"))
+    base = _right_size(d).select("doc_id", grams.alias("h"))
+    m = F.size(F.col("h"))
+    sels = base.select(
+        "doc_id",
+        F.when(
+            m >= _WIN_W,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), m - _WIN_W + 1),
+                lambda j: F.array_min(F.slice(F.col("h"), j, _WIN_W)))),
+        ).otherwise(F.array_distinct(F.col("h"))).alias("fps"))
+    fp = sels.select("doc_id", F.explode("fps").alias("f"))
+    cnt = fp.groupBy("f").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        fp.join(cnt, "f")
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+             .alias("shared_fingerprints"))
+    )
+    return (
+        sels.select("doc_id", F.size("fps").cast("long")
+                    .alias("n_fingerprints"))
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", "n_fingerprints",
+                F.coalesce(F.col("shared_fingerprints"), F.lit(0))
+                .cast("long").alias("shared_fingerprints"))
+    )

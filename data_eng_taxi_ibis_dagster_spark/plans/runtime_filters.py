@@ -70,3 +70,40 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_items"),
              dsum(rev, 4).alias("revenue"))
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+        SELECT p.p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """,
+    tags=("E1", "EXT"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by part brand through an explicitly SALTED fact-dim
+    join (operators/skew.py:salted_join): the lineitem side carries a
+    deterministic row-hash salt, the part side replicates salt× via
+    explode, and the join key becomes (partkey, salt) — so if one part
+    went hot (the canonical skew scenario this query pins the plan
+    shape for), its rows split across `salt` reducers instead of one
+    straggler task. Salting is partitioning-only, so the result — and
+    the oracle — is the plain join, bit-for-bit (decimal-exact
+    revenue). Completes the skew toolkit next to `agg_salted_hot_key`
+    (aggregation salt) and AQE's runtime skew split."""
+    from data_eng_taxi_ibis_dagster_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        salted_join(li, part, "l_partkey", "p_partkey")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             dsum(rev, 4).alias("revenue"))
+    )

@@ -130,3 +130,32 @@ def test_span_dedup_excises_planted_passage(spark):
     assert sorted(out[1]["cov"]) == list(range(31, 51))
     assert sorted(out[2]["cov"]) == list(range(1, 21))
     assert out[3]["dup_windows"] == 0 and out[3]["cov"] == []
+
+
+def test_winnowing_guarantee_on_shared_run(spark, tmp_path):
+    """Winnowing's defining guarantee: two documents sharing a token
+    run of length ≥ w + k - 1 must share at least one selected
+    fingerprint; fully disjoint documents share none."""
+    import os
+
+    from data_eng_taxi_ibis_dagster_spark.plans.llm13 import (
+        _WIN_K,
+        _WIN_W,
+        fingerprint_winnowing,
+    )
+
+    run = " ".join(f"s{i}" for i in range(_WIN_W + _WIN_K - 1))
+    docs = [
+        (1, " ".join(f"a{i}" for i in range(20)) + " " + run),
+        (2, run + " " + " ".join(f"b{i}" for i in range(20))),
+        (3, " ".join(f"c{i}" for i in range(30))),
+    ]
+    sf = str(tmp_path / "winnow")
+    os.makedirs(sf)
+    from_rows(spark, docs, ["doc_id", "text"]) \
+        .write.parquet(os.path.join(sf, "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           fingerprint_winnowing(spark, sf).collect()}
+    assert out[1]["shared_fingerprints"] >= 1
+    assert out[2]["shared_fingerprints"] >= 1
+    assert out[3]["shared_fingerprints"] == 0
