@@ -333,6 +333,11 @@ from data_eng_taxi_ibis_dagster_spark.operators.jpeg import (  # noqa: E402
     encode_jpeg,
     jpeg_pixels,
 )
+from data_eng_taxi_ibis_dagster_spark.operators.gif import (  # noqa: E402
+    decode_gif,
+    encode_gif,
+    gif_pixels,
+)
 
 #: mime → real decoder for formats needing no external codec library.
 _DECODERS = {
@@ -340,6 +345,7 @@ _DECODERS = {
     "image/x-portable-pixmap": decode_ppm,
     "image/png": decode_png,
     "image/jpeg": decode_jpeg,
+    "image/gif": decode_gif,
     "audio/wav": decode_wav,
     "audio/x-wav": decode_wav,
 }
@@ -430,7 +436,8 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
 def synthetic_media(docs: DataFrame, *, image_side: int = 16,
                     wav_samples: int = 800) -> DataFrame:
     """Deterministic REAL media payloads derived from the documents
-    table: doc_id mod 5 picks BMP / PPM / WAV / PNG / JPEG, pixel and
+    table: doc_id mod 6 picks BMP / PPM / WAV / PNG / JPEG / GIF (the
+    GIF class generates grayscale so its palette is exact), pixel and
     sample values are seeded from the doc_id (no RNG), and every
     payload round-trips through the real encoders above — so the decode
     path is exercised end-to-end on genuine format bytes (PNG's
@@ -443,6 +450,7 @@ def synthetic_media(docs: DataFrame, *, image_side: int = 16,
         1: ("image/x-portable-pixmap", encode_ppm),
         3: ("image/png", encode_png),
         4: ("image/jpeg", encode_jpeg),
+        5: ("image/gif", encode_gif),
     }
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -452,12 +460,20 @@ def synthetic_media(docs: DataFrame, *, image_side: int = 16,
                                     "meta_duration_ms")}
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
-                kind = did % 5
+                kind = did % 6
                 if kind != 2:
                     side = image_side
-                    base = np.arange(side * side * 3, dtype=np.int64)
-                    pixels = ((base * (did % 251 + 1) + did) % 256
-                              ).astype(np.uint8).reshape(side, side, 3)
+                    if kind == 5:
+                        # palette class: grayscale ⇒ ≤256 unique colors,
+                        # so the GIF color table is exact (no quantizer)
+                        base = np.arange(side * side, dtype=np.int64)
+                        v = ((base * (did % 251 + 1) + did) % 256
+                             ).astype(np.uint8).reshape(side, side)
+                        pixels = np.stack([v, v, v], axis=-1)
+                    else:
+                        base = np.arange(side * side * 3, dtype=np.int64)
+                        pixels = ((base * (did % 251 + 1) + did) % 256
+                                  ).astype(np.uint8).reshape(side, side, 3)
                     mime, enc = _IMAGE_ENCODERS[kind]
                     payload = enc(pixels)
                     w = h = side
@@ -504,6 +520,7 @@ _IMAGE_CODECS = {
     "image/x-portable-pixmap": (ppm_pixels, encode_ppm),
     "image/png": (png_pixels, encode_png),
     "image/jpeg": (jpeg_pixels, encode_jpeg),
+    "image/gif": (gif_pixels, encode_gif),
 }
 
 

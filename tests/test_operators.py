@@ -250,7 +250,8 @@ def test_multimodal_synthetic_media_decodes_on_cluster(spark, sf_dir):
     assert len(feats) == 30
     by_mime = feats.groupby("mime").size().to_dict()
     assert set(by_mime) == {"image/bmp", "image/x-portable-pixmap",
-                            "image/png", "image/jpeg", "audio/wav"}
+                            "image/png", "image/jpeg", "image/gif",
+                            "audio/wav"}
     img = feats[feats["mime"].str.startswith("image/")]
     assert (img["width"] == 16).all() and (img["height"] == 16).all()
     assert img["feat_mean"].between(0, 255).all()
@@ -314,7 +315,7 @@ def test_multimodal_phash_cross_format_dedup(spark, sf_dir):
 
     pdf = get("multimodal_phash_dedup").builder(spark, sf_dir).toPandas()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    img_ids = [r[0] for r in docs.select("doc_id").collect() if r[0] % 5 != 2]
+    img_ids = [r[0] for r in docs.select("doc_id").collect() if r[0] % 6 != 2]
     twin = pdf[pdf["doc_b"] - pdf["doc_a"] == 1_000_000]
     assert set(twin["doc_a"]) == set(img_ids)  # completeness
     assert (twin["hamming"] == 0).all()
@@ -334,7 +335,7 @@ def test_multimodal_audio_fingerprint_dedup(spark, sf_dir):
 
     pdf = get("multimodal_audio_dedup").builder(spark, sf_dir).toPandas()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    wav_ids = [r[0] for r in docs.select("doc_id").collect() if r[0] % 5 == 2]
+    wav_ids = [r[0] for r in docs.select("doc_id").collect() if r[0] % 6 == 2]
     by_class: dict[int, list[int]] = {}
     for d in wav_ids:
         by_class.setdefault(d % 40, []).append(d)
