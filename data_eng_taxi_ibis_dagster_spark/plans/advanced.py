@@ -716,3 +716,33 @@ def arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_totalprice") > 450000)
         .select("o_orderkey", mix("o_orderkey").alias("bucket_id"))
     )
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@query(
+    "lateral_topn_per_customer",
+    oracle=_LATERAL_SQL,
+    tags=("E1", "Q2", "EXT"),
+)
+def lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:2016 lateral derived table,
+    Spark 3.2+): the two highest-value orders per BUILDING-segment
+    customer, written as a per-row dependent subquery with ORDER BY +
+    LIMIT — the SQL-surface twin of the `topk_per_group` DataFrame
+    shape. Catalyst decorrelates the lateral into a join + per-key
+    limit rather than executing a subquery per row, so the plan scales
+    like the window formulation; the oracle runs the IDENTICAL text on
+    DuckDB (both engines implement standard lateral semantics)."""
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_LATERAL_SQL)
