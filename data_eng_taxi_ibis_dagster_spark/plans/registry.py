@@ -76,12 +76,18 @@ def _load_all() -> None:
         llm10,
         llm11,
         llm12,
-        llm13,
-        llm14,
-        runtime_filters,
         semantics,
         tpch,
         windows2,
+        # Round-4 additions register AFTER the older packs on purpose:
+        # the driver's 50-query window samples registration order, and
+        # the never-driver-checked backlog (TPC-H pack, scalar packs)
+        # has waited longer for an external correctness row than the
+        # queries added this round (which carry fresh in-repo parity
+        # plus driver-sim evidence). Rotate next round.
+        llm13,
+        llm14,
+        runtime_filters,
     )
 
 
