@@ -746,3 +746,37 @@ def lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "variant_props_stats",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+        FROM events
+        WHERE props IS NOT NULL
+        GROUP BY event_type
+    """,
+    tags=("E7", "EXT"),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` turns the events ``props`` JSON into a variant
+    (parsed ONCE into a binary representation at the scan — repeated
+    path accesses don't re-parse the string, the practical advantage
+    over per-access ``get_json_object``), then ``variant_get`` with a
+    typed path extracts the metric. The oracle uses DuckDB's JSON
+    pointer on the same column — integer extraction + integer
+    aggregates keep the comparison exact."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull())
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("k").alias("sum_k"),
+             F.max("k").alias("max_k"))
+    )

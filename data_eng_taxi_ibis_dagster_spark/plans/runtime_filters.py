@@ -107,3 +107,46 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_items"),
              dsum(rev, 4).alias("revenue"))
     )
+
+
+_TELEMETRY_ROWS = 20_000
+
+
+@query(
+    "pysource_telemetry_rollup",
+    oracle=f"""
+        WITH gen AS (
+            SELECT i % 30 AS day,
+                   CAST((i * 31 + 7) % 99991 AS DOUBLE) / 100.0 AS metric
+            FROM (SELECT unnest(generate_series(0, {_TELEMETRY_ROWS - 1}))
+                  AS i)
+        )
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(metric AS DECIMAL(38,2))) AS DOUBLE)
+                   AS total_metric
+        FROM gen GROUP BY day
+    """,
+    tags=("EXT",),
+)
+def pysource_telemetry_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a CUSTOM CONNECTOR: the Spark 4 Python
+    DataSource API source in sources/pysource.py (partition-planned
+    Python reader — one read task per InputPartition, the bespoke-
+    endpoint connector shape). Because the source is deterministic
+    integer arithmetic, the DuckDB oracle replays the generator from
+    ``generate_series`` — so the strict differential check covers the
+    ENTIRE custom read path: partition planning, the per-partition
+    Python iterator, Arrow conversion, and the rollup on top. (The
+    fixture dir is unused: this query's input IS the connector.)"""
+    from data_eng_taxi_ibis_dagster_spark.functions.exact import dsum
+    from data_eng_taxi_ibis_dagster_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (spark.read.format("synthetic_telemetry")
+          .option("rows", _TELEMETRY_ROWS).option("partitions", 8).load())
+    return (
+        df.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             dsum("metric", 2).alias("total_metric"))
+    )

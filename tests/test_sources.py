@@ -280,3 +280,25 @@ def test_binary_source_with_glob(spark, tmp_path):
     assert bytes(rows[0].content) == b"\x00\x01\x02"
     assert set(df.columns) == {"path", "modificationTime", "length",
                                "content"}
+
+
+def test_python_datasource_partition_planning(spark):
+    """Spark 4 Python DataSource API connector: the reader splits into
+    the requested number of InputPartitions (one Python read task
+    each), rows are exhaustive/deterministic, and the schema is typed."""
+    from data_eng_taxi_ibis_dagster_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (spark.read.format("synthetic_telemetry")
+          .option("rows", 1000).option("partitions", 4).load())
+    assert df.schema.simpleString() == \
+        "struct<row_id:bigint,device:bigint,metric:double,day:int>"
+    assert df.rdd.getNumPartitions() == 4
+    pdf = df.toPandas().sort_values("row_id").reset_index(drop=True)
+    assert list(pdf["row_id"]) == list(range(1000))
+    assert (pdf["device"] == pdf["row_id"] % 97).all()
+    assert (pdf["day"] == pdf["row_id"] % 30).all()
+    again = (spark.read.format("synthetic_telemetry")
+             .option("rows", 1000).option("partitions", 4).load().toPandas()
+             .sort_values("row_id").reset_index(drop=True))
+    assert pdf.equals(again)
