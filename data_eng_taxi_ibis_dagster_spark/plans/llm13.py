@@ -1,11 +1,13 @@
-"""LLM-data-pipeline queries, round 4 (cont.): exact substring-span
-deduplication (the Lee et al. "Deduplicating Training Data Makes
-Language Models Better" operator — find every k-token window that
-occurs more than once ANYWHERE in the corpus and cut the covered spans
-out of the text) and exact PCA over the embedding corpus (covariance
-from order-independent integer sums — strictly oracle-checked — plus
-the power-iteration projection whose only driver artifact is the d×d
-matrix).
+"""LLM-data-pipeline queries, round 4 (cont.): sub-document
+deduplication — exact substring spans (Lee et al.: every k-token
+window occurring more than once ANYWHERE in the corpus, covered spans
+cut out of the text), content-defined chunking (md5-gated boundaries,
+shift-robust), MOSS winnowing fingerprints (window-min selection with
+the shared-run guarantee) — plus exact PCA over the embedding corpus
+(covariance from order-independent integer sums, strictly
+oracle-checked; power-iteration projection whose only driver artifact
+is the d×d matrix) and contrastive pair mining (hardest positive /
+negative per anchor).
 
 Scale shapes:
 
