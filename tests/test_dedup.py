@@ -159,3 +159,60 @@ def test_winnowing_guarantee_on_shared_run(spark, tmp_path):
     assert out[1]["shared_fingerprints"] >= 1
     assert out[2]["shared_fingerprints"] >= 1
     assert out[3]["shared_fingerprints"] == 0
+
+
+def test_span_dedup_differential_vs_python_reference(spark):
+    """Independent-implementation differential: the mirrored Spark/SQL
+    span logic could hide a SHARED semantic bug, so compare against a
+    from-scratch Python reference (set arithmetic, no slicing tricks)
+    on a deterministic pseudo-random corpus with planted structure."""
+    import hashlib
+
+    from data_eng_taxi_ibis_dagster_spark.plans.llm13 import (
+        SPAN_K,
+        _cov_array,
+        _doc_spans,
+    )
+
+    # deterministic corpus: small vocab forces genuine cross-doc windows
+    def word(seed: int) -> str:
+        return f"w{int(hashlib.md5(str(seed).encode()).hexdigest(), 16) % 9}"
+
+    docs = []
+    for d in range(12):
+        n = 10 + (d * 7) % 30
+        toks = [word(d * 131 + i) for i in range(n)]
+        docs.append((d, " ".join(toks)))
+    # plant an exact 20-token copy across docs 3 and 7
+    run = [word(9000 + i) for i in range(SPAN_K + 4)]
+    docs[3] = (3, docs[3][1] + " " + " ".join(run))
+    docs[7] = (7, " ".join(run) + " " + docs[7][1])
+
+    # pure-Python reference
+    from collections import Counter
+    tok = {d: t.split() for d, t in docs}
+    wins: list[tuple[int, int, str]] = []
+    for d, t in tok.items():
+        for s in range(len(t) - SPAN_K + 1):
+            wins.append((d, s + 1, " ".join(t[s:s + SPAN_K])))
+    counts = Counter(w for _, _, w in wins)
+    expect = {}
+    for d, t in tok.items():
+        starts = [s for (dd, s, w) in wins if dd == d and counts[w] >= 2]
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + SPAN_K))
+        n_wins = max(len(t) - SPAN_K + 1, 0)
+        expect[d] = (n_wins, len(starts), len(covered))
+
+    sdf = from_rows(spark, docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_windows"], r["dup_windows"], len(r["cov"]))
+        for r in _doc_spans(sdf, SPAN_K)
+        .select("doc_id", "n_windows", "dup_windows",
+                _cov_array(SPAN_K).alias("cov")).collect()
+    }
+    for d in got:
+        assert got[d] == expect[d], (d, got[d], expect[d])
+    # docs with no windows (too short) are absent from the aggregate
+    assert set(got) == {d for d, e in expect.items() if e[0] > 0}
