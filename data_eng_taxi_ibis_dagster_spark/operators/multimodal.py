@@ -188,9 +188,19 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> dict:
-    """Decode a PCM WAV (16-bit) to per-sample statistics."""
+    """Decode a WAV to per-sample statistics: PCM16 via stdlib wave,
+    IMA ADPCM (format 0x11 — real compressed audio) via the pure-numpy
+    decoder in operators/adpcm.py."""
     import io
     import wave
+
+    from data_eng_taxi_ibis_dagster_spark.operators.adpcm import (
+        decode_wav_adpcm,
+        wav_format_tag,
+    )
+
+    if wav_format_tag(payload) == 0x11:
+        return decode_wav_adpcm(payload)
 
     with wave.open(io.BytesIO(payload), "rb") as wf:
         n_channels = wf.getnchannels()

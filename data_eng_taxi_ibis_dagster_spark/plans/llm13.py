@@ -487,6 +487,7 @@ _CDC_CTES = f"""
 
 @query(
     "dedup_cdc_chunks",
+    bench=True,
     oracle=_CDC_CTES + """
         SELECT t.doc_id,
                CAST(len(t.t) AS BIGINT) AS n_tokens,
@@ -598,6 +599,7 @@ _WINNOW_CTES = f"""
 
 @query(
     "fingerprint_winnowing",
+    bench=True,
     oracle=_WINNOW_CTES + """
         SELECT s.doc_id,
                CAST(len(s.fps) AS BIGINT) AS n_fingerprints,

@@ -26,6 +26,7 @@ _BUILD_FILTER = "o_orderpriority = '1-URGENT' AND o_totalprice > 150000"
 
 @query(
     "join_bloom_prefilter",
+    bench=True,
     oracle=f"""
         SELECT l.l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n_items,
