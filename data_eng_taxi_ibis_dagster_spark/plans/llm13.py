@@ -575,25 +575,25 @@ _WINNOW_CTES = f"""
         WITH toks AS (
             SELECT doc_id, {_TOKS_SQL} AS t FROM documents
         ),
-        h AS (
-            SELECT doc_id,
-                   list_transform(
-                       generate_series(1, len(t) - {_WIN_K} + 1),
-                       i -> md5(array_to_string(t[i:i+{_WIN_K - 1}], ' ')))
-                       AS h
-            FROM toks
+        g AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(t[i:i+{_WIN_K - 1}], ' ')) AS gh
+            FROM toks,
+                 unnest(generate_series(1, len(t) - {_WIN_K} + 1)) AS u(i)
         ),
-        sels AS (
-            SELECT doc_id,
-                   CASE WHEN len(h) >= {_WIN_W}
-                        THEN list_distinct(list_transform(
-                            generate_series(1, len(h) - {_WIN_W} + 1),
-                            j -> list_min(h[j:j+{_WIN_W - 1}])))
-                        ELSE list_distinct(h) END AS fps
-            FROM h
+        w AS (
+            SELECT doc_id, pos,
+                   MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW
+                                 AND {_WIN_W - 1} FOLLOWING) AS wmin,
+                   MAX(pos) OVER (PARTITION BY doc_id) AS mx
+            FROM g
         ),
-        fp AS (SELECT doc_id, unnest(fps) AS f FROM sels),
-        cnt AS (SELECT f, COUNT(*) AS c FROM fp GROUP BY f)
+        sel AS (
+            SELECT DISTINCT doc_id, wmin AS f
+            FROM w WHERE pos <= GREATEST(mx - {_WIN_W - 1}, 1)
+        ),
+        cnt AS (SELECT f, COUNT(*) AS c FROM sel GROUP BY f)
 """
 
 
@@ -602,13 +602,11 @@ _WINNOW_CTES = f"""
     bench=True,
     oracle=_WINNOW_CTES + """
         SELECT s.doc_id,
-               CAST(len(s.fps) AS BIGINT) AS n_fingerprints,
-               CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END), 0)
-                    AS BIGINT) AS shared_fingerprints
-        FROM sels s
-        LEFT JOIN fp ON fp.doc_id = s.doc_id
-        LEFT JOIN cnt ON cnt.f = fp.f
-        GROUP BY s.doc_id, len(s.fps)
+               CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+               CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS shared_fingerprints
+        FROM sel s JOIN cnt ON cnt.f = s.f
+        GROUP BY s.doc_id
     """,
     tags=("E10", "E12", "EXT"),
 )
@@ -619,45 +617,51 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — guaranteeing any shared run of ≥ w+k-1 tokens shares at
     least one selected fingerprint, at ~2/(w+1) the storage of full
     k-gram sets. Emits per-doc selected-fingerprint counts and how
-    many are shared with other documents.
+    many are shared with other documents. (Documents with fewer than
+    w gram positions contribute their single tail-window minimum.)
 
-    Scale shape: gram hashing and window-min selection are row-local
-    higher-order array ops (hash ORDER is lexicographic over md5 hex —
-    identical in both engines, so selection mirrors exactly); only the
-    selected fingerprints (a ~2/(w+1) sample) explode into the one
-    corpus shuffle — winnowing IS the shuffle reducer."""
+    Scale shape: gram hashes explode to (doc, pos, hash) rows ONCE and
+    the window minimum is a real sliding frame partitioned by doc —
+    the first formulation kept the hash sequence as a per-row array
+    and Catalyst inlined the md5-building transform into every
+    window slice across several consumers (O(m²) hashing × fan-out:
+    111 s at sf0.1); the exploded frame computes each hash exactly
+    once (1.3 s). Hash ORDER is lexicographic over md5 hex —
+    identical in both engines, so selection mirrors exactly; only the
+    ~2/(w+1) selected sample reaches the cross-doc shuffle."""
+    from pyspark.sql.window import Window
+
     d = load_table(spark, sf_dir, "documents")
     t = _toks()
     n = F.size(t)
-    grams = F.when(
+    gram_structs = F.when(
         n >= _WIN_K,
         F.transform(
             F.sequence(F.lit(1), n - _WIN_K + 1),
-            lambda i: F.md5(F.array_join(F.slice(t, i, _WIN_K), " "))),
-    ).otherwise(F.array().cast("array<string>"))
-    base = _right_size(d).select("doc_id", grams.alias("h"))
-    m = F.size(F.col("h"))
-    sels = base.select(
-        "doc_id",
-        F.when(
-            m >= _WIN_W,
-            F.array_distinct(F.transform(
-                F.sequence(F.lit(1), m - _WIN_W + 1),
-                lambda j: F.array_min(F.slice(F.col("h"), j, _WIN_W)))),
-        ).otherwise(F.array_distinct(F.col("h"))).alias("fps"))
-    fp = sels.select("doc_id", F.explode("fps").alias("f"))
-    cnt = fp.groupBy("f").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = (
-        fp.join(cnt, "f")
-        .groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
-             .alias("shared_fingerprints"))
-    )
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice(t, i, _WIN_K), " "))
+                .alias("gh"))),
+    ).otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
+    g = (_right_size(d)
+         .select("doc_id", F.explode(gram_structs).alias("e"))
+         .select("doc_id", "e.pos", "e.gh"))
+    frame = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.currentRow, _WIN_W - 1))
+    whole = Window.partitionBy("doc_id")
+    w = g.select(
+        "doc_id", "pos",
+        F.min("gh").over(frame).alias("wmin"),
+        F.max("pos").over(whole).alias("mx"))
+    sel = (w.filter(F.col("pos")
+                    <= F.greatest(F.col("mx") - (_WIN_W - 1), F.lit(1)))
+           .select("doc_id", F.col("wmin").alias("f"))
+           .distinct())
+    cnt = sel.groupBy("f").agg(F.count(F.lit(1)).alias("c"))
     return (
-        sels.select("doc_id", F.size("fps").cast("long")
-                    .alias("n_fingerprints"))
-        .join(per_doc, "doc_id", "left")
-        .select("doc_id", "n_fingerprints",
-                F.coalesce(F.col("shared_fingerprints"), F.lit(0))
-                .cast("long").alias("shared_fingerprints"))
+        sel.join(cnt, "f")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+             F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("long")
+             .alias("shared_fingerprints"))
     )
