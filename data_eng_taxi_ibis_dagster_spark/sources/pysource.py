@@ -23,7 +23,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: metric = ((i * 31 + 7) % 99991) / 100 — exact in both engines
 #: (integer arithmetic + one deterministic double division).
@@ -73,7 +78,47 @@ class SyntheticTelemetrySource(DataSource):
     def reader(self, schema) -> SyntheticTelemetryReader:  # noqa: ARG002
         return SyntheticTelemetryReader(self.options)
 
+    def simpleStreamReader(self, schema):  # noqa: ARG002
+        return SyntheticTelemetryStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration of the custom format."""
     spark.dataSource.register(SyntheticTelemetrySource)
+
+
+class SyntheticTelemetryStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor of the same connector
+    (``SimpleDataSourceStreamReader``): offsets are plain row counters,
+    each micro-batch serves the next ``batch_rows`` generator rows, so
+    the stream replays the identical arithmetic the batch reader (and
+    the DuckDB oracle) produce — offset tracking, replay-on-restart,
+    and exactly-once sink behavior are therefore all differentially
+    checkable against the batch read."""
+
+    def __init__(self, options: dict) -> None:
+        self.rows = int(options.get("rows", 10_000))
+        self.batch_rows = int(options.get("batch_rows", 1_000))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.batch_rows, self.rows)
+        rows = [
+            (i, i % N_DEVICES, ((i * 31 + 7) % METRIC_MOD) / 100.0,
+             i % N_DAYS)
+            for i in range(lo, hi)
+        ]
+        return iter(rows), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([
+            (i, i % N_DEVICES, ((i * 31 + 7) % METRIC_MOD) / 100.0,
+             i % N_DAYS)
+            for i in range(int(start["next"]), int(end["next"]))
+        ])
+
+    def commit(self, end: dict) -> None:
+        pass

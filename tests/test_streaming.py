@@ -143,3 +143,36 @@ def test_incremental_arrival_exactly_once(spark, sf_dir, tmp_path):
     batch_all = hourly_by_type(events).toPandas()
     got2 = spark.read.parquet(out).drop("ws_date").toPandas()
     pd.testing.assert_frame_equal(_sorted(batch_all), _sorted(got2))
+
+
+def test_python_datasource_stream_equals_batch(spark, tmp_path):
+    """The custom connector's streaming reader must replay exactly the
+    batch reader's rows (same generator arithmetic, offset-tracked
+    micro-batches): stream-collected rows == batch rows, exactly once."""
+    from data_eng_taxi_ibis_dagster_spark.sources import pysource
+
+    pysource.register(spark)
+    opts = {"rows": "5000", "batch_rows": "1300"}
+    batch = (spark.read.format("synthetic_telemetry").options(**opts)
+             .load().toPandas().sort_values("row_id").reset_index(drop=True))
+    stream = (spark.readStream.format("synthetic_telemetry").options(**opts)
+              .load())
+    collected = []
+    q = (stream.writeStream
+         .foreachBatch(lambda df, _id: collected.append(df.toPandas()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    # a Simple stream reader has no end-of-stream notion, so drain by
+    # row count (4 micro-batches of ≤1300) and stop explicitly
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline and sum(map(len, collected)) < 5000:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    import pandas as pd
+    got = (pd.concat(collected).sort_values("row_id")
+           .reset_index(drop=True).drop_duplicates("row_id"))
+    assert len(got) == 5000
+    assert got.reset_index(drop=True).equals(batch)
