@@ -264,13 +264,13 @@ def squared_l2(a: Column, b: Column) -> Column:
     )
 
 
-def kmeans_lloyd(df: DataFrame, *, vec_col: str = "embedding",
-                 id_col: str = "vec_id", k: int = 4,
-                 iters: int = 3) -> DataFrame:
-    """Fixed-iteration Lloyd k-means over an embedding column — the
-    registry's representative *iterative* algorithm (driver loop of
-    deterministic DataFrame rounds; the class the oracle harness checks
-    rows-only, like SGD/PageRank/label-propagation).
+def lloyd_assignments(df: DataFrame, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id", k: int = 4,
+                      iters: int = 3) -> DataFrame:
+    """The Lloyd E/M loop, returning the post-final-E-step assignment
+    relation ``(_id, _v, cluster, _d2)`` — shared by the k-means summary
+    query and SemDeDup's cluster-blocked pruning stage (the two
+    consumers must agree on assignments, so they share the loop).
 
     Spark-first shape per iteration:
 
@@ -331,8 +331,22 @@ def kmeans_lloyd(df: DataFrame, *, vec_col: str = "embedding",
         # empty clusters keep their previous centroid
         centroids = [by_cluster.get(j, centroids[j]) for j in range(k)]
 
+    return assigned
+
+
+def kmeans_lloyd(df: DataFrame, *, vec_col: str = "embedding",
+                 id_col: str = "vec_id", k: int = 4,
+                 iters: int = 3) -> DataFrame:
+    """Fixed-iteration Lloyd k-means summary — the registry's
+    representative *iterative* algorithm (driver loop of deterministic
+    DataFrame rounds; the class the oracle harness checks rows-only,
+    like SGD/PageRank/label-propagation). The E/M loop itself lives in
+    :func:`lloyd_assignments`; this wrapper reduces the assignment
+    relation to the per-cluster summary."""
     from data_eng_taxi_ibis_dagster_spark.functions.exact import dsum
 
+    assigned = lloyd_assignments(
+        df, vec_col=vec_col, id_col=id_col, k=k, iters=iters)
     return (
         assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"),
@@ -343,6 +357,58 @@ def kmeans_lloyd(df: DataFrame, *, vec_col: str = "embedding",
              dsum("_d2", 6).alias("sse"))
         .select(F.col("cluster").alias("cluster_id"),
                 "n_vectors", "min_vec_id", "sse")
+    )
+
+
+def semdedup(df: DataFrame, *, threshold: float = 0.95,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             k: int = 8, iters: int = 2) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine
+    pruning. A vector is dropped when a LOWER-id vector in the SAME
+    cluster has cosine ≥ ``threshold`` (deterministic keep-lowest-id
+    rule; the paper keeps an arbitrary representative per near-dup
+    group — min-id is the reproducible choice of exactly that).
+
+    Scale shape — this is the whole point of the algorithm: pairwise
+    comparison happens ONLY inside a cluster, so the self-join is an
+    equi-join on ``cluster`` whose per-task cost is bounded by cluster
+    size, never corpus size. The E-step is row-local against
+    broadcast-literal centroids (:func:`lloyd_assignments`), so the
+    full pipeline is: iters × (scan + k·d-cell shuffle) for
+    clustering, then ONE equi-join shuffle on the cluster key. At
+    100 TB raise k so clusters stay task-sized (the paper uses
+    k≈10⁴–10⁵ for web-scale corpora); a degenerate giant cluster
+    degrades to a distributed within-key join, never a broadcast.
+
+    Emits one row per vector: ``(vec_id, cluster_id, is_dup,
+    dup_of)`` where ``dup_of`` is the lowest qualifying lower-id
+    neighbor (NULL for keepers).
+    """
+    assigned = lloyd_assignments(
+        df, vec_col=vec_col, id_col=id_col, k=k, iters=iters)
+    # Precompute norms once; the pairwise stage pays one fold per pair.
+    vecs = assigned.select(
+        "_id", "_v", "cluster", l2_norm(F.col("_v")).alias("_n"))
+
+    a = vecs.select(F.col("_id").alias("_ida"), F.col("_v").alias("_va"),
+                    F.col("_n").alias("_na"), "cluster")
+    b = vecs.select(F.col("_id").alias("_idb"), F.col("_v").alias("_vb"),
+                    F.col("_n").alias("_nb"), "cluster")
+    dup_edges = (
+        a.join(b, "cluster")
+        .filter(F.col("_idb") < F.col("_ida"))  # only lower-id keepers
+        .filter((dot(F.col("_va"), F.col("_vb"))
+                 / (F.col("_na") * F.col("_nb"))) >= F.lit(float(threshold)))
+        .groupBy(F.col("_ida").alias("_id"))
+        .agg(F.min("_idb").alias("dup_of"))
+    )
+    return (
+        vecs.join(dup_edges, "_id", "left")
+        .select(F.col("_id").alias("vec_id"),
+                F.col("cluster").alias("cluster_id"),
+                F.col("dup_of").isNotNull().alias("is_dup"),
+                "dup_of")
     )
 
 

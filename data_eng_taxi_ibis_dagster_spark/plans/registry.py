@@ -88,6 +88,7 @@ def _load_all() -> None:
         llm13,
         llm14,
         runtime_filters,
+        llm15,
     )
 
 

@@ -95,3 +95,52 @@ def test_pca_spectral_properties(spark, sf_dir):
     # deterministic: a second build must produce identical components
     comps2, eigs2, _ = pca_top_components(emb, n_components=2)
     assert comps2 == comps and eigs2 == eigs
+
+
+def test_semdedup_flags_exact_copies(spark, sf_dir):
+    """Every id-shifted exact copy must be flagged as a duplicate of a
+    lower-id vector in its cluster (identical vectors always co-cluster
+    under the deterministic argmin), and no keeper may have a flagged
+    lower-id twin it missed at cosine 1.0."""
+    from data_eng_taxi_ibis_dagster_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"))
+    res = semdedup(doubled, threshold=0.95, k=4, iters=2).toPandas()
+
+    n = emb.count()
+    assert len(res) == 2 * n
+    copies = res[res["vec_id"] >= 1_000_000]
+    # exact copies have a cosine-1.0 lower-id twin in the same cluster
+    assert copies["is_dup"].all()
+    # dup_of must point at a strictly lower id
+    dups = res[res["is_dup"]]
+    assert (dups["dup_of"] < dups["vec_id"]).all()
+    # every copy is flagged, so keepers can only be original-range ids
+    keepers = res[~res["is_dup"]]
+    assert len(keepers) > 0
+    assert (keepers["vec_id"] < 1_000_000).all()
+
+
+def test_semdedup_deterministic(spark, sf_dir):
+    from data_eng_taxi_ibis_dagster_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = semdedup(emb, threshold=0.9, k=4, iters=2).orderBy("vec_id").toPandas()
+    b = semdedup(emb, threshold=0.9, k=4, iters=2).orderBy("vec_id").toPandas()
+    assert a.equals(b)
+
+
+def test_semdedup_threshold_monotone(spark, sf_dir):
+    """A looser threshold can only flag a superset of vectors."""
+    from data_eng_taxi_ibis_dagster_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"))
+    tight = semdedup(doubled, threshold=0.99, k=4, iters=2).toPandas()
+    loose = semdedup(doubled, threshold=0.80, k=4, iters=2).toPandas()
+    tight_dups = set(tight[tight["is_dup"]]["vec_id"])
+    loose_dups = set(loose[loose["is_dup"]]["vec_id"])
+    assert tight_dups <= loose_dups
