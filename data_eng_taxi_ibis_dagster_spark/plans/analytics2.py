@@ -1,0 +1,302 @@
+"""Advanced-analytics queries, round 4 (cont. 3): triangle counting
+over the token co-occurrence graph, 2-D skyline (Pareto frontier),
+MAD-based robust outlier detection, and per-entity LOCF gap filling —
+four classic warehouse/data-science operators the reference's portable
+surface (``/root/reference/taxi_pipeline.py:89-147``) never reaches,
+each with a strict DuckDB oracle.
+
+Scale shapes:
+
+* **Triangles** — the edge relation is oriented (``a < b``) so every
+  triangle is generated exactly once by two equi-joins; the per-vertex
+  count is one aggregate. Orientation is the standard degree-bounding
+  trick: each wedge is enumerated from its lowest vertex only, keeping
+  the join fan-out bounded by the oriented out-degree, not the raw
+  degree.
+* **Skyline** — the 2-D Pareto frontier reduces to: collapse to one
+  row per distinct x (max y), then a running-max over the distinct-x
+  relation. The window runs over |distinct x| rows, not the corpus —
+  the same reduced-relation compromise as ``distributed_rank``'s
+  offsets window; at extreme x-cardinality the running max itself
+  range-buckets the way ``operators/order`` does.
+* **MAD outliers** — two :func:`distributed_rank` passes (median, then
+  median absolute deviation) replace the global percentile window; the
+  medians travel as 1-row broadcasts. No transcendental math → the
+  flag threshold is engine-exact.
+* **LOCF** — per-user hourly scaffold (explode of a sequence), left
+  join to the sparse hourly aggregate, forward fill with
+  ``last(..., ignorenulls=True)`` over a per-user window — bounded by
+  a user's own span, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.functions.exact import lsum, sql_lsum
+from data_eng_taxi_ibis_dagster_spark.operators.order import distributed_rank
+from data_eng_taxi_ibis_dagster_spark.plans.registry import query
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_triangle_tokens",
+    oracle="""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), e0 AS (
+            SELECT a.tok AS ta, b.tok AS tb, COUNT(*) AS w
+            FROM dt a JOIN dt b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2
+        ), eq AS (
+            SELECT w, ta, tb,
+                   row_number() OVER (ORDER BY w, ta, tb) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM e0
+        ), thr AS (
+            SELECT w AS t FROM eq
+            WHERE rn = CAST(ceiling(0.6 * cnt) AS BIGINT)
+        ), e AS (
+            SELECT ta, tb FROM e0, thr WHERE e0.w >= thr.t
+        ), tri AS (
+            SELECT e1.ta AS a, e1.tb AS b, e2.tb AS c
+            FROM e e1
+            JOIN e e2 ON e2.ta = e1.tb
+            JOIN e e3 ON e3.ta = e1.ta AND e3.tb = e2.tb
+        )
+        SELECT token, COUNT(*) AS n_triangles
+        FROM (
+            SELECT a AS token FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        GROUP BY token
+    """,
+    tags=("E12", "graph"),
+)
+def graph_triangle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the token co-occurrence graph
+    (edge = token pair whose co-occurrence count reaches the 60th
+    percentile of all pair weights — a data-relative cut that keeps the
+    graph sparse at every corpus size). The oriented-edge
+    two-join enumeration (``a<b<c`` wedges closed by the third edge) is
+    THE distributed triangle algorithm — each triangle materializes
+    once, and all three joins are hash equi-joins on vertex keys. The
+    co-occurrence relation itself is one exploded self-join shuffled on
+    doc_id with per-doc fan-out bounded by distinct-token count."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")).distinct()
+    a = dt.select("doc_id", F.col("tok").alias("ta"))
+    b = dt.select("doc_id", F.col("tok").alias("tb"))
+    e0 = (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # The edge relation is vocab²-bounded (tiny at ANY corpus scale),
+    # so an exact 60th-percentile weight cut via one in-relation window
+    # is safe — the threshold adapts to corpus density instead of
+    # hard-coding an absolute co-occurrence count.
+    wq = Window.orderBy("w", "ta", "tb")
+    thr = (
+        e0.withColumn("_rn", F.row_number().over(wq))
+        .withColumn("_cnt", F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)))
+        .filter(F.col("_rn") == F.ceil(F.lit(0.6) * F.col("_cnt")))
+        .select(F.col("w").alias("_thr"))
+    )
+    e = (
+        e0.join(F.broadcast(thr))
+        .filter(F.col("w") >= F.col("_thr"))
+        .select("ta", "tb")
+    )
+    e1 = e.select(F.col("ta").alias("a"), F.col("tb").alias("b"))
+    e2 = e.select(F.col("ta").alias("b"), F.col("tb").alias("c"))
+    e3 = e.select(F.col("ta").alias("a"), F.col("tb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    verts = (
+        tri.select(F.col("a").alias("token"))
+        .unionAll(tri.select(F.col("b").alias("token")))
+        .unionAll(tri.select(F.col("c").alias("token")))
+    )
+    return verts.groupBy("token").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline / Pareto frontier
+# ---------------------------------------------------------------------------
+
+@query(
+    "skyline_pareto_parts",
+    oracle="""
+        SELECT p_partkey, p_retailprice, p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size > p.p_size)
+        )
+    """,
+    tags=("EXT", "skyline"),
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: parts Pareto-optimal under (minimize retail price,
+    maximize size). The oracle states the semantics as the O(n²)
+    NOT-EXISTS dominance test; the Spark plan is the O(n log n)
+    sort-based reduction — collapse to max-size per distinct price,
+    running max over the price-sorted distinct relation, keep a part
+    iff its size equals its price-group max AND strictly exceeds every
+    cheaper group's max. The only window runs over |distinct prices|
+    rows (the collapsed relation), and the final membership test is a
+    broadcast semi-join of frontier keys against the fact."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size")
+    per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("_ms"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1)
+    frontier = (
+        per_price
+        .withColumn("_prev", F.max("_ms").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_ms") > F.col("_prev")))
+        .select("p_retailprice", F.col("_ms").alias("p_size"))
+    )
+    return p.join(F.broadcast(frontier), ["p_retailprice", "p_size"],
+                  "left_semi").select("p_partkey", "p_retailprice", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers
+# ---------------------------------------------------------------------------
+
+@query(
+    "anomaly_mad_outliers",
+    oracle="""
+        WITH med AS (
+            SELECT quantile_disc(o_totalprice, 0.5) AS m FROM orders
+        ), dev AS (
+            SELECT o_orderkey, o_totalprice,
+                   abs(o_totalprice - m) AS deviation, m
+            FROM orders, med
+        ), mad AS (
+            SELECT quantile_disc(deviation, 0.5) AS md FROM dev
+        )
+        SELECT o_orderkey, o_totalprice, m AS med, md AS mad, deviation
+        FROM dev, mad
+        WHERE deviation > 1.8 * md
+    """,
+    tags=("EXT", "anomaly"),
+)
+def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: flag orders whose |price − median|
+    exceeds 1.8× the median absolute deviation (tuned to flag a nontrivial tail of the fixture distribution). Both medians are EXACT
+    discrete percentiles (smallest value with cume_dist ≥ ½ —
+    ``quantile_disc`` semantics) computed by
+    :func:`operators.order.distributed_rank` selection at position
+    ⌈n/2⌉ — no global percentile window, no approximation. The two
+    1-row medians broadcast onto the fact scan; every comparison is
+    exact double arithmetic, so the flag set is engine-identical."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+
+    def disc_median(df: DataFrame, col: str) -> DataFrame:
+        ranked = distributed_rank(
+            df, F.col(col), F.col("o_orderkey"),
+            name="_pos", total_name="_tot")
+        return (
+            ranked.filter(
+                F.col("_pos") == F.ceil(F.col("_tot") * F.lit(0.5)))
+            .select(F.col(col).alias("_median"))
+        )
+
+    med = disc_median(o, "o_totalprice")
+    dev = (
+        o.join(F.broadcast(med))
+        .select("o_orderkey", "o_totalprice",
+                F.col("_median").alias("med"),
+                F.abs(F.col("o_totalprice") - F.col("_median"))
+                .alias("deviation"))
+    )
+    mad = disc_median(dev, "deviation").select(
+        F.col("_median").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad))
+        .filter(F.col("deviation") > F.lit(1.8) * F.col("mad"))
+        .select("o_orderkey", "o_totalprice", "med", "mad", "deviation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LOCF gap filling
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3600 * 1000 * 1000
+
+
+@query(
+    "events_locf_value",
+    oracle=f"""
+        WITH agg AS (
+            SELECT user_id,
+                   epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us,
+                   {sql_lsum('value')} AS total
+            FROM events GROUP BY 1, 2
+        ), b AS (
+            SELECT user_id, min(ws_us) AS lo, max(ws_us) AS hi
+            FROM agg GROUP BY 1
+        ), scaffold AS (
+            SELECT user_id,
+                   unnest(generate_series(lo, hi, {_HOUR_US})) AS ws_us
+            FROM b
+        ), j AS (
+            SELECT s.user_id, s.ws_us, a.total
+            FROM scaffold s
+            LEFT JOIN agg a ON s.user_id = a.user_id AND s.ws_us = a.ws_us
+        )
+        SELECT user_id, ws_us,
+               last_value(total IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ws_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value,
+               total IS NULL AS is_gap
+        FROM j
+    """,
+    tags=("E14", "E7", "timeseries"),
+)
+def events_locf_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly LOCF (last-observation-carried-forward): gap-fill
+    each user's hourly spend between their own first and last active
+    hour, carrying the previous hour's exact total across empty hours —
+    the resample-and-ffill primitive of feature-store pipelines. The
+    scaffold explodes per-user (bounded by the user's span, generated
+    distributed); the fill window partitions by user, so no task ever
+    sees more than one user's timeline."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.expr(f"ts_us DIV {_HOUR_US}") * _HOUR_US).alias("ws_us")
+    agg = ev.groupBy("user_id", bucket).agg(lsum("value").alias("total"))
+    scaffold = (
+        agg.groupBy("user_id")
+        .agg(F.min("ws_us").alias("lo"), F.max("ws_us").alias("hi"))
+        .select("user_id",
+                F.explode(F.sequence("lo", "hi", F.lit(_HOUR_US)))
+                .alias("ws_us"))
+    )
+    j = scaffold.join(agg, ["user_id", "ws_us"], "left")
+    w = Window.partitionBy("user_id").orderBy("ws_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return j.select(
+        "user_id", "ws_us",
+        F.last("total", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("total").isNull().alias("is_gap"),
+    )

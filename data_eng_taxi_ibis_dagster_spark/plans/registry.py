@@ -89,6 +89,7 @@ def _load_all() -> None:
         llm14,
         runtime_filters,
         llm15,
+        analytics2,
     )
 
 

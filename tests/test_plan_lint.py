@@ -33,6 +33,8 @@ BNLJ_ALLOWED = {
     "pagerank_cooccurrence",       # same pagerank 1-row dangling-mass scalar join
     "bpe_learn_merges",            # 1-row vocab-stats scalar join onto the merge table
     "contrastive_pair_mining",     # brute-force cosine, anchor probe set broadcast
+    "graph_triangle_tokens",       # 1-row percentile-threshold scalar join
+    "anomaly_mad_outliers",        # 1-row median / MAD scalar joins
 }
 
 #: Tags whose queries may cross the JVM→Python boundary.
