@@ -90,6 +90,7 @@ def _load_all() -> None:
         runtime_filters,
         llm15,
         analytics2,
+        maintenance,
     )
 
 
