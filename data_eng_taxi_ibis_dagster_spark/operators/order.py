@@ -180,3 +180,77 @@ def distributed_ntile(
     return ranked.withColumn(
         name, ntile_from_rank(F.col("_nt_pos"), F.col("_nt_total"), k)
     ).drop("_nt_pos", "_nt_total")
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    score: Column,
+    value: Column,
+    *tiebreaks: Column,
+    buckets: int = 256,
+    name: str = "prefix",
+    total_name: str | None = None,
+) -> DataFrame:
+    """Global running ``SUM(value) OVER (ORDER BY score, *tiebreaks
+    ROWS UNBOUNDED PRECEDING)`` without a single-partition sort — the
+    value-cumulative companion of :func:`distributed_rank` (cumulative
+    revenue share, ABC classification, Lorenz/Gini curves).
+
+    Same affine range-bucketing as ``distributed_rank``; per bucket we
+    aggregate BOTH the row count and the value sum, the offsets window
+    runs over ``buckets`` rows, and each row's prefix is its bucket's
+    lower-bucket value total plus a within-bucket running sum.
+    ``value`` should be an integer/decimal column (exact under
+    reordering); a raw double would make the prefix partition-order-
+    dependent."""
+    lo_hi = df.select(
+        F.min(score).cast("double").alias("_lo"),
+        F.max(score).cast("double").alias("_hi"),
+    )
+    staged = (
+        df.withColumn("_dp_s", score)
+        .withColumn("_dp_v", value)
+        .join(F.broadcast(lo_hi))
+        .withColumn(
+            "_dp_bucket",
+            F.least(
+                F.lit(buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("_dp_s").cast("double") - F.col("_lo"))
+                        / ((F.col("_hi") - F.col("_lo")) + F.lit(1e-12))
+                        * buckets
+                    ),
+                ),
+            ).cast("long"),
+        )
+        .drop("_lo", "_hi")
+    )
+    counts = staged.groupBy("_dp_bucket").agg(
+        F.sum("_dp_v").alias("_dp_sum"))
+    w_off = (
+        Window.orderBy("_dp_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_dp_bucket",
+        F.coalesce(F.sum("_dp_sum").over(w_off),
+                   F.lit(0).cast("long")).alias("_dp_offset"),
+        F.sum("_dp_sum").over(
+            Window.orderBy("_dp_bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_dp_total"),
+    )
+    w_loc = (
+        Window.partitionBy("_dp_bucket")
+        .orderBy(F.col("_dp_s"), *tiebreaks)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        staged.join(F.broadcast(offsets), "_dp_bucket")
+        .withColumn(name, F.col("_dp_offset") + F.sum("_dp_v").over(w_loc))
+    )
+    if total_name is not None:
+        out = out.withColumn(total_name, F.col("_dp_total"))
+    return out.drop("_dp_bucket", "_dp_s", "_dp_v", "_dp_offset", "_dp_total")

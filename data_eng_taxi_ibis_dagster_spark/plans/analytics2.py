@@ -300,3 +300,142 @@ def events_locf_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("total", ignorenulls=True).over(w).alias("filled_value"),
         F.col("total").isNull().alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test
+# ---------------------------------------------------------------------------
+
+@query(
+    "chi2_type_by_hour",
+    oracle="""
+        WITH cont AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) % 24 AS hod,
+                   COUNT(*) AS o
+            FROM events GROUP BY 1, 2
+        ), rt AS (
+            SELECT event_type, SUM(o)::BIGINT AS r FROM cont GROUP BY 1
+        ), ct AS (
+            SELECT hod, SUM(o)::BIGINT AS c FROM cont GROUP BY 1
+        ), n AS (
+            SELECT SUM(o)::BIGINT AS n FROM cont
+        ), cells AS (
+            SELECT cont.event_type, cont.o,
+                   CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                       / CAST(n.n AS DOUBLE) AS e
+            FROM cont
+            JOIN rt ON cont.event_type = rt.event_type
+            JOIN ct ON cont.hod = ct.hod
+            CROSS JOIN n
+        )
+        SELECT event_type,
+               CAST(SUM(o) AS BIGINT) AS n_obs,
+               CAST(SUM(CAST(floor(
+                   (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                   * 1000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+                   / 1000000.0 AS chi2_part
+        FROM cells
+        GROUP BY event_type
+    """,
+    tags=("EXT", "statistics"),
+)
+def chi2_type_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and hour of
+    day — the categorical-association screen of feature analysis. The
+    contingency table is |types|×24 cells (scalar-scale after ONE
+    corpus aggregate); expected counts use textually mirrored double
+    arithmetic, and the per-type χ² partial sums are decimal-quantized
+    so the reduction is partition-order-independent → engine-exact.
+    Row/column marginals travel as broadcast joins of the tiny
+    contingency relation."""
+    from data_eng_taxi_ibis_dagster_spark.functions.exact import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    cont = (
+        ev.select(
+            "event_type",
+            (F.expr("ts_us DIV 3600000000") % 24).alias("hod"))
+        .groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = cont.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cont.groupBy("hod").agg(F.sum("o").alias("c"))
+    n = cont.agg(F.sum("o").alias("n"))
+    e = (F.col("r").cast("double") * F.col("c").cast("double")
+         / F.col("n").cast("double"))
+    cells = (
+        cont.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hod")
+        .join(F.broadcast(n))
+        .select("event_type", "o", e.alias("e"))
+    )
+    contrib = ((F.col("o").cast("double") - F.col("e")) ** 2
+               / F.col("e"))
+    return (
+        cells.select("event_type", "o", contrib.alias("_c"))
+        .groupBy("event_type")
+        .agg(F.sum("o").alias("n_obs"), dsum("_c", 6).alias("chi2_part"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto revenue classification
+# ---------------------------------------------------------------------------
+
+@query(
+    "abc_pareto_customers",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey,
+                   SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       ::BIGINT AS rev_cents
+            FROM orders GROUP BY 1
+        ), ranked AS (
+            SELECT o_custkey, rev_cents,
+                   CAST(SUM(rev_cents) OVER (
+                       ORDER BY rev_cents DESC, o_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE)
+                   / CAST(SUM(rev_cents) OVER () AS DOUBLE) AS cum_share
+            FROM rev
+        )
+        SELECT o_custkey, rev_cents, cum_share,
+               CASE WHEN cum_share <= 0.7 THEN 'A'
+                    WHEN cum_share <= 0.9 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    """,
+    tags=("EXT", "pareto"),
+)
+def abc_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification: customers ranked by revenue, the
+    top tier covering 70 % of cumulative revenue is class A, the next
+    20 % B, the tail C. The oracle states it as a global running-sum
+    window; the Spark plan is
+    :func:`operators.order.distributed_prefix_sum` — range-bucketed
+    value cumsum (per-bucket totals + broadcast offsets + within-bucket
+    running sums), so NO single-partition sort touches the customer
+    relation. Revenue is exact integer cents; the share division is
+    one IEEE op → classification is engine-identical."""
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        distributed_prefix_sum,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                   .cast("long")).alias("rev_cents"))
+    )
+    ranked = distributed_prefix_sum(
+        rev, -F.col("rev_cents"), F.col("rev_cents"), F.col("o_custkey"),
+        name="_cum", total_name="_tot",
+    )
+    share = F.col("_cum").cast("double") / F.col("_tot").cast("double")
+    return ranked.select(
+        "o_custkey", "rev_cents", share.alias("cum_share"),
+        F.when(share <= 0.7, F.lit("A"))
+        .when(share <= 0.9, F.lit("B"))
+        .otherwise(F.lit("C")).alias("abc_class"),
+    )

@@ -114,3 +114,31 @@ def test_blocked_cosine_agrees_with_topk_operator(spark):
     for r in pairs:
         assert scores[(r["vec_a"], r["vec_b"])] == pytest.approx(
             r["cosine_sim"], abs=1e-12)
+
+
+@pytest.mark.parametrize("vals", [
+    [5, 1, 3, 2, 4, 0, 6],
+    [1] * 9,                    # total skew: one bucket holds all
+    [1, 1, 2, 2, 2, 3],         # duplicate scores
+    [(x * 37) % 100 for x in range(100)],
+])
+def test_distributed_prefix_sum_matches_global_window(spark, vals):
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v), v * 10) for i, v in enumerate(vals)],
+        ["id", "v", "amt"])
+    got = distributed_prefix_sum(
+        df, F.col("v"), F.col("amt"), F.col("id"), buckets=4,
+        name="prefix", total_name="tot")
+    want = df.withColumn(
+        "prefix",
+        F.sum("amt").over(
+            Window.orderBy("v", "id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow)))
+    g = {r["id"]: (r["prefix"], r["tot"]) for r in got.collect()}
+    w = {r["id"]: r["prefix"] for r in want.collect()}
+    assert {k: v[0] for k, v in g.items()} == w
+    assert all(v[1] == sum(x * 10 for x in vals) for v in g.values())

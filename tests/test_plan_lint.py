@@ -35,6 +35,8 @@ BNLJ_ALLOWED = {
     "contrastive_pair_mining",     # brute-force cosine, anchor probe set broadcast
     "graph_triangle_tokens",       # 1-row percentile-threshold scalar join
     "anomaly_mad_outliers",        # 1-row median / MAD scalar joins
+    "chi2_type_by_hour",           # 1-row grand-total scalar join
+    "abc_pareto_customers",        # distributed_prefix_sum 1-row (min,max) join
 }
 
 #: Tags whose queries may cross the JVM→Python boundary.
