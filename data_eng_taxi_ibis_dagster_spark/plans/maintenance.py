@@ -152,3 +152,142 @@ def events_trailing_24h_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(38,2)")).over(w)
         .cast("double").alias("spend_24h"),
     )
+
+
+@query(
+    "table_diff_orders",
+    oracle="""
+        WITH v2 AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_custkey % 97 = 0 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 101 != 0
+            UNION ALL
+            SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice
+            FROM orders WHERE o_orderkey % 103 = 0
+        )
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change_type,
+               a.o_totalprice AS old_price,
+               b.o_totalprice AS new_price
+        FROM orders a FULL OUTER JOIN v2 b USING (o_orderkey)
+        WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+           OR a.o_totalprice != b.o_totalprice
+    """,
+    tags=("EXT", "versioning"),
+)
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two table versions (the data-versioning /
+    audit primitive): v2 is derived deterministically from v1 by
+    keyed delete/update/insert rules (identical derivation in the
+    oracle), then ONE full-outer equi-join on the key classifies every
+    row as added / removed / changed — unchanged rows drop out before
+    the result materializes. At 100 TB both sides shuffle once on the
+    key (or zero times if both snapshots are bucketed on it); the
+    comparison itself is row-local."""
+    v1 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    v2 = (
+        v1.filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_custkey") % 97 == 0,
+                   F.col("o_totalprice") + 1.0)
+            .otherwise(F.col("o_totalprice")).alias("o_totalprice"))
+        .unionByName(
+            v1.filter(F.col("o_orderkey") % 103 == 0)
+            .select((F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                    "o_totalprice"))
+    )
+    a = v1.select("o_orderkey", F.col("o_totalprice").alias("old_price"))
+    b = v2.select("o_orderkey", F.col("o_totalprice").alias("new_price"))
+    j = a.join(b, "o_orderkey", "full_outer")
+    return (
+        j.filter(F.col("old_price").isNull() | F.col("new_price").isNull()
+                 | (F.col("old_price") != F.col("new_price")))
+        .select(
+            "o_orderkey",
+            F.when(F.col("old_price").isNull(), F.lit("added"))
+            .when(F.col("new_price").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed")).alias("change_type"),
+            "old_price", "new_price")
+    )
+
+
+@query(
+    "histogram_equidepth_price",
+    oracle="""
+        WITH t AS (
+            SELECT l_extendedprice,
+                   ntile(10) OVER (
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ) AS tile
+            FROM lineitem
+        )
+        SELECT tile, COUNT(*) AS n_rows,
+               MIN(l_extendedprice) AS lo,
+               MAX(l_extendedprice) AS hi
+        FROM t GROUP BY tile
+    """,
+    tags=("E8", "EXT"),
+)
+def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram — the complement of
+    ``histogram_price``'s equi-width buckets and the shape ANALYZE
+    statistics collectors compute. Tiles come from
+    :func:`operators.order.distributed_ntile` (range-bucketed rank +
+    arithmetic ntile — no single-partition sort), then one bounded
+    aggregate yields exact per-tile counts and boundary values."""
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        distributed_ntile,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber")
+    tiled = distributed_ntile(
+        li, F.col("l_extendedprice"), F.col("l_orderkey"),
+        F.col("l_linenumber"), k=10, name="tile")
+    return tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+
+
+@query(
+    "rolling_7d_active_users",
+    oracle="""
+        SELECT wd AS window_day, COUNT(DISTINCT user_id) AS n_active
+        FROM (
+            SELECT user_id,
+                   unnest(generate_series(
+                       epoch_us(ts) // 86400000000,
+                       epoch_us(ts) // 86400000000 + 6)) AS wd
+            FROM events
+        )
+        GROUP BY 1
+    """,
+    tags=("E14", "EXT", "timeseries"),
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the classic
+    metric a sliding COUNT(DISTINCT) window cannot partial-aggregate.
+    The standard distributed rewrite: each event fans out to the 7
+    day-windows it participates in (explode factor = window/slide,
+    bounded), then ONE distinct aggregate per window key. Trailing
+    windows past the data horizon carry partial tails by construction
+    (mirrored exactly in the oracle). At scale the fan-out happens
+    AFTER a per-(user, day) dedup, so the exploded relation is bounded
+    by active-user-days × 7, not raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("ts_us DIV 86400000000")
+    return (
+        ev.select("user_id", day.alias("_d"))
+        .select("user_id",
+                F.explode(F.sequence(F.col("_d"), F.col("_d") + 6))
+                .alias("window_day"))
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
