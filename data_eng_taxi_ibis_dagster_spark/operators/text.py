@@ -179,3 +179,35 @@ def sql_quality_score(expr: str) -> str:
         f"+ 0.4 * ({n_distinct} / {n_tokens}) "
         f"+ 0.3 * LEAST(({tok_chars} / {n_tokens}) / 8.0, 1.0)"
     )
+
+
+# -- hashed-feature linear classifier --------------------------------------
+
+def hashed_token_weight(tok: Column) -> Column:
+    """Deterministic integer weight ∈ [−8, 8] per token from md5 — the
+    cross-engine stand-in for a trained hashed-feature weight table
+    (same lookup shape: hash token → weight slot). Shared by the
+    oracle-checked query (plans/llm15.quality_classifier_linear) and
+    the prep-DAG gate (pipeline.training_data_definitions) so the
+    twins cannot drift."""
+    return (F.conv(F.substring(F.md5(tok), 1, 2), 16, 10).cast("long")
+            % 17 - 8)
+
+
+def sql_hashed_token_weight(tok_expr: str) -> str:
+    return f"(('0x' || substr(md5({tok_expr}), 1, 2))::UBIGINT % 17)::BIGINT - 8"
+
+
+def hashed_linear_score_num(text: str | Column) -> Column:
+    """Integer score numerator: Σ weight(token) over whitespace tokens
+    (row-local JVM fold; divide by token count for the mean score)."""
+    return F.aggregate(
+        F.transform(tokens(text), hashed_token_weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_hashed_linear_score_num(expr: str) -> str:
+    return (f"list_sum(list_transform(string_split({expr}, ' '), "
+            f"t -> {sql_hashed_token_weight('t')}))::BIGINT")

@@ -119,9 +119,9 @@ def training_data_definitions(sf_dir: str, out_dir: str, *,
                               near_dup_threshold: float = 0.6) -> Definitions:
     """LLM training-data prep as an asset DAG over ``documents``:
 
-        ingest → quality/language annotate → filter → exact dedup →
-        near dedup (MinHash clusters → canonical pick) → corpus stats
-                                                       → clustered export
+        ingest → quality/language annotate → filter → classifier gate
+        → exact dedup → near dedup (MinHash clusters → canonical pick)
+        → corpus stats / mixture sample / clustered export
 
     This is the 100 TB shape of the pipeline: every stage is a
     DataFrame transformation (no driver-side loops); exact dedup is one
@@ -139,6 +139,7 @@ def training_data_definitions(sf_dir: str, out_dir: str, *,
     )
     from data_eng_taxi_ibis_dagster_spark.operators.text import (
         bpe_token_count,
+        hashed_linear_score_num,
         lang_pred,
         quality_score,
         tokens,
@@ -170,6 +171,16 @@ def training_data_definitions(sf_dir: str, out_dir: str, *,
         return annotated.filter(F.col("quality") >= quality_min)
 
     @defs.asset(deps=("filter_docs",), compute_kind="pyspark")
+    def classifier_gate(spark: SparkSession, kept: DataFrame) -> DataFrame:
+        """Model-based curation gate: hashed-feature linear score
+        (fastText-style; same expression as the oracle-checked
+        plans/llm15.quality_classifier_linear), mean weight per token
+        ≥ 0.5. Row-local integer fold — no shuffle, no Python."""
+        score = hashed_linear_score_num("text")
+        return kept.filter(
+            score.cast("double") / F.size(tokens("text")) >= F.lit(0.5))
+
+    @defs.asset(deps=("classifier_gate",), compute_kind="pyspark")
     def drop_exact_dups(spark: SparkSession, kept: DataFrame) -> DataFrame:
         keep = exact_dedup(kept).select(F.col("keep_doc_id").alias("doc_id"))
         return kept.join(keep, "doc_id", "left_semi")

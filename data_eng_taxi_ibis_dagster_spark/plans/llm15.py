@@ -122,16 +122,9 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hashed-feature linear quality classifier
 # ---------------------------------------------------------------------------
 
-def _token_weight(tok: Column) -> Column:
-    """Deterministic integer weight ∈ [−8, 8] per token from md5 — the
-    cross-engine stand-in for a trained hashed-feature weight vector
-    (same lookup shape: hash token → weight table slot)."""
-    return (F.conv(F.substring(F.md5(tok), 1, 2), 16, 10).cast("long")
-            % 17 - 8)
-
-
-_SQL_TOKEN_WEIGHT = (
-    "(('0x' || substr(md5(t), 1, 2))::UBIGINT % 17)::BIGINT - 8"
+from data_eng_taxi_ibis_dagster_spark.operators.text import (  # noqa: E402
+    hashed_linear_score_num,
+    sql_hashed_linear_score_num,
 )
 
 
@@ -141,9 +134,7 @@ _SQL_TOKEN_WEIGHT = (
         WITH scored AS (
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,
-                   list_sum(list_transform(
-                       string_split(text, ' '),
-                       t -> {_SQL_TOKEN_WEIGHT}))::BIGINT AS score_num
+                   {sql_hashed_linear_score_num('text')} AS score_num
             FROM documents
         )
         SELECT doc_id, n_tokens, score_num,
@@ -166,11 +157,7 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast dim, same row-local shape)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    score_num = F.aggregate(
-        F.transform(toks, _token_weight),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    score_num = hashed_linear_score_num("text")
     out = d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),

@@ -68,11 +68,14 @@ def test_training_data_pipeline_end_to_end(spark, sf_dir, tmp_path):
     results = defs.materialize(spark)
     n_ingested = results["ingest_docs"].rows
     n_filtered = results["filter_docs"].rows
+    n_gated = results["classifier_gate"].rows
     n_exact = results["drop_exact_dups"].rows
     n_final = results["drop_near_dups"].rows
     assert n_ingested > 0
     # each stage only removes rows
-    assert n_ingested >= n_filtered >= n_exact >= n_final > 0
+    assert n_ingested >= n_filtered >= n_gated >= n_exact >= n_final > 0
+    # the classifier gate must actually discriminate on the fixture
+    assert n_gated < n_filtered
     # the fixture plants exact + near duplicates: both stages must bite
     assert n_exact < n_filtered or n_final < n_exact
     stats = results["corpus_stats"].value.toPandas()
