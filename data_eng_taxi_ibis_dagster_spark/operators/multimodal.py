@@ -801,3 +801,170 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64,
             })
 
     return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+# -- MJPEG video (concatenated-JPEG container) ------------------------------
+
+def _jpeg_stream_end(buf: bytes, start: int) -> int:
+    """Index just past the EOI of the JPEG starting at ``start``.
+
+    A structural walk, not a byte search: length-prefixed header
+    segments are skipped by their declared length (their payloads may
+    legally contain FF D9), and entropy-coded data is scanned under the
+    byte-stuffing rule (FF 00 = literal FF, FF D0–D7 = restart marker,
+    any other FF xx = real marker). This is exactly the framing an
+    MJPEG demuxer needs."""
+    n = len(buf)
+    if start + 2 > n or buf[start:start + 2] != b"\xff\xd8":
+        raise ValueError("not a JPEG SOI at offset")
+    i = start + 2
+    while i + 1 < n:
+        if buf[i] != 0xFF:
+            raise ValueError(f"marker expected at {i}")
+        m = buf[i + 1]
+        if m == 0xD9:                      # EOI
+            return i + 2
+        if 0xD0 <= m <= 0xD7 or m == 0x01:  # bare markers
+            i += 2
+            continue
+        seg_len = int.from_bytes(buf[i + 2:i + 4], "big")
+        i += 2 + seg_len
+        if m == 0xDA:                      # SOS → entropy-coded scan
+            while i + 1 < n:
+                if buf[i] == 0xFF:
+                    nxt = buf[i + 1]
+                    if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                        i += 2              # stuffed FF / restart marker
+                        continue
+                    break                   # real marker (EOI or next seg)
+                i += 1
+    raise ValueError("truncated JPEG stream")
+
+
+def encode_mjpeg(frames: "list[np.ndarray]") -> bytes:
+    """MJPEG container = back-to-back baseline JPEGs (the actual wire
+    format of motion-JPEG AVI payloads and multipart/x-mixed-replace
+    camera streams)."""
+    return b"".join(encode_jpeg(f) for f in frames)
+
+
+def split_mjpeg(payload: bytes) -> "list[bytes]":
+    """Demux an MJPEG byte stream into its per-frame JPEG payloads."""
+    frames, i = [], 0
+    while i < len(payload):
+        end = _jpeg_stream_end(payload, i)
+        frames.append(payload[i:end])
+        i = end
+    return frames
+
+
+def decode_mjpeg(payload: bytes) -> dict:
+    """Container-level decode: frame count + first-frame geometry (the
+    metadata a probe pass extracts without decoding every frame)."""
+    frames = split_mjpeg(payload)
+    first = decode_jpeg(frames[0]) if frames else {}
+    return {
+        "width": first.get("width"), "height": first.get("height"),
+        "n_channels": first.get("n_channels"),
+        "n_frames": len(frames),
+        "duration_ms": len(frames) * 40,   # container nominal 25 fps
+        "feat_mean": first.get("feat_mean"),
+    }
+
+
+_DECODERS["video/x-motion-jpeg"] = decode_mjpeg
+
+
+VIDEO_FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_index", IntegerType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("feat_mean_x1000", LongType(), True),
+    StructField("frame_payload", BinaryType(), True),
+])
+
+
+def synthetic_video(docs: DataFrame, *, n_frames: int = 6,
+                    image_side: int = 16) -> DataFrame:
+    """Deterministic MJPEG payloads from doc_ids: each video is
+    ``n_frames`` real baseline JPEGs of a per-frame-shifted pattern
+    (frame f = base pattern rolled by f rows — adjacent frames are
+    near-identical, like real video). Row-local Arrow generation, same
+    partitioning story as ``synthetic_media``."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "mime", "payload",
+                                    "meta_width", "meta_height",
+                                    "meta_duration_ms")}
+            side = image_side
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                base = np.arange(side * side * 3, dtype=np.int64)
+                pixels = ((base * (did % 251 + 1) + did) % 256
+                          ).astype(np.uint8).reshape(side, side, 3)
+                frames = [np.roll(pixels, f, axis=0) for f in range(n_frames)]
+                rows["media_id"].append(did)
+                rows["mime"].append("video/x-motion-jpeg")
+                rows["payload"].append(encode_mjpeg(frames))
+                rows["meta_width"].append(side)
+                rows["meta_height"].append(side)
+                rows["meta_duration_ms"].append(n_frames * 40)
+            yield pd.DataFrame({
+                "media_id": rows["media_id"],
+                "mime": rows["mime"],
+                "payload": rows["payload"],
+                "meta_width": pd.array(rows["meta_width"], dtype="Int32"),
+                "meta_height": pd.array(rows["meta_height"], dtype="Int32"),
+                "meta_duration_ms": pd.array(rows["meta_duration_ms"],
+                                             dtype="Int64"),
+            })
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, *, stride: int = 2,
+                        max_frames: int = 4) -> DataFrame:
+    """REAL frame sampling: demux the MJPEG container structurally,
+    decode ONLY the sampled frames (every ``stride``-th, capped at
+    ``max_frames``) through the real JPEG decoder, and emit per-frame
+    geometry + pixel stats + the frame's own JPEG payload. This is the
+    keyframe-extraction shape of a video-training pipeline: the
+    demux/decode cost is per-sampled-frame, not per-contained-frame,
+    and the 1→N row expansion happens inside the Arrow batch. Corrupt
+    containers quarantine per-row (NULL stats, frame_index −1)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, means, payloads = [], [], [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    frames = split_mjpeg(raw)
+                    picked = frames[::stride][:max_frames]
+                    for j, fb in enumerate(picked):
+                        px = jpeg_pixels(fb)
+                        ids.append(media_id)
+                        idxs.append(j * stride)
+                        ws.append(px.shape[1])
+                        hs.append(px.shape[0])
+                        means.append(int(px.mean() * 1000))
+                        payloads.append(fb)
+                except (ValueError, IndexError):
+                    ids.append(media_id)
+                    idxs.append(-1)
+                    ws.append(None)
+                    hs.append(None)
+                    means.append(None)
+                    payloads.append(None)
+            yield pd.DataFrame({
+                "media_id": ids,
+                "frame_index": pd.array(idxs, dtype="int32"),
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "feat_mean_x1000": pd.array(means, dtype="Int64"),
+                "frame_payload": payloads,
+            })
+
+    return media.mapInPandas(_sample, schema=VIDEO_FRAME_SCHEMA)

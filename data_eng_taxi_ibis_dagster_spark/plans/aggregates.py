@@ -201,3 +201,32 @@ def agg_exact_linear_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cov_n / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
         (cov_n / var_x).alias("slope_cents_per_qty"),
     )
+
+
+@query(
+    "agg_bitwise_flags",
+    oracle="""
+        SELECT o_orderpriority,
+               bit_and(o_custkey)::BIGINT AS flags_and,
+               bit_or(o_custkey)::BIGINT AS flags_or,
+               bit_xor(o_custkey)::BIGINT AS flags_xor,
+               bit_count(bit_or(o_custkey))::INT AS popcount_or
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("E8", "EXT"),
+)
+def agg_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (BIT_AND / BIT_OR / BIT_XOR +
+    popcount) — the flag-mask rollup shape (feature bitmaps, permission
+    masks, bloom-ish presence sets). All three are associative/
+    commutative integer reductions: map-side partials combine
+    losslessly, one shuffle on the group key, and results are exact by
+    construction on every engine."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and("o_custkey").alias("flags_and"),
+        F.bit_or("o_custkey").alias("flags_or"),
+        F.bit_xor("o_custkey").alias("flags_xor"),
+        F.bit_count(F.bit_or("o_custkey")).cast("int").alias("popcount_or"),
+    )

@@ -407,6 +407,7 @@ def chi2_type_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked
     """,
     tags=("EXT", "pareto"),
+    bench=True,
 )
 def abc_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC (Pareto) classification: customers ranked by revenue, the

@@ -255,3 +255,36 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = e.unionByName(
         e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"))
     return S.semdedup(doubled, threshold=0.95, k=8, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG video frame sampling
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_video_frames",
+    tags=("E13", "E15"),  # rows-only: real JPEG decode, not SQL-expressible
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path: deterministic MJPEG containers (back-to-back
+    baseline JPEGs of per-frame-shifted patterns) are demuxed
+    structurally, every 2nd frame decoded through the real JPEG
+    decoder, and the sampled frames aggregated per frame index —
+    the keyframe-extraction stage of a video-training pipeline
+    (operators.multimodal.synthetic_video / sample_video_frames).
+    Deterministic across runs; frame counts, geometry, and stats
+    pinned in tests/test_multimodal_video.py."""
+    from data_eng_taxi_ibis_dagster_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0)  # sample the corpus: video is heavy
+    media = M.synthetic_video(docs)
+    frames = M.sample_video_frames(media, stride=2, max_frames=3)
+    return (
+        frames.groupBy("frame_index")
+        .agg(F.count(F.lit(1)).alias("n_frames"),
+             F.min("width").alias("min_width"),
+             F.max("height").alias("max_height"),
+             F.sum("feat_mean_x1000").alias("sum_feat_x1000"))
+        .orderBy("frame_index")
+    )

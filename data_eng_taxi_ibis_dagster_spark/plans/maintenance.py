@@ -270,6 +270,7 @@ def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     """,
     tags=("E14", "EXT", "timeseries"),
+    bench=True,
 )
 def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct active users per day — the classic

@@ -1,0 +1,80 @@
+"""MJPEG container: structural demux, frame sampling, quarantine."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.operators.jpeg import (
+    encode_jpeg,
+    jpeg_pixels,
+)
+from data_eng_taxi_ibis_dagster_spark.operators.multimodal import (
+    decode_mjpeg,
+    encode_mjpeg,
+    sample_video_frames,
+    split_mjpeg,
+    synthetic_video,
+)
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+
+def _frames(n=5, side=16, seed=3):
+    base = np.arange(side * side * 3, dtype=np.int64)
+    px = ((base * seed + 7) % 256).astype(np.uint8).reshape(side, side, 3)
+    return [np.roll(px, f, axis=0) for f in range(n)]
+
+
+def test_split_roundtrips_exact_frame_bytes():
+    frames = _frames(5)
+    payload = encode_mjpeg(frames)
+    parts = split_mjpeg(payload)
+    assert parts == [encode_jpeg(f) for f in frames]
+    assert b"".join(parts) == payload
+
+
+def test_decode_mjpeg_counts_and_geometry():
+    frames = _frames(4, side=16)
+    d = decode_mjpeg(encode_mjpeg(frames))
+    assert d["n_frames"] == 4
+    assert d["width"] == d["height"] == 16
+    assert d["duration_ms"] == 160
+
+
+def test_split_rejects_garbage():
+    with pytest.raises(ValueError):
+        split_mjpeg(b"\x00\x01\x02")
+    with pytest.raises(ValueError):
+        split_mjpeg(encode_mjpeg(_frames(2))[:-4])  # truncated EOI
+
+
+def test_sampled_frames_decode_to_original_reconstruction(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 10)
+    media = synthetic_video(docs, n_frames=6)
+    out = sample_video_frames(media, stride=2, max_frames=3).toPandas()
+    # every doc yields exactly frames 0, 2, 4
+    for _, grp in out.groupby("media_id"):
+        assert sorted(grp["frame_index"]) == [0, 2, 4]
+    # a sampled frame's payload is the contained JPEG: re-decoding it
+    # reproduces the same reconstruction stats the sampler reported
+    row = out.iloc[0]
+    px = jpeg_pixels(bytes(row["frame_payload"]))
+    assert int(px.mean() * 1000) == row["feat_mean_x1000"]
+    assert (px.shape[1], px.shape[0]) == (row["width"], row["height"])
+
+
+def test_corrupt_container_quarantines_per_row(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 4)
+    media = synthetic_video(docs, n_frames=3)
+    corrupted = media.withColumn(
+        "payload",
+        F.when(F.col("media_id") == 0,
+               F.substring("payload", 1, 10).cast("binary"))
+        .otherwise(F.col("payload")))
+    out = sample_video_frames(corrupted).toPandas()
+    bad = out[out["media_id"] == 0]
+    assert list(bad["frame_index"]) == [-1]
+    assert bad["width"].isna().all()
+    good = out[out["media_id"] != 0]
+    assert (good["frame_index"] >= 0).all()
