@@ -106,3 +106,45 @@ def similarity_ann_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                        num_planes=2, num_tables=16)
         .orderBy("query_id", "rnk")
     )
+
+
+@query(
+    "semdedup_audit",
+    oracle=f"""
+        WITH sub AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+        ), corpus AS (
+            SELECT vec_id, embedding FROM sub
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id, embedding FROM sub
+        ), dup AS (
+            SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+            FROM corpus a JOIN corpus b ON b.vec_id < a.vec_id
+            WHERE {S.sql_cosine('a.embedding', 'b.embedding')} >= 0.95
+            GROUP BY a.vec_id
+        )
+        SELECT c.vec_id,
+               d.dup_of IS NOT NULL AS is_dup,
+               d.dup_of
+        FROM corpus c LEFT JOIN dup d ON c.vec_id = d.vec_id
+    """,
+    tags=("E10", "E11", "audit"),
+)
+def semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's prune rule pinned to a strictly SQL-expressible
+    answer: with k=1 the Lloyd blocking degenerates to ONE cluster, so
+    the within-cluster prune IS the global all-pairs cosine-threshold
+    rule the oracle states directly (keep-lowest-id, cosine ≥ 0.95,
+    sequential-fold dot product matching DuckDB ``list_dot_product``
+    bit-for-bit). The production config (``semdedup_prune``, k=8)
+    shares every line of the pairwise stage (operators/similarity
+    .semdedup); only the blocking differs — a regression in the join,
+    the threshold comparison, or the dup_of selection breaks THIS
+    hash-checked twin. Restricted to a 300-vector subset so the
+    oracle's quadratic self-join stays cheap at sf0.01."""
+    e = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") < 300).select("vec_id", "embedding"))
+    doubled = e.unionByName(
+        e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"))
+    return S.semdedup(doubled, threshold=0.95, k=1, iters=1).select(
+        "vec_id", "is_dup", "dup_of")
