@@ -148,3 +148,38 @@ def semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"))
     return S.semdedup(doubled, threshold=0.95, k=1, iters=1).select(
         "vec_id", "is_dup", "dup_of")
+
+
+@query(
+    "similarity_ivf_audit",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),
+             scored AS (
+                 SELECT query_id, match_id,
+                        {S.sql_cosine('qv', 'cv')} AS cosine_sim
+                 FROM q CROSS JOIN c
+                 WHERE query_id != match_id
+             )
+        SELECT query_id, match_id, cosine_sim, rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, match_id ASC) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 10
+    """,
+    tags=("E11", "audit"),
+)
+def similarity_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF machinery (plans/llm2.ivf_topk — the SAME function the
+    production nprobe=2 query runs) with nprobe = n_centroids: probing
+    every inverted list makes the candidate set the full corpus, so the
+    result is PROVABLY the exact top-10 and the brute-force oracle
+    checks it hash-for-hash. Any drift in centroid selection, list
+    assignment, the probe-list join, candidate dedup, or re-rank
+    ordering breaks this strict twin."""
+    from data_eng_taxi_ibis_dagster_spark.plans.llm2 import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, n_centroids=8, nprobe=8, k=10)

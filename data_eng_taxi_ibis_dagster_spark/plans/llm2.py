@@ -37,21 +37,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_threshold_pairs_blocked(e, 0.4, n_blocks=8)
 
 
-@query(
-    "similarity_ivf",
-    oracle=None,  # centroid assignment is engine-internal → rows-only
-    tags=("E11",),
-)
-def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a deterministic coarse quantizer (every nth vector
-    is a centroid — no RNG, no fitted model), vectors assigned to their
-    nearest centroid (inverted lists), queries probe the 2 nearest lists
-    only, exact cosine re-rank inside. The probe-list join replaces the
-    full scan — the IVF scale shape with none of the training
-    nondeterminism. Emits (query_id, match_id, cosine_sim, rnk)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    n_centroids = 8
-    nprobe = 2
+def ivf_topk(e: DataFrame, *, n_centroids: int = 8, nprobe: int = 2,
+             k: int = 10) -> DataFrame:
+    """The IVF pipeline shared by the production query
+    (``similarity_ivf``, nprobe=2) and the strict audit twin
+    (``similarity_ivf_audit``, nprobe=n_centroids ⇒ provably exact) —
+    one implementation, so a regression in assignment, probe-list join,
+    dedup, or re-rank breaks the hash-checked audit."""
     # deterministic quantizer: the n lowest-id vectors serve as centroids
     # (a real deployment trains k-means offline and broadcasts it; the
     # engine-side join shape is identical)
@@ -89,9 +81,25 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.select("query_id", "match_id",
                      S.cosine(F.col("qv"), F.col("mv")).alias("cosine_sim"))
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
+        .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+@query(
+    "similarity_ivf",
+    oracle=None,  # centroid assignment is engine-internal → rows-only
+    tags=("E11",),
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (every nth vector
+    is a centroid — no RNG, no fitted model), vectors assigned to their
+    nearest centroid (inverted lists), queries probe the 2 nearest lists
+    only, exact cosine re-rank inside. The probe-list join replaces the
+    full scan — the IVF scale shape with none of the training
+    nondeterminism. Emits (query_id, match_id, cosine_sim, rnk)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, n_centroids=8, nprobe=2, k=10)
 
 
 @query(

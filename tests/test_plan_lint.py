@@ -26,6 +26,7 @@ BNLJ_ALLOWED = {
     "join_band_acctbal",           # band theta-join, small side broadcast
     "similarity_cosine_topk",      # brute-force cosine, probe broadcast
     "similarity_ivf",              # probe×centroid assignment
+    "similarity_ivf_audit",        # same machinery, full probe list
     "global_sales_opportunity",    # TPC-H Q22: vs 1-row global avg
     "important_part_volume",       # TPC-H Q11: HAVING vs 1-row scalar
     "rfm_segmentation",            # distributed_rank: 1-row (min,max) scalar join ×3
