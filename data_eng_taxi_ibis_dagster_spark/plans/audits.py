@@ -183,3 +183,59 @@ def similarity_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(e, n_centroids=8, nprobe=8, k=10)
+
+
+@query(
+    "dedup_cluster_audit",
+    oracle=f"""
+        WITH RECURSIVE corpus AS (
+            SELECT doc_id, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id, source, text FROM documents
+        ), sh AS (
+            SELECT doc_id, source,
+                   {T.sql_shingles("string_split(text, ' ')", 3)} AS s
+            FROM corpus
+        ), pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM sh a JOIN sh b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE {_JACCARD_SQL} >= 0.5
+        ), edges AS (
+            SELECT da AS s, db AS d FROM pairs
+            UNION
+            SELECT db AS s, da AS d FROM pairs
+        ), reach AS (
+            SELECT s AS id, d AS r FROM edges
+            UNION
+            SELECT reach.id, e.d AS r
+            FROM reach JOIN edges e ON reach.r = e.s
+        )
+        SELECT id AS doc_id,
+               LEAST(id, MIN(r)) AS canonical_id
+        FROM reach
+        GROUP BY id
+    """,
+    tags=("E10", "audit"),
+)
+def dedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterative connected-components cluster-pick
+    (operators/dedup.dedup_clusters — min-label propagation, the SAME
+    function ``dedup_cluster_pick`` runs on MinHash pairs) pinned to a
+    strict oracle: the pair set is the EXACT Jaccard relation (already
+    strictly checked by ``dedup_ngram_jaccard``), and DuckDB computes
+    the ground-truth components by WITH RECURSIVE transitive closure +
+    min-reachable-label. A drift in edge symmetrization, label
+    propagation, convergence, or canonical selection breaks the hash."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    corpus = d
+    for off in (1_000_000, 2_000_000):
+        corpus = corpus.unionByName(
+            d.select((F.col("doc_id") + off).alias("doc_id"),
+                     "source", "text"))
+    pairs = D.pairwise_jaccard(corpus, block_col="source", n=3,
+                               threshold=0.5)
+    return D.dedup_clusters(pairs.select("doc_a", "doc_b"))
