@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_eng_taxi_ibis_dagster_spark.functions.exact import sql_dsum
 from data_eng_taxi_ibis_dagster_spark.operators import dedup as D
 from data_eng_taxi_ibis_dagster_spark.operators import similarity as S
 from data_eng_taxi_ibis_dagster_spark.operators import text as T
@@ -239,3 +240,47 @@ def dedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.pairwise_jaccard(corpus, block_col="source", n=3,
                                threshold=0.5)
     return D.dedup_clusters(pairs.select("doc_a", "doc_b"))
+
+
+@query(
+    "kmeans_estep_audit",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), seedi AS (
+            SELECT e AS c, row_number() OVER (ORDER BY vec_id) - 1 AS idx
+            FROM v ORDER BY vec_id LIMIT 4
+        ), scored AS (
+            SELECT v.vec_id, s.idx,
+                   list_sum(list_transform(
+                       range(1, len(v.e) + 1),
+                       i -> (v.e[i] - s.c[i]) * (v.e[i] - s.c[i]))) AS d2
+            FROM v CROSS JOIN seedi s
+        ), assigned AS (
+            SELECT vec_id, idx, d2,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2 ASC, idx ASC) AS rn
+            FROM scored
+        )
+        SELECT idx AS cluster_id,
+               COUNT(*) AS n_vectors,
+               MIN(vec_id) AS min_vec_id,
+               {sql_dsum('d2', 6)} AS sse
+        FROM assigned WHERE rn = 1
+        GROUP BY idx
+    """,
+    tags=("E11", "audit"),
+)
+def kmeans_estep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lloyd E-step pinned strictly: with ``iters=1`` the
+    assignment runs against the k lowest-id seed vectors (which SQL can
+    reproduce), the sequential-fold squared-L2 matches DuckDB's
+    ``list_sum``/``list_transform`` bit-for-bit (verified like the
+    cosine fold), and the decimal-quantized SSE is the shared
+    order-independent sum — so the whole per-cluster summary
+    (:func:`operators.similarity.kmeans_lloyd`, the SAME function the
+    rows-only ``kmeans_lloyd`` query runs for 3 iterations)
+    hash-matches the oracle. Drift in seeding, argmin tie-breaks, the
+    distance fold, or SSE quantization breaks this twin."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_lloyd(e, k=4, iters=1)
