@@ -284,3 +284,65 @@ def kmeans_estep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance fold, or SSE quantization breaks this twin."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.kmeans_lloyd(e, k=4, iters=1)
+
+
+@query(
+    "pagerank_iter1_audit",
+    oracle=f"""
+        WITH e AS (
+            SELECT o_custkey % 53 AS src, o_orderkey % 97 AS dst,
+                   CAST(1 + o_orderkey % 3 AS DOUBLE) AS w
+            FROM orders
+        ), out_w AS (
+            SELECT src, {sql_dsum('w', 6)} AS out
+            FROM e WHERE w > 0 GROUP BY src
+            HAVING {sql_dsum('w', 6)} > 0
+        ), trans AS (
+            SELECT e.src, e.dst, e.w / o.out AS p
+            FROM e JOIN out_w o ON e.src = o.src WHERE e.w > 0
+        ), vertices AS (
+            SELECT DISTINCT v FROM (
+                SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+        ), n AS (
+            SELECT COUNT(*) AS n FROM vertices
+        ), contrib AS (
+            SELECT dst AS vertex,
+                   {sql_dsum('(1.0 / n.n) * p', 12)} AS cin
+            FROM trans, n GROUP BY dst
+        ), dang AS (
+            SELECT COALESCE({sql_dsum('1.0 / n.n', 12)}, 0.0) AS dm
+            FROM vertices v, n
+            WHERE v.v NOT IN (SELECT DISTINCT src FROM trans)
+        )
+        SELECT v.v AS vertex,
+               CAST(CAST(
+                   (1.0 - 0.85) / n.n
+                   + 0.85 * (COALESCE(c.cin, 0.0) + d.dm / n.n)
+               AS DECIMAL(38,12)) AS DOUBLE) AS rank
+        FROM vertices v
+        LEFT JOIN contrib c ON v.v = c.vertex
+        CROSS JOIN dang d CROSS JOIN n
+    """,
+    tags=("E12", "audit"),
+)
+def pagerank_iter1_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One damped-PageRank iteration from the uniform vector, pinned
+    strictly: on a deterministic keyed graph (src = custkey mod 53,
+    dst = orderkey mod 97 ⇒ 44 genuinely dangling vertices exercising
+    the redistribution path), every arithmetic step of
+    :func:`operators.graph.pagerank` — out-weight normalization at
+    decimal(38,6), per-dst combine at decimal(38,12), dangling-mass
+    1-row aggregate, teleport+damping update, final quantization — has
+    a textually mirrored SQL twin, so the full (vertex, rank) relation
+    hash-matches. The production queries (``pagerank_cooccurrence``,
+    ``textrank_keywords``) run the SAME function for 8 iterations;
+    drift in any per-iteration step breaks this audit."""
+    from data_eng_taxi_ibis_dagster_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 53).alias("src"),
+        (F.col("o_orderkey") % 97).alias("dst"),
+        (1 + F.col("o_orderkey") % 3).cast("double").alias("w"),
+    )
+    return pagerank(edges, weight="w", damping=0.85, iters=1)

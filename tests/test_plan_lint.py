@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "rfm_segmentation",            # distributed_rank: 1-row (min,max) scalar join ×3
     "textrank_keywords",           # pagerank: 1-row dangling-mass scalar join per iter
     "pagerank_cooccurrence",       # same pagerank 1-row dangling-mass scalar join
+    "pagerank_iter1_audit",        # same pagerank 1-row dangling-mass scalar join
     "bpe_learn_merges",            # 1-row vocab-stats scalar join onto the merge table
     "contrastive_pair_mining",     # brute-force cosine, anchor probe set broadcast
     "graph_triangle_tokens",       # 1-row percentile-threshold scalar join
