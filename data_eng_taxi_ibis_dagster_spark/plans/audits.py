@@ -24,6 +24,25 @@ of the rows-only siblings.
   re-rank ordering breaks the match. (The production config —
   ``similarity_ann_srp``, 4×8 — intentionally trades recall for bucket
   size; its recall bound stays covered by tests/test_similarity.py.)
+
+Round-4 continuation extends the family to the ITERATIVE operators —
+each audit runs the same function as its rows-only sibling in a
+configuration with an SQL-expressible ground truth:
+
+* ``semdedup_audit`` — SemDeDup with k=1 (one cluster ⇒ the prune IS
+  the global all-pairs cosine-threshold rule), 300-vector subset.
+* ``similarity_ivf_audit`` — IVF with nprobe = n_centroids (probe all
+  lists ⇒ provably exact top-10 vs the brute-force oracle).
+* ``dedup_cluster_audit`` — min-label connected components over the
+  exact Jaccard pair relation on a tripled corpus, vs a WITH RECURSIVE
+  transitive-closure + min-reachable-label oracle.
+* ``kmeans_estep_audit`` — one Lloyd iteration from the k lowest-id
+  seeds; the sequential squared-L2 fold and the decimal SSE both have
+  bit-exact SQL twins.
+* ``pagerank_iter1_audit`` — one damped iteration from uniform on a
+  keyed graph with 44 dangling vertices; every decimal-quantized step
+  (out-weight normalization, combine, dangling redistribution,
+  teleport update, output quantization) is textually mirrored.
 """
 
 from __future__ import annotations
