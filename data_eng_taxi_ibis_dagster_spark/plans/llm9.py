@@ -252,3 +252,74 @@ def join_full_outer_nation_presence(spark: SparkSession,
             F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
         )
     )
+
+
+@query(
+    "percentile_cont_price",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag, l_extendedprice,
+                   row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               MAX(CASE WHEN rn = CAST(floor((cnt-1)*0.25 + 1) AS BIGINT)
+                        THEN l_extendedprice END)
+               + MAX((cnt-1)*0.25 + 1 - floor((cnt-1)*0.25 + 1))
+               * (MAX(CASE WHEN rn = CAST(ceiling((cnt-1)*0.25 + 1) AS BIGINT)
+                           THEN l_extendedprice END)
+                  - MAX(CASE WHEN rn = CAST(floor((cnt-1)*0.25 + 1) AS BIGINT)
+                             THEN l_extendedprice END)) AS p25,
+               MAX(CASE WHEN rn = CAST(floor((cnt-1)*0.5 + 1) AS BIGINT)
+                        THEN l_extendedprice END)
+               + MAX((cnt-1)*0.5 + 1 - floor((cnt-1)*0.5 + 1))
+               * (MAX(CASE WHEN rn = CAST(ceiling((cnt-1)*0.5 + 1) AS BIGINT)
+                           THEN l_extendedprice END)
+                  - MAX(CASE WHEN rn = CAST(floor((cnt-1)*0.5 + 1) AS BIGINT)
+                             THEN l_extendedprice END)) AS p50,
+               MAX(CASE WHEN rn = CAST(floor((cnt-1)*0.75 + 1) AS BIGINT)
+                        THEN l_extendedprice END)
+               + MAX((cnt-1)*0.75 + 1 - floor((cnt-1)*0.75 + 1))
+               * (MAX(CASE WHEN rn = CAST(ceiling((cnt-1)*0.75 + 1) AS BIGINT)
+                           THEN l_extendedprice END)
+                  - MAX(CASE WHEN rn = CAST(floor((cnt-1)*0.75 + 1) AS BIGINT)
+                             THEN l_extendedprice END)) AS p75
+        FROM ranked
+        GROUP BY l_returnflag
+    """,
+    tags=("E8", "EXT"),
+)
+def percentile_cont_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENTILE_CONT (linear interpolation between the two
+    bracketing order statistics, SQL-2003 h = (n−1)q + 1) — the
+    continuous twin of ``percentile_disc_price``. Both order
+    statistics come from the same partitioned rank window; the
+    interpolation is textually mirrored double arithmetic, so the
+    result is bit-identical across engines (no reliance on either
+    engine's native quantile implementation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber")
+    wc = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+
+    def cont(q: float):
+        h = (F.col("cnt") - 1) * q + 1
+        x_lo = F.max(F.when(F.col("rn") == F.floor(h).cast("long"),
+                            F.col("l_extendedprice")))
+        x_hi = F.max(F.when(F.col("rn") == F.ceil(h).cast("long"),
+                            F.col("l_extendedprice")))
+        frac = F.max(h - F.floor(h))
+        return x_lo + frac * (x_hi - x_lo)
+
+    return ranked.groupBy("l_returnflag").agg(
+        cont(0.25).alias("p25"), cont(0.5).alias("p50"),
+        cont(0.75).alias("p75"))

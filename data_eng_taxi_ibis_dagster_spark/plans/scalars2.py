@@ -109,3 +109,47 @@ def scalar_struct_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.prio").alias("s_prio"),
         F.posexplode("l").alias("pos", "val"),
     )
+
+
+@query(
+    "scalar_try_funcs",
+    oracle="""
+        WITH s AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_custkey % 3 = 0 THEN 'x' || o_custkey::VARCHAR
+                        ELSE o_custkey::VARCHAR END AS keystr,
+                   string_split(o_orderpriority, '-') AS prio_parts,
+                   o_totalprice, o_custkey
+            FROM orders
+        )
+        SELECT o_orderkey,
+               CASE WHEN o_custkey % 5 = 0 THEN NULL
+                    ELSE o_totalprice / (o_custkey % 5) END AS safe_div,
+               TRY_CAST(keystr AS BIGINT) AS parsed_key,
+               prio_parts[2] AS elem2,
+               prio_parts[3] AS elem3
+        FROM s
+    """,
+    tags=("E7", "EXT"),
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe (`try_*`) function semantics: division by zero,
+    unparseable casts, and out-of-bounds array access all yield NULL
+    instead of failing the job — the ANSI-mode safety valves a
+    production pipeline needs when `spark.sql.ansi.enabled` is on
+    (Spark 4's default). The oracle states the same semantics with
+    explicit guards; a drift in any NULL-production rule breaks the
+    hash."""
+    o = load_table(spark, sf_dir, "orders")
+    keystr = F.when(F.col("o_custkey") % 3 == 0,
+                    F.concat(F.lit("x"), F.col("o_custkey").cast("string"))
+                    ).otherwise(F.col("o_custkey").cast("string"))
+    parts = F.split(F.col("o_orderpriority"), "-")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5)
+        .alias("safe_div"),
+        keystr.try_cast("long").alias("parsed_key"),
+        F.try_element_at(parts, F.lit(2)).alias("elem2"),
+        F.try_element_at(parts, F.lit(3)).alias("elem3"),
+    )
