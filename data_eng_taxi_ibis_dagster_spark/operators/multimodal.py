@@ -821,6 +821,12 @@ def _jpeg_stream_end(buf: bytes, start: int) -> int:
     while i + 1 < n:
         if buf[i] != 0xFF:
             raise ValueError(f"marker expected at {i}")
+        # spec-legal 0xFF fill bytes may pad before any marker
+        # (ITU T.81 §B.1.1.2) — camera MJPEG streams emit them
+        while i + 1 < n and buf[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n:
+            break
         m = buf[i + 1]
         if m == 0xD9:                      # EOI
             return i + 2
@@ -940,24 +946,27 @@ def sample_video_frames(media: DataFrame, *, stride: int = 2,
             ids, idxs, ws, hs, means, payloads = [], [], [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
+                # stage the container's rows locally and commit only if
+                # EVERY sampled frame decodes: otherwise a mid-container
+                # failure would emit partial frame rows AND a quarantine
+                # row for the same media_id (double-counted downstream)
+                rows = []
                 try:
                     frames = split_mjpeg(raw)
                     picked = frames[::stride][:max_frames]
                     for j, fb in enumerate(picked):
                         px = jpeg_pixels(fb)
-                        ids.append(media_id)
-                        idxs.append(j * stride)
-                        ws.append(px.shape[1])
-                        hs.append(px.shape[0])
-                        means.append(int(px.mean() * 1000))
-                        payloads.append(fb)
-                except (ValueError, IndexError):
+                        rows.append((j * stride, px.shape[1], px.shape[0],
+                                     int(px.mean() * 1000), fb))
+                except Exception:  # corrupt container/frame → quarantine
+                    rows = [(-1, None, None, None, None)]
+                for idx, w_, h_, mean_, fb in rows:
                     ids.append(media_id)
-                    idxs.append(-1)
-                    ws.append(None)
-                    hs.append(None)
-                    means.append(None)
-                    payloads.append(None)
+                    idxs.append(idx)
+                    ws.append(w_)
+                    hs.append(h_)
+                    means.append(mean_)
+                    payloads.append(fb)
             yield pd.DataFrame({
                 "media_id": ids,
                 "frame_index": pd.array(idxs, dtype="int32"),

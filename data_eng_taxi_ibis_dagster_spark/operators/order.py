@@ -110,16 +110,21 @@ def distributed_rank(
         .join(F.broadcast(lo_hi))
         .withColumn(
             "_dr_bucket",
-            F.least(
-                F.lit(buckets - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor(
-                        (F.col("_dr_s").cast("double") - F.col("_lo"))
-                        / ((F.col("_hi") - F.col("_lo")) + F.lit(1e-12))
-                        * buckets
+            # NULL scores → leading bucket −1 (ASC NULLS FIRST): a NULL
+            # bucket id would silently drop the row at the offsets
+            # equi-join (NULL never equals NULL).
+            F.when(F.col("_dr_s").isNull(), F.lit(-1)).otherwise(
+                F.least(
+                    F.lit(buckets - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("_dr_s").cast("double") - F.col("_lo"))
+                            / ((F.col("_hi") - F.col("_lo")) + F.lit(1e-12))
+                            * buckets
+                        ),
                     ),
-                ),
+                )
             ).cast("long"),
         )
         .drop("_lo", "_hi")
@@ -197,9 +202,10 @@ def distributed_prefix_sum(
     revenue share, ABC classification, Lorenz/Gini curves).
 
     Same affine range-bucketing as ``distributed_rank``; per bucket we
-    aggregate BOTH the row count and the value sum, the offsets window
-    runs over ``buckets`` rows, and each row's prefix is its bucket's
-    lower-bucket value total plus a within-bucket running sum.
+    aggregate the value sum, the offsets window runs over ``buckets``
+    rows, and each row's prefix is its bucket's lower-bucket value
+    total plus a within-bucket running sum. NULL scores sort first
+    (bucket −1), matching the window's ``ASC NULLS FIRST`` ordering.
     ``value`` should be an integer/decimal column (exact under
     reordering); a raw double would make the prefix partition-order-
     dependent."""
@@ -213,27 +219,33 @@ def distributed_prefix_sum(
         .join(F.broadcast(lo_hi))
         .withColumn(
             "_dp_bucket",
-            F.least(
-                F.lit(buckets - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor(
-                        (F.col("_dp_s").cast("double") - F.col("_lo"))
-                        / ((F.col("_hi") - F.col("_lo")) + F.lit(1e-12))
-                        * buckets
+            # NULL scores get their own leading bucket (−1): a NULL
+            # expression would otherwise produce a NULL bucket id that
+            # silently fails the offsets equi-join and DROPS the row
+            # while its value still inflates every downstream offset.
+            F.when(F.col("_dp_s").isNull(), F.lit(-1)).otherwise(
+                F.least(
+                    F.lit(buckets - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("_dp_s").cast("double") - F.col("_lo"))
+                            / ((F.col("_hi") - F.col("_lo")) + F.lit(1e-12))
+                            * buckets
+                        ),
                     ),
-                ),
+                )
             ).cast("long"),
         )
         .drop("_lo", "_hi")
     )
-    counts = staged.groupBy("_dp_bucket").agg(
+    sums = staged.groupBy("_dp_bucket").agg(
         F.sum("_dp_v").alias("_dp_sum"))
     w_off = (
         Window.orderBy("_dp_bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.select(
+    offsets = sums.select(
         "_dp_bucket",
         F.coalesce(F.sum("_dp_sum").over(w_off),
                    F.lit(0).cast("long")).alias("_dp_offset"),

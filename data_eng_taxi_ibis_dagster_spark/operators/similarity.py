@@ -387,9 +387,12 @@ def semdedup(df: DataFrame, *, threshold: float = 0.95,
     """
     assigned = lloyd_assignments(
         df, vec_col=vec_col, id_col=id_col, k=k, iters=iters)
-    # Precompute norms once; the pairwise stage pays one fold per pair.
+    # Precompute norms once, and checkpoint: this relation feeds the
+    # a-side, the b-side, AND the final left join — without truncation
+    # each consumer re-runs the full E-step argmin over the corpus.
     vecs = assigned.select(
-        "_id", "_v", "cluster", l2_norm(F.col("_v")).alias("_n"))
+        "_id", "_v", "cluster", l2_norm(F.col("_v")).alias("_n")
+    ).localCheckpoint(eager=False)
 
     a = vecs.select(F.col("_id").alias("_ida"), F.col("_v").alias("_va"),
                     F.col("_n").alias("_na"), "cluster")

@@ -331,10 +331,9 @@ def events_locf_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type,
                CAST(SUM(o) AS BIGINT) AS n_obs,
-               CAST(SUM(CAST(floor(
+               CAST(SUM(CAST(
                    (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
-                   * 1000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
-                   / 1000000.0 AS chi2_part
+                   AS DECIMAL(38,6))) AS DOUBLE) AS chi2_part
         FROM cells
         GROUP BY event_type
     """,

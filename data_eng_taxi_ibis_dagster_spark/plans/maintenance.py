@@ -286,6 +286,7 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.expr("ts_us DIV 86400000000")
     return (
         ev.select("user_id", day.alias("_d"))
+        .distinct()  # dedup to active user-days BEFORE the 7× fan-out
         .select("user_id",
                 F.explode(F.sequence(F.col("_d"), F.col("_d") + 6))
                 .alias("window_day"))

@@ -78,3 +78,32 @@ def test_corrupt_container_quarantines_per_row(spark, sf_dir):
     assert bad["width"].isna().all()
     good = out[out["media_id"] != 0]
     assert (good["frame_index"] >= 0).all()
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """ITU T.81 §B.1.1.2: any number of 0xFF fill bytes may pad before
+    a marker — real camera MJPEG streams emit them."""
+    frames = _frames(2)
+    f0, f1 = [encode_jpeg(f) for f in frames]
+    # inject fill bytes after SOI and before EOI of the first frame
+    padded = (f0[:2] + b"\xff" * 3 + f0[2:-2] + b"\xff" * 2 + f0[-2:]) + f1
+    parts = split_mjpeg(padded)
+    assert len(parts) == 2
+    assert parts[1] == f1
+
+
+def test_partial_decode_failure_quarantines_whole_container(spark):
+    """A container whose frames split structurally but whose SECOND
+    frame fails to decode must yield ONLY the quarantine row — never
+    partial frame rows plus a quarantine marker for the same id."""
+    good = encode_jpeg(_frames(1)[0])
+    bad_frame = b"\xff\xd8\xff\xd9"  # structurally valid, undecodable
+    payload = good + bad_frame
+    assert len(split_mjpeg(payload)) == 2  # splits fine
+    media = spark.createDataFrame(
+        [(1, "video/x-motion-jpeg", bytearray(payload), None, None, None)],
+        "media_id long, mime string, payload binary, meta_width int, "
+        "meta_height int, meta_duration_ms long")
+    out = sample_video_frames(media, stride=1, max_frames=4).toPandas()
+    assert list(out["frame_index"]) == [-1]
+    assert out["width"].isna().all()

@@ -142,3 +142,38 @@ def test_distributed_prefix_sum_matches_global_window(spark, vals):
     w = {r["id"]: r["prefix"] for r in want.collect()}
     assert {k: v[0] for k, v in g.items()} == w
     assert all(v[1] == sum(x * 10 for x in vals) for v in g.values())
+
+
+def test_distributed_rank_and_prefix_sum_keep_null_scores(spark):
+    """NULL scores must sort first (ASC NULLS FIRST) and stay in the
+    output — a NULL bucket id would silently drop them at the offsets
+    join while their values still inflated every offset."""
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None, 10), (1, 2.0, 1), (2, 1.0, 5), (3, None, 7)],
+        "id long, v double, amt long")
+    got = distributed_prefix_sum(
+        df, F.col("v"), F.col("amt"), F.col("id"), buckets=4,
+        name="prefix", total_name="tot")
+    want = df.withColumn(
+        "prefix",
+        F.sum("amt").over(
+            Window.orderBy(F.col("v").asc_nulls_first(), "id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow)))
+    g = {r["id"]: (r["prefix"], r["tot"]) for r in got.collect()}
+    w = {r["id"]: r["prefix"] for r in want.collect()}
+    assert len(g) == 4
+    assert {k: v[0] for k, v in g.items()} == w
+    assert all(v[1] == 23 for v in g.values())
+
+    ranked = distributed_rank(df, F.col("v"), F.col("id"), buckets=4,
+                              name="pos", total_name="n")
+    want_r = df.withColumn(
+        "pos", F.row_number().over(
+            Window.orderBy(F.col("v").asc_nulls_first(), "id")))
+    gr = {r["id"]: r["pos"] for r in ranked.collect()}
+    wr = {r["id"]: r["pos"] for r in want_r.collect()}
+    assert gr == wr and len(gr) == 4
