@@ -107,3 +107,37 @@ def test_partial_decode_failure_quarantines_whole_container(spark):
     out = sample_video_frames(media, stride=1, max_frames=4).toPandas()
     assert list(out["frame_index"]) == [-1]
     assert out["width"].isna().all()
+
+
+def test_video_frame_sampling_streams_equal_batch(spark, sf_dir, tmp_path):
+    """The keyframe sampler is a stateless mapInPandas, so it runs
+    unchanged on a streaming binary ingest — the E13×E14 composition a
+    video-training pipeline needs (frames extracted as containers
+    arrive). Stream-collected frames must equal the batch rendering."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 12)
+    media = synthetic_video(docs, n_frames=4)
+    src = str(tmp_path / "media")
+    media.write.parquet(src)
+
+    stored = spark.read.parquet(src)
+    batch = (sample_video_frames(stored, stride=2, max_frames=2)
+             .drop("frame_payload").toPandas())
+
+    stream = spark.readStream.schema(stored.schema).parquet(src)
+    collected = []
+    q = (sample_video_frames(stream, stride=2, max_frames=2)
+         .drop("frame_payload")
+         .writeStream
+         .foreachBatch(lambda df, _id: collected.append(df.toPandas()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    got = pd.concat(collected)
+    cols = sorted(batch.columns)
+    pd.testing.assert_frame_equal(
+        batch[cols].sort_values(cols).reset_index(drop=True),
+        got[cols].sort_values(cols).reset_index(drop=True))
