@@ -101,6 +101,11 @@ def distributed_rank(
     ``total_name`` additionally broadcasts the overall row count onto
     every row — the denominator :func:`distributed_ntile` needs.
     """
+    # lazily checkpoint the input: the (min, max) probe AND the staged
+    # relation both consume it, and without truncation each consumer
+    # re-derives the caller's full upstream plan (e.g. a corpus-scale
+    # aggregate) — one materialization, two readers
+    df = df.localCheckpoint(eager=False)
     lo_hi = df.select(
         F.min(score).cast("double").alias("_lo"),
         F.max(score).cast("double").alias("_hi"),
@@ -209,6 +214,7 @@ def distributed_prefix_sum(
     ``value`` should be an integer/decimal column (exact under
     reordering); a raw double would make the prefix partition-order-
     dependent."""
+    df = df.localCheckpoint(eager=False)  # see distributed_rank
     lo_hi = df.select(
         F.min(score).cast("double").alias("_lo"),
         F.max(score).cast("double").alias("_hi"),
