@@ -302,3 +302,26 @@ def test_python_datasource_partition_planning(spark):
              .option("rows", 1000).option("partitions", 4).load().toPandas()
              .sort_values("row_id").reset_index(drop=True))
     assert pdf.equals(again)
+
+
+def test_iceberg_sinks_gated_or_roundtrip(spark, sf_dir, tmp_path):
+    """Iceberg sinks activate only with the runtime jar on the
+    classpath; without it the probe must be False and the entry points
+    must raise the configuration error (never a Py4J stack) — the same
+    gating discipline as the Spark-4 stateful twin. With a jar +
+    catalog configured, the same test body round-trips a CTAS."""
+    import pytest
+
+    from data_eng_taxi_ibis_dagster_spark.sources import iceberg
+
+    nation = load_table(spark, sf_dir, "nation")
+    if not iceberg.iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="Iceberg runtime jar"):
+            iceberg.write_table(nation, "local.db.nation_ice")
+        with pytest.raises(RuntimeError, match="Iceberg runtime jar"):
+            iceberg.merge_upsert(spark, "local.db.nation_ice",
+                                 nation, "n_nationkey")
+        return
+    iceberg.write_table(nation, "local.db.nation_ice")
+    got = spark.table("local.db.nation_ice")
+    assert got.count() == nation.count()
