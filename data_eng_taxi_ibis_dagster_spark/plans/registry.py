@@ -91,6 +91,7 @@ def _load_all() -> None:
         llm15,
         analytics2,
         maintenance,
+        stats,
     )
 
 
