@@ -191,7 +191,10 @@ def cosine_threshold_pairs_blocked(df: DataFrame, threshold: float, *,
     theta_max = F.acos(F.lit(float(threshold)))  # qualifying angular cap
     clamp = lambda c: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), c))
 
-    vecs = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"))
+    # one materialization, many readers: the centroid probe, the
+    # assignment scan, and both join sides all consume this relation
+    vecs = df.select(F.col(id_col).alias("_id"),
+                     as_double(vec_col).alias("_v")).localCheckpoint(eager=False)
     centroids = F.broadcast(
         vecs.orderBy("_id").limit(n_blocks)
         .select(F.col("_id").alias("_cid"), F.col("_v").alias("_cv"))
