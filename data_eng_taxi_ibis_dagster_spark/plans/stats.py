@@ -138,3 +138,49 @@ def abtest_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "n0", "c0", "n1", "c1",
         p0.alias("p0"), p1.alias("p1"), z.alias("z_score"))
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_extendedprice,
+                   CAST(l_quantity AS BIGINT) AS w,
+                   SUM(CAST(l_quantity AS BIGINT)) OVER (
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cw,
+                   SUM(CAST(l_quantity AS BIGINT)) OVER () AS tw
+            FROM lineitem
+        )
+        SELECT MIN(l_extendedprice) AS weighted_median,
+               CAST(MAX(tw) AS BIGINT) AS total_weight
+        FROM ranked WHERE 2 * cw >= tw
+    """,
+    tags=("E8", "EXT"),
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price: the smallest price whose
+    cumulative quantity reaches half the total — the inventory-weighted
+    central price. The oracle states it as a global weighted cumsum
+    window; the Spark plan is
+    :func:`operators.order.distributed_prefix_sum` over integer
+    weights (range-bucketed, no single-partition sort), then one
+    1-row aggregate. Weights are exact longs, so the selection is
+    engine-identical with zero float comparisons."""
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        distributed_prefix_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("long").alias("w"))
+    ranked = distributed_prefix_sum(
+        li, F.col("l_extendedprice"), F.col("w"),
+        F.col("l_orderkey"), F.col("l_linenumber"),
+        name="cw", total_name="tw")
+    return (
+        ranked.filter(2 * F.col("cw") >= F.col("tw"))
+        .agg(F.min("l_extendedprice").alias("weighted_median"),
+             F.max("tw").alias("total_weight"))
+    )

@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "abc_pareto_customers",        # distributed_prefix_sum 1-row (min,max) join
     "histogram_equidepth_price",   # distributed_ntile 1-row (min,max) join
     "gini_customer_revenue",       # distributed_rank 1-row (min,max) join
+    "weighted_median_price",       # distributed_prefix_sum 1-row (min,max) join
 }
 
 #: Tags whose queries may cross the JVM→Python boundary.
