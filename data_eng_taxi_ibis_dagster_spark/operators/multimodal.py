@@ -960,6 +960,11 @@ def sample_video_frames(media: DataFrame, *, stride: int = 2,
                                      int(px.mean() * 1000), fb))
                 except Exception:  # corrupt container/frame → quarantine
                     rows = [(-1, None, None, None, None)]
+                if not rows:
+                    # NULL/empty payload (or a container that demuxes to
+                    # zero frames): quarantine rather than vanish, so
+                    # every input media_id is accounted for downstream
+                    rows = [(-1, None, None, None, None)]
                 for idx, w_, h_, mean_, fb in rows:
                     ids.append(media_id)
                     idxs.append(idx)

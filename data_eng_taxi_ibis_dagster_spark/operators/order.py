@@ -192,6 +192,83 @@ def distributed_ntile(
     ).drop("_nt_pos", "_nt_total")
 
 
+def distributed_prefix_max(
+    df: DataFrame,
+    score: Column,
+    value: Column,
+    *tiebreaks: Column,
+    buckets: int = 256,
+    name: str = "prefix_max",
+) -> DataFrame:
+    """EXCLUSIVE global running ``MAX(value) OVER (ORDER BY score,
+    *tiebreaks ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``
+    without a single-partition sort — the prefix-max companion of
+    :func:`distributed_prefix_sum` (skyline/Pareto frontier scans,
+    monotone envelope detection). ``name`` is NULL for the global first
+    row, exactly like the window form.
+
+    Same affine range-bucketing: per bucket one MAX aggregate, an
+    offsets window over ``buckets`` rows computing each bucket's
+    strictly-lower-bucket max, and a within-bucket exclusive running
+    max; a row's prefix max is ``greatest`` of the two (Spark's
+    ``greatest`` skips NULLs). Equal scores always share a bucket (the
+    bucket id is a function of the score), so the cross-bucket max can
+    never split a tie group. MAX is idempotent, so — unlike the sum
+    variant — the same machinery is safe for any merge-idempotent
+    aggregate (min works by negation)."""
+    df = df.localCheckpoint(eager=False)  # see distributed_rank
+    lo_hi = df.select(
+        F.min(score).cast("double").alias("_lo"),
+        F.max(score).cast("double").alias("_hi"),
+    )
+    staged = (
+        df.withColumn("_pm_s", score)
+        .withColumn("_pm_v", value)
+        .join(F.broadcast(lo_hi))
+        .withColumn(
+            "_pm_bucket",
+            # NULL scores lead (bucket −1, ASC NULLS FIRST) — a NULL
+            # bucket id would silently drop the row at the equi-join.
+            F.when(F.col("_pm_s").isNull(), F.lit(-1)).otherwise(
+                F.least(
+                    F.lit(buckets - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("_pm_s").cast("double") - F.col("_lo"))
+                            / ((F.col("_hi") - F.col("_lo")) + F.lit(1e-12))
+                            * buckets
+                        ),
+                    ),
+                )
+            ).cast("long"),
+        )
+        .drop("_lo", "_hi")
+    )
+    maxes = staged.groupBy("_pm_bucket").agg(F.max("_pm_v").alias("_pm_max"))
+    w_off = (
+        Window.orderBy("_pm_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = maxes.select(
+        "_pm_bucket",
+        F.max("_pm_max").over(w_off).alias("_pm_lower"),
+    )
+    w_loc = (
+        Window.partitionBy("_pm_bucket")
+        .orderBy(F.col("_pm_s"), *tiebreaks)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        staged.join(F.broadcast(offsets), "_pm_bucket")
+        .withColumn(
+            name,
+            F.greatest(F.col("_pm_lower"), F.max("_pm_v").over(w_loc)),
+        )
+        .drop("_pm_bucket", "_pm_s", "_pm_v", "_pm_lower")
+    )
+
+
 def distributed_prefix_sum(
     df: DataFrame,
     score: Column,

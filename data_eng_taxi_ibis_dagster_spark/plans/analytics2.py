@@ -14,11 +14,11 @@ Scale shapes:
   the join fan-out bounded by the oriented out-degree, not the raw
   degree.
 * **Skyline** — the 2-D Pareto frontier reduces to: collapse to one
-  row per distinct x (max y), then a running-max over the distinct-x
-  relation. The window runs over |distinct x| rows, not the corpus —
-  the same reduced-relation compromise as ``distributed_rank``'s
-  offsets window; at extreme x-cardinality the running max itself
-  range-buckets the way ``operators/order`` does.
+  row per distinct x (max y), then an exclusive running-max over the
+  distinct-x relation via
+  :func:`operators.order.distributed_prefix_max` — range-bucketed, so
+  no single-partition stage exists even when |distinct x| grows with
+  the corpus (continuous prices).
 * **MAD outliers** — two :func:`distributed_rank` passes (median, then
   median absolute deviation) replace the global percentile window; the
   medians travel as 1-row broadcasts. No transcendental math → the
@@ -80,6 +80,7 @@ from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
         GROUP BY token
     """,
     tags=("E12", "graph"),
+    bench=True,
 )
 def graph_triangle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex triangle counts over the token co-occurrence graph
@@ -96,22 +97,25 @@ def graph_triangle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")).distinct()
     a = dt.select("doc_id", F.col("tok").alias("ta"))
     b = dt.select("doc_id", F.col("tok").alias("tb"))
+    # Materialize the co-occurrence aggregate once: both the threshold
+    # rank pass and the edge filter read it.
     e0 = (
         a.join(b, "doc_id")
         .filter(F.col("ta") < F.col("tb"))
         .groupBy("ta", "tb")
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
     )
-    # The edge relation is vocab²-bounded (tiny at ANY corpus scale),
-    # so an exact 60th-percentile weight cut via one in-relation window
-    # is safe — the threshold adapts to corpus density instead of
-    # hard-coding an absolute co-occurrence count.
-    wq = Window.orderBy("w", "ta", "tb")
+    # Exact 60th-percentile weight cut — the threshold adapts to corpus
+    # density instead of hard-coding an absolute co-occurrence count.
+    # Distinct co-occurring pairs on a web corpus run to BILLIONS of
+    # rows, so the selection rank comes from
+    # :func:`operators.order.distributed_rank` (range-bucketed, no
+    # single-partition window ever touches the edge relation).
     thr = (
-        e0.withColumn("_rn", F.row_number().over(wq))
-        .withColumn("_cnt", F.count(F.lit(1)).over(
-            Window.rowsBetween(Window.unboundedPreceding,
-                               Window.unboundedFollowing)))
+        distributed_rank(
+            e0, F.col("w"), F.col("ta"), F.col("tb"),
+            name="_rn", total_name="_cnt")
         .filter(F.col("_rn") == F.ceil(F.lit(0.6) * F.col("_cnt")))
         .select(F.col("w").alias("_thr"))
     )
@@ -158,17 +162,21 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-based reduction — collapse to max-size per distinct price,
     running max over the price-sorted distinct relation, keep a part
     iff its size equals its price-group max AND strictly exceeds every
-    cheaper group's max. The only window runs over |distinct prices|
-    rows (the collapsed relation), and the final membership test is a
-    broadcast semi-join of frontier keys against the fact."""
+    cheaper group's max. The running max over the collapsed relation is
+    :func:`operators.order.distributed_prefix_max` (range-bucketed —
+    no single-partition stage even when |distinct prices| scales with
+    the corpus), and the final membership test is a broadcast semi-join
+    of frontier keys against the fact."""
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        distributed_prefix_max,
+    )
+
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size")
     per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("_ms"))
-    w = Window.orderBy("p_retailprice").rowsBetween(
-        Window.unboundedPreceding, -1)
     frontier = (
-        per_price
-        .withColumn("_prev", F.max("_ms").over(w))
+        distributed_prefix_max(
+            per_price, F.col("p_retailprice"), F.col("_ms"), name="_prev")
         .filter(F.col("_prev").isNull() | (F.col("_ms") > F.col("_prev")))
         .select("p_retailprice", F.col("_ms").alias("p_size"))
     )
@@ -470,6 +478,7 @@ def abc_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked
     """,
     tags=("EXT", "statistics"),
+    bench=True,
 )
 def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer revenue concentration via the exact

@@ -51,7 +51,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_eng_taxi_ibis_dagster_spark.functions.exact import sql_dsum
+from data_eng_taxi_ibis_dagster_spark.operators import bpe as B
 from data_eng_taxi_ibis_dagster_spark.operators import dedup as D
+from data_eng_taxi_ibis_dagster_spark.operators import multimodal as M
 from data_eng_taxi_ibis_dagster_spark.operators import similarity as S
 from data_eng_taxi_ibis_dagster_spark.operators import text as T
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
@@ -365,3 +367,170 @@ def pagerank_iter1_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1 + F.col("o_orderkey") % 3).cast("double").alias("w"),
     )
     return pagerank(edges, weight="w", damping=0.85, iters=1)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation: BPE trainer+apply, pHash/audio planted twins,
+# video frame sampling — the remaining rows-only families get strict
+# external twins.
+# ---------------------------------------------------------------------------
+
+@query(
+    "bpe_merge_audit",
+    oracle=f"""
+        WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ), wf AS (
+            SELECT w, COUNT(*) AS cnt FROM words GROUP BY w
+        ), syms AS (
+            SELECT w, cnt,
+                   list_append(
+                       string_split(replace(w, '{B.EOW}', ''), ''),
+                       '{B.EOW}') AS s
+            FROM wf
+        ), adj AS (
+            SELECT w, cnt, s[i] AS l, s[i+1] AS r
+            FROM syms, unnest(range(1, len(s))) AS t(i)
+        ), pc AS (
+            SELECT l, r, SUM(cnt)::BIGINT AS n FROM adj GROUP BY l, r
+        ), best AS (
+            SELECT l, r, l || r AS merged, n FROM pc
+            ORDER BY n DESC, l ASC, r ASC LIMIT 1
+        ), per_word AS (
+            SELECT syms.w, len(syms.s) AS units0,
+                   (SELECT COUNT(*) FROM adj, best
+                    WHERE adj.w = syms.w
+                      AND adj.l = best.l AND adj.r = best.r) AS nm
+            FROM syms
+        )
+        SELECT 0 AS rank, best.l AS left, best.r AS right, best.merged,
+               best.n AS pair_count,
+               (SELECT COUNT(*) FROM per_word)::BIGINT AS vocab_words,
+               (SELECT SUM(units0 - nm) FROM per_word)::BIGINT AS total_units
+        FROM best
+    """,
+    tags=("E12", "audit"),
+)
+def bpe_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer pinned strictly for one merge round: the corpus
+    word-frequency aggregate, initial symbolization (chars + EOW
+    sentinel), adjacent-pair counting, and the (count desc, left asc,
+    right asc) argmax all have textually mirrored SQL twins — and so
+    does the greedy APPLY fold (:func:`operators.bpe._merge_pair`),
+    because the fixture's top pair has left ≠ right, making greedy
+    merge count ≡ adjacency count (non-overlapping by construction).
+    The rows-only siblings (``bpe_learn_merges``, 12 rounds;
+    ``bpe_encode_corpus``) run the SAME trainer and the SAME fold —
+    drift in pair explode, tie-breaks, sentinel handling, or the merge
+    fold breaks this hash-checked twin."""
+    d = load_table(spark, sf_dir, "documents")
+    merges, state = B.learn_bpe_merges(
+        d, T.tokens("text"), n_merges=1, return_state=True)
+    stats = state.agg(
+        F.count(F.lit(1)).alias("vocab_words"),
+        F.sum(F.size("syms")).alias("total_units"),
+    )
+    mtab = spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_count long")
+    return mtab.join(F.broadcast(stats)).select(
+        "rank", "left", "right", "merged", "pair_count",
+        "vocab_words", "total_units")
+
+
+@query(
+    "phash_twin_audit",
+    oracle="""
+        SELECT doc_id AS doc_a,
+               doc_id + 1000000 AS doc_b,
+               0 AS hamming
+        FROM documents WHERE doc_id % 6 != 2
+    """,
+    tags=("E10", "E13", "audit"),
+)
+def phash_twin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full image near-dedup pipeline (real decode of all five
+    formats → 32×32 NN resize → PNG re-encode → DCT pHash → banded
+    hamming join) pinned strictly: pHash's internal 32×32 resample is
+    the SAME pure-indexing function ``resize_media`` uses and grayscale
+    conversion commutes with it, so every original must meet its
+    resized/re-encoded twin at hamming EXACTLY 0 — and on the fixture
+    no two distinct images collide — making the pair relation the
+    SQL-expressible id map (every image doc_id paired with doc_id+1M,
+    nothing else). Same code path as ``multimodal_phash_dedup``; drift
+    in any codec, the resampler, the DCT, median thresholding, or the
+    banding breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthetic_media(docs)
+    twins = (
+        M.resize_media(media, target_width=32, target_height=32,
+                       convert_to="image/png")
+        .withColumn("media_id", F.col("media_id") + F.lit(1_000_000))
+    )
+    corpus = media.unionByName(twins)
+    return M.phash_near_dup_pairs(corpus, max_hamming=0)
+
+
+@query(
+    "audio_twin_audit",
+    oracle="""
+        WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 2)
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, 0 AS hamming
+        FROM a x JOIN a y
+          ON x.doc_id < y.doc_id
+         AND x.doc_id % 40 = y.doc_id % 40
+    """,
+    tags=("E10", "E13", "audit"),
+)
+def audio_twin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio near-dedup pipeline (WAV decode → FFT spectral
+    fingerprint → banded hamming join) pinned strictly at hamming 0:
+    the synthetic tone's frequency is ``100 + (doc_id % 40)·10`` Hz, so
+    two audio payloads are byte-identical iff their doc_ids agree mod
+    40 — identical payloads fingerprint identically (hamming 0), and on
+    the fixture no two distinct tone classes collide, so the exact pair
+    relation is the SQL-expressible same-class map. Same code path as
+    ``multimodal_audio_dedup``; drift in the WAV reader, FFT banding,
+    sign extraction, or the hamming join breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthetic_media(docs)
+    return M.audio_near_dup_pairs(media, max_hamming=0)
+
+
+@query(
+    "video_frames_audit",
+    oracle="""
+        SELECT doc_id AS media_id,
+               3 AS n_frames,
+               0 AS min_idx,
+               4 AS max_idx,
+               3 AS n_ok_geom,
+               0 AS n_null_stats
+        FROM documents WHERE doc_id % 10 = 0
+    """,
+    tags=("E13", "audit"),
+)
+def video_frames_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video keyframe path (MJPEG demux → real JPEG decode of the
+    sampled frames) pinned strictly on its structural contract: every
+    6-frame container sampled at stride 2 / cap 3 must yield EXACTLY
+    frames {0, 2, 4}, each decoding to the generated 16×16 geometry
+    with non-NULL pixel stats — any demux miscount, Huffman/DCT decode
+    failure (which quarantines as frame −1 with NULL stats), or
+    dropped media_id breaks the hash. Pixel VALUES stay pinned in
+    tests/test_multimodal_video.py (engine-specific floats); this
+    audit externalizes everything structural about
+    ``multimodal_video_frames``'s machinery."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0)
+    media = M.synthetic_video(docs)
+    frames = M.sample_video_frames(media, stride=2, max_frames=3)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("frame_index").alias("min_idx"),
+        F.max("frame_index").alias("max_idx"),
+        F.sum(F.when((F.col("width") == 16) & (F.col("height") == 16), 1)
+              .otherwise(0)).alias("n_ok_geom"),
+        F.sum(F.when(F.col("feat_mean_x1000").isNull(), 1).otherwise(0))
+        .alias("n_null_stats"),
+    )

@@ -158,6 +158,7 @@ def abtest_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked WHERE 2 * cw >= tw
     """,
     tags=("E8", "EXT"),
+    bench=True,
 )
 def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantity-weighted median price: the smallest price whose

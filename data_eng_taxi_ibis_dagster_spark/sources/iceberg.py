@@ -25,10 +25,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True when the Iceberg runtime is on the session's JVM classpath."""
+    """True when the Iceberg runtime is on the session's JVM classpath.
+
+    Probes through Spark's own loader
+    (``org.apache.spark.util.Utils.classForName``) rather than
+    ``java.lang.Class.forName``: jars added via ``spark.jars.packages``
+    / ``--jars`` live in Spark's mutable URL classloader, which the
+    py4j gateway loader can't see — the direct probe would report a
+    false "jar absent" in otherwise-working deployments."""
     try:
-        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — classpath probe
-            "org.apache.iceberg.catalog.Catalog")
+        spark._jvm.org.apache.spark.util.Utils.classForName(  # noqa: SLF001
+            "org.apache.iceberg.catalog.Catalog", False, True)
         return True
     except Exception:  # Py4JJavaError: class not found
         return False
@@ -71,14 +78,29 @@ def merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
     engine rewrites only affected data files, no manual partition
     bookkeeping."""
     _require(spark)
+    if key not in updates.columns:
+        raise ValueError(f"key column {key!r} not in updates: "
+                         f"{updates.columns}")
     updates.createOrReplaceTempView("_iceberg_updates")
     cols = updates.columns
-    sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c != key)
-    vals = ", ".join(f"s.{c}" for c in cols)
+    non_key = [c for c in cols if c != key]
+
+    def q(ident: str) -> str:  # backtick-quote identifiers
+        return "`" + ident.replace("`", "``") + "`"
+
+    # Iceberg table names are catalog.namespace.table paths — quote
+    # each dotted part separately.
+    qtable = ".".join(q(p) for p in table.split("."))
+    matched = ""
+    if non_key:  # key-only updates: MERGE is insert-if-absent
+        sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in non_key)
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets}"
+    vals = ", ".join(f"s.{q(c)}" for c in cols)
     spark.sql(f"""
-        MERGE INTO {table} t
+        MERGE INTO {qtable} t
         USING _iceberg_updates s
-        ON t.{key} = s.{key}
-        WHEN MATCHED THEN UPDATE SET {sets}
-        WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) VALUES ({vals})
+        ON t.{q(key)} = s.{q(key)}
+        {matched}
+        WHEN NOT MATCHED THEN INSERT ({', '.join(q(c) for c in cols)})
+        VALUES ({vals})
     """)

@@ -144,6 +144,35 @@ def test_distributed_prefix_sum_matches_global_window(spark, vals):
     assert all(v[1] == sum(x * 10 for x in vals) for v in g.values())
 
 
+@pytest.mark.parametrize("vals", [
+    [5, 1, 3, 2, 4, 0, 6],
+    [1] * 9,                    # total skew: one bucket holds all ties
+    [1, 1, 2, 2, 2, 3],         # duplicate scores within a bucket
+    [(x * 37) % 100 for x in range(100)],
+])
+def test_distributed_prefix_max_matches_global_window(spark, vals):
+    """Exclusive prefix max ≡ MAX OVER (ORDER BY … ROWS UNBOUNDED
+    PRECEDING TO 1 PRECEDING) — including the NULL for the global
+    first row and tie groups sharing a bucket."""
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        distributed_prefix_max,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v), (v * 7) % 13) for i, v in enumerate(vals)],
+        ["id", "v", "amt"])
+    got = distributed_prefix_max(
+        df, F.col("v"), F.col("amt"), F.col("id"), buckets=4, name="pm")
+    want = df.withColumn(
+        "pm",
+        F.max("amt").over(
+            Window.orderBy("v", "id").rowsBetween(
+                Window.unboundedPreceding, -1)))
+    g = {r["id"]: r["pm"] for r in got.collect()}
+    w = {r["id"]: r["pm"] for r in want.collect()}
+    assert g == w and len(g) == len(vals)
+
+
 def test_distributed_rank_and_prefix_sum_keep_null_scores(spark):
     """NULL scores must sort first (ASC NULLS FIRST) and stay in the
     output — a NULL bucket id would silently drop them at the offsets

@@ -42,6 +42,21 @@ BNLJ_ALLOWED = {
     "histogram_equidepth_price",   # distributed_ntile 1-row (min,max) join
     "gini_customer_revenue",       # distributed_rank 1-row (min,max) join
     "weighted_median_price",       # distributed_prefix_sum 1-row (min,max) join
+    "skyline_pareto_parts",        # distributed_prefix_max 1-row (min,max) join
+    "bpe_merge_audit",             # 1-row vocab-stats scalar join onto the merge table
+}
+
+#: Queries allowed to run an UNPARTITIONED window over something other
+#: than a bucket-offsets relation, each with a bounded-relation
+#: justification. (The bucket-offsets windows of operators/order —
+#: ordered by ``_dr_/_dp_/_pm_/_gsi_bucket``, ≤ ``buckets`` rows by
+#: construction — are allowed generically; see
+#: ``_unpartitioned_window_orders``.)
+GLOBAL_WINDOW_ALLOWED = {
+    # Global lag over the HOURLY-BUCKET aggregate: one row per hour of
+    # the fixture span — |rows| grows with wall-clock time covered,
+    # not with corpus size (a decade of data is ~90k rows).
+    "forecast_seasonal_naive",
 }
 
 #: Tags whose queries may cross the JVM→Python boundary.
@@ -55,6 +70,54 @@ PY_NODES = (
 
 ALL = sorted(all_specs())
 
+#: Bucket-id columns of the operators/order machinery — an
+#: unpartitioned window ordered by one of these runs over ≤ ``buckets``
+#: (default 256) rows by construction, at ANY input scale.
+_BOUNDED_OFFSET_PREFIXES = ("_dr_bucket", "_dp_bucket", "_pm_bucket",
+                            "_gsi_bucket", "_nt_", "_cum_bucket")
+
+
+def _unpartitioned_window_orders(plan: str) -> list[str]:
+    """Return the first ORDER BY expression of every unpartitioned
+    ``windowspecdefinition`` in a physical-plan string. A window spec
+    renders as ``windowspecdefinition(part..., order ASC/DESC...,
+    frame)``; partition columns print bare, order columns carry an
+    ASC/DESC direction — so a spec whose FIRST top-level argument has
+    a direction suffix has an empty partition clause (the
+    all-rows-to-one-task shape WindowExec warns about)."""
+    hits = []
+    key = "windowspecdefinition("
+    i = 0
+    while True:
+        j = plan.find(key, i)
+        if j < 0:
+            break
+        depth, cur, first = 0, [], None
+        k = j + len(key)
+        while k < len(plan):
+            c = plan[k]
+            if c == "(":
+                depth += 1
+                cur.append(c)
+            elif c == ")" and depth == 0:
+                break
+            elif c == ")":
+                depth -= 1
+                cur.append(c)
+            elif c == "," and depth == 0:
+                if first is None:
+                    first = "".join(cur).strip()
+                cur = []
+            else:
+                cur.append(c)
+            k += 1
+        if first is None:
+            first = "".join(cur).strip()
+        i = k
+        if " ASC" in first or " DESC" in first:
+            hits.append(first)
+    return hits
+
 
 @pytest.mark.parametrize("name", ALL)
 def test_plan_lint(spark, sf_dir, name):
@@ -64,6 +127,17 @@ def test_plan_lint(spark, sf_dir, name):
 
     assert "CartesianProduct" not in plan, (
         f"{name}: unconstrained cross join — at scale this is |L|×|R|")
+
+    globals_ = [
+        o for o in _unpartitioned_window_orders(plan)
+        if not o.lstrip("(").startswith(_BOUNDED_OFFSET_PREFIXES)
+    ]
+    if globals_:
+        assert name in GLOBAL_WINDOW_ALLOWED, (
+            f"{name}: unpartitioned window over a non-offsets relation "
+            f"(ORDER BY {globals_[0][:80]}) — all rows funnel through "
+            f"ONE task; rewrite via operators/order.distributed_* or "
+            f"justify a bounded relation in GLOBAL_WINDOW_ALLOWED")
 
     if "BroadcastNestedLoopJoin" in plan:
         assert name in BNLJ_ALLOWED, (

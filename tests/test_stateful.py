@@ -91,6 +91,70 @@ def test_stateful_tws_processor_with_mocked_handle():
     proc.close()
 
 
+def test_stateful_twins_emit_identically():
+    """Drive BOTH stateful APIs' user code over the same micro-batch
+    sequence — the legacy ``_update_user_spend`` against a fake
+    GroupState and the Spark-4 processor against a fake ValueState
+    handle — and assert frame-identical emissions at every step. This
+    pins the twin contract itself (not just the shared core) without
+    the runner's protobuf dependency."""
+    import pandas as pd
+
+    from data_eng_taxi_ibis_dagster_spark.streaming.stateful import (
+        _make_spend_processor,
+        _update_user_spend,
+    )
+
+    class FakeGroupState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema):
+            self.state = FakeValueState()
+            return self.state
+
+    legacy_state = FakeGroupState()
+    proc = _make_spend_processor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    batches = [[1.25, 2.50], [0.25], [9.99, 0.01, 3.33]]
+    for vals in batches:
+        legacy_out = list(_update_user_spend(
+            (42,), iter([pd.DataFrame({"value": vals})]), legacy_state))
+        tws_out = list(proc.handleInputRows(
+            (42,), iter([pd.DataFrame({"value": vals})]), None))
+        assert len(legacy_out) == len(tws_out) == 1
+        pd.testing.assert_frame_equal(legacy_out[0], tws_out[0])
+    assert legacy_state.get == handle.state.get()
+    proc.close()
+
+
 def test_stateful_tws_twin_matches_batch(spark, sf_dir):
     """Spark 4 arbitrary-state API twin (transformWithStateInPandas):
     identical semantics to the applyInPandasWithState path. Skipped
