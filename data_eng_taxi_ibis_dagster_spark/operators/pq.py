@@ -1,0 +1,276 @@
+"""Product quantization for billion-scale vector search.
+
+PQ (Jégou, Douze, Schmid 2011, "Product Quantization for Nearest
+Neighbor Search", IEEE TPAMI 33(1)) splits each d-dim vector into
+``m`` subvectors, vector-quantizes every subspace against its own
+``k``-entry codebook, and stores only the ``m`` code bytes — a
+d·4-byte float row becomes ``m`` bytes (32× at d=64, m=8), which is
+what makes a 100 TB embedding corpus fit the memory/IO budget of a
+nearest-neighbor scan. Search reconstructs (or table-looks-up) the
+quantized vector and scores it against the query in full precision.
+
+Spark-first shape — the codebook is a *DataFrame* ``(sub, code,
+cvec)``, never a corpus-sized artifact:
+
+* **train** — either per-subspace Lloyd (``train_codebooks_lloyd``:
+  E-step row-local against broadcast-literal centroids, M-step ONE
+  shuffle bounded by k·d cells — the same discipline as
+  ``similarity.lloyd_assignments``), or the lossless "identity"
+  codebook of distinct subvectors (``train_codebooks_exact``) used by
+  the strict audit: reconstruction is then bit-exact, so the whole
+  encode→reconstruct→score pipeline is provably equal to brute force.
+* **encode** — slice row-locally, broadcast-join the codebook per
+  subspace, ``min_by`` the nearest centroid: corpus×m compact rows
+  through a broadcast hash join, one ``groupBy(id)`` shuffle to
+  reassemble the code array. No all-pairs stage anywhere.
+* **search** — reconstruct row-locally from the broadcast codebook,
+  then exact sequential-fold cosine against the broadcast query set +
+  per-query window top-k (``WindowGroupLimit`` prunes to k per
+  partition). Mathematically identical to ADC with a full-precision
+  lookup table, but keeps the 64-dim dot product a single sequential
+  fold — bit-compatible with DuckDB ``list_dot_product`` so the audit
+  twin hash-matches.
+
+At 100 TB: codebook is m·k rows (broadcast, KBs); encode shuffles
+corpus×m rows of (id, sub, code) — 1/32nd the byte volume of the raw
+vectors; search scans the *codes* relation and reconstructs inside
+codegen, so the scan cost is the compressed size. Raising m or k
+changes only the broadcast and the literal sizes, never the shuffle
+key-space shape.
+
+Parity note: reference repo has no vector ops (SURVEY.md §2a
+"explicitly absent"); this is EXT row E11 (BASELINE.json north star:
+similarity search for LLM data pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_eng_taxi_ibis_dagster_spark.operators.similarity import (
+    as_double,
+    cosine,
+    squared_l2,
+)
+
+
+def subvector(vec: Column, *, sub: Column | int, m: int, dim: int) -> Column:
+    """Slice subspace ``sub`` (0-based) out of a ``dim``-dim vector."""
+    d = dim // m
+    s = F.lit(sub) if isinstance(sub, int) else sub
+    return F.slice(vec, s * d + 1, d)
+
+
+def explode_subvectors(df: DataFrame, *, vec_col: str = "embedding",
+                       id_col: str = "vec_id", m: int = 8,
+                       dim: int = 64) -> DataFrame:
+    """Long-form ``(_id, sub, subvec)`` relation: row-local slice +
+    posexplode — corpus×m compact rows, no shuffle."""
+    v = as_double(vec_col)
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.array(*[
+            subvector(v, sub=s, m=m, dim=dim) for s in range(m)
+        ])).alias("sub", "subvec"),
+    )
+
+
+def train_codebooks_exact(df: DataFrame, *, vec_col: str = "embedding",
+                          id_col: str = "vec_id", m: int = 8,
+                          dim: int = 64) -> DataFrame:
+    """Lossless "identity" codebook: one centroid per DISTINCT
+    subvector per subspace, codes assigned by lexicographic rank of
+    the subvector (deterministic in both engines — Spark array
+    ordering and DuckDB list ordering are both elementwise).
+
+    This is the audit configuration: encode→reconstruct round-trips
+    bit-exactly, pinning the production encode/reconstruct/score
+    machinery to a brute-force SQL oracle. (It is also the correct
+    codebook when a subspace's value set is genuinely small — e.g.
+    int8-quantized or one-hot-ish dimensions.)"""
+    longf = explode_subvectors(df, vec_col=vec_col, id_col=id_col,
+                               m=m, dim=dim)
+    w = Window.partitionBy("sub").orderBy("cvec")
+    return (
+        longf.select("sub", F.col("subvec").alias("cvec")).distinct()
+        # per-sub rank window: group size = |distinct subvectors in
+        # that subspace| ≤ k by construction of the configs that use
+        # this trainer (bounded, partitioned — lint-clean)
+        .withColumn("code", (F.row_number().over(w) - 1).cast("int"))
+        .select("sub", "code", "cvec")
+    )
+
+
+def train_codebooks_lloyd(df: DataFrame, *, vec_col: str = "embedding",
+                          id_col: str = "vec_id", m: int = 8,
+                          dim: int = 64, k: int = 16,
+                          iters: int = 3) -> DataFrame:
+    """Per-subspace Lloyd, all m subspaces in ONE DataFrame loop.
+
+    E-step: row-local argmin against the full m·k centroid table
+    inlined as a literal array of structs, pre-filtered to the row's
+    subspace — whole-stage codegen, no join. M-step: one shuffle of
+    m·k·(d/m) = k·d cells (``davg`` exact-decimal means, partition-
+    order-independent), then a k·d-cell collect — the only driver
+    traffic, bounded regardless of corpus size. Seeds: the k
+    lowest-id rows' subvectors per subspace; empty clusters keep
+    their previous centroid. Deterministic end-to-end."""
+    from data_eng_taxi_ibis_dagster_spark.functions.exact import davg
+
+    d = dim // m
+    longf = explode_subvectors(df, vec_col=vec_col, id_col=id_col,
+                               m=m, dim=dim).localCheckpoint(eager=True)
+    seed_rows = (longf.filter(F.col("_id").isNotNull())
+                 .orderBy("_id").limit(k * m)  # k lowest ids × m subs
+                 .collect())
+    books: dict[int, list[list[float]]] = {s: [] for s in range(m)}
+    for r in sorted(seed_rows, key=lambda r: (r["sub"], r["_id"])):
+        if len(books[r["sub"]]) < k:
+            books[r["sub"]].append(list(r["subvec"]))
+
+    spark = df.sparkSession
+    for _ in range(iters):
+        assigned = assign_codes(longf, books)
+        cells = (
+            assigned.select("sub", "code",
+                            F.posexplode("subvec").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(davg("x", 8).alias("mval"))
+            .collect()
+        )
+        new: dict[tuple[int, int], list[float]] = {}
+        for row in cells:
+            new.setdefault((row["sub"], row["code"]), [0.0] * d)[row["pos"]] \
+                = row["mval"]
+        books = {
+            s: [new.get((s, j), books[s][j]) for j in range(k)]
+            for s in range(m)
+        }
+
+    rows = [(s, j, books[s][j]) for s in range(m) for j in range(k)]
+    return spark.createDataFrame(rows, "sub int, code int, cvec array<double>")
+
+
+def _centroid_literal(books: dict[int, list[list[float]]]) -> Column:
+    """m·k centroids as a literal array of (sub, code, cvec) structs."""
+    return F.array(*[
+        F.struct(F.lit(s).alias("sub"), F.lit(j).alias("code"),
+                 F.array(*[F.lit(float(x)) for x in c]).alias("cvec"))
+        for s, cents in books.items() for j, c in enumerate(cents)
+    ])
+
+
+def assign_codes(longf: DataFrame,
+                 books: dict[int, list[list[float]]]) -> DataFrame:
+    """Row-local E-step over the long-form relation: nearest centroid
+    of the row's own subspace, ties toward the lowest code. Pure
+    codegen — the centroid table is a plan literal, no join."""
+    cands = F.filter(_centroid_literal(books),
+                     lambda c: c["sub"] == F.col("sub"))
+    dists = F.transform(cands, lambda c: squared_l2(F.col("subvec"), c["cvec"]))
+    code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return longf.withColumn("code", code)
+
+
+def pq_encode(df: DataFrame, codebook: DataFrame, *,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              m: int = 8, dim: int = 64) -> DataFrame:
+    """Corpus → ``(_id, codes array<int>)``: slice row-locally,
+    broadcast-join the codebook within each subspace, keep the nearest
+    centroid per (row, sub) via ``min_by``, reassemble with one
+    ``groupBy(_id)``. Shuffle volume: corpus×m rows of three ints."""
+    longf = explode_subvectors(df, vec_col=vec_col, id_col=id_col,
+                               m=m, dim=dim)
+    scored = longf.join(F.broadcast(codebook), "sub").select(
+        "_id", "sub", "code",
+        squared_l2(F.col("subvec"), F.col("cvec")).alias("_dist"),
+    )
+    per_sub = scored.groupBy("_id", "sub").agg(
+        # nearest centroid; deterministic tie-break toward lowest code
+        F.min_by(F.col("code"), F.struct(F.col("_dist"), F.col("code")))
+        .alias("code"))
+    return (
+        per_sub.groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code")))
+             .alias("_sc"))
+        .select("_id", F.transform("_sc", lambda x: x["code"]).alias("codes"))
+    )
+
+
+def pq_reconstruct(codes: DataFrame, codebook: DataFrame) -> DataFrame:
+    """``(_id, codes)`` → ``(_id, recon array<double>)``: explode the
+    code array, broadcast-join the codebook on (sub, code), reassemble
+    subspace slices in order. One groupBy(_id) shuffle of code-sized
+    rows; the float payload re-enters only from the broadcast side."""
+    longf = codes.select(
+        "_id", F.posexplode("codes").alias("sub", "code"))
+    joined = longf.join(F.broadcast(codebook), ["sub", "code"])
+    return (
+        joined.groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "cvec")))
+             .alias("_sv"))
+        .select("_id",
+                F.flatten(F.transform("_sv", lambda x: x["cvec"]))
+                .alias("recon"))
+    )
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+            k: int = 10, *, id_col: str = "vec_id",
+            vec_col: str = "embedding", m: int = 8,
+            dim: int = 64, refine: int = 1) -> DataFrame:
+    """PQ search: encode the corpus against ``codebook``, reconstruct
+    row-locally, score full-precision queries against reconstructions
+    (sequential-fold cosine — DuckDB-bit-compatible), per-query window
+    top-k. Emits (query_id, match_id, cosine_sim, rnk).
+
+    ``refine > 1`` adds the standard refinement stage (the FAISS
+    ``IndexRefineFlat`` pattern): shortlist ``k·refine`` candidates by
+    quantized score, then re-rank ONLY the shortlist against the
+    original full-precision vectors. The expensive full-vector read
+    touches |queries|·k·refine rows instead of the corpus — the
+    compressed scan does the winnowing, the exact pass fixes the
+    ordering, and recall rises steeply with ``refine``.
+
+    With a Lloyd codebook this is classic approximate PQ search (the
+    scan reads 1/32nd the bytes); with the exact codebook the
+    reconstruction is lossless and the result provably equals brute
+    force — the audit configuration."""
+    codes = pq_encode(corpus, codebook, vec_col=vec_col, id_col=id_col,
+                      m=m, dim=dim)
+    recon = pq_reconstruct(codes, codebook)
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")))
+    scored = (
+        q.crossJoin(recon.select(F.col("_id").alias("match_id"),
+                                 F.col("recon")))
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id",
+                cosine(F.col("qv"), F.col("recon")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc())
+    shortlist = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k * refine)
+    )
+    if refine <= 1:
+        return shortlist
+    # exact re-rank: the shortlist (|Q|·k·refine rows) broadcasts
+    # against the corpus scan — full vectors are read once, joined on
+    # id, never shuffled corpus-wide
+    full = corpus.select(F.col(id_col).alias("match_id"),
+                         as_double(vec_col).alias("cv"))
+    rescored = (
+        shortlist.select("query_id", "match_id")
+        .join(q, "query_id")  # recover the query vector (broadcast side)
+        .join(full, "match_id")
+        .select("query_id", "match_id",
+                cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"))
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1,0 +1,239 @@
+"""LLM-data-pipeline queries, round 5: product-quantized vector
+search (Jégou et al. 2011), bigram-LM familiarity scoring (the
+KenLM-perplexity-shaped quality filter of CCNet-style pipelines,
+made engine-exact with integer statistics), and per-domain document
+caps (the RefinedWeb/C4 rule that no single host dominates the
+training mix).
+
+Same portable-pair contract as every other module (Spark DataFrame
+plan + DuckDB oracle over the same parquet;
+``/root/reference/taxi_pipeline.py:89-147`` is the 387-line pattern
+this generalizes). Engine-parity notes:
+
+* ``similarity_pq_audit`` runs the REAL PQ pipeline (slice → encode
+  against a codebook DataFrame → reconstruct → cosine top-k) in the
+  lossless configuration (codebook = distinct subvectors), where
+  reconstruction is bit-exact and the result provably equals brute
+  force — so the brute-force SQL oracle hash-pins the entire encode/
+  reconstruct/score machinery. The production Lloyd configuration
+  (``similarity_pq_topk``) shares every line; only the trainer
+  differs.
+* The bigram-LM score uses INTEGER corpus statistics (sum of corpus
+  bigram frequencies, hapax counts) rather than log-probabilities:
+  same ranking signal, zero transcendental functions, strictly
+  hash-checkable.
+* The domain cap orders candidates by md5 (the cross-engine hash) so
+  "random K per domain" is deterministic and identical in both
+  engines.
+
+Scale shapes: PQ codebooks are m·k-row broadcasts and the corpus
+moves as code bytes (32× compression at d=64, m=8) — see
+operators/pq.py; the bigram relation shuffles once to count and once
+to score (both on compact (w1, w2) keys); the domain cap is one
+partitioned window whose groups are per-domain (for mega-domains at
+100 TB, pre-thin with an approximate per-domain hash threshold before
+the exact window — noted on the query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_eng_taxi_ibis_dagster_spark.operators import pq as PQ
+from data_eng_taxi_ibis_dagster_spark.operators import similarity as S
+from data_eng_taxi_ibis_dagster_spark.plans.registry import query
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+@query(
+    "similarity_pq_audit",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),
+             scored AS (
+                 SELECT query_id, match_id,
+                        {S.sql_cosine('qv', 'cv')} AS cosine_sim
+                 FROM q CROSS JOIN c
+                 WHERE query_id != match_id
+             )
+        SELECT query_id, match_id, cosine_sim, rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, match_id ASC) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 10
+    """,
+    tags=("E11", "audit"),
+)
+def similarity_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ search pipeline (operators/pq.pq_topk — the SAME
+    function the production Lloyd query runs) with the lossless
+    identity codebook: every distinct subvector is its own centroid,
+    so encode→reconstruct round-trips bit-exactly and the top-10 is
+    PROVABLY the brute-force exact answer the oracle states. Any
+    drift in the subspace slicing, the encode min_by join, the
+    reconstruction reassembly ordering, or the fold-based cosine
+    breaks this hash-checked twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = PQ.train_codebooks_exact(emb, m=8, dim=64)
+    return (
+        PQ.pq_topk(emb.filter(F.col("vec_id") < 5), emb, book,
+                   k=10, m=8, dim=64)
+        .orderBy("query_id", "rnk")
+    )
+
+
+@query(
+    "similarity_pq_topk",
+    oracle=None,  # float centroids from the Lloyd trainer → rows-only
+    tags=("E11",),
+    bench=True,
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production PQ search: per-subspace Lloyd codebooks (m=8
+    subspaces × k=16 centroids → 8-byte codes for 256-byte vectors,
+    32× compression), encode the corpus once, reconstruct row-locally
+    from the broadcast codebook, then the FAISS-style refinement
+    stage: shortlist 8·k by quantized score, exact re-rank only the
+    shortlist against the original vectors. Deterministic (decimal
+    M-step, lowest-code tie-breaks) but float-centroid distances keep
+    it out of the strict-oracle class — recall vs the exact top-k is
+    asserted in tests/test_similarity.py instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = PQ.train_codebooks_lloyd(emb, m=8, dim=64, k=16, iters=2)
+    return (
+        PQ.pq_topk(emb.filter(F.col("vec_id") < 5), emb, book,
+                   k=10, m=8, dim=64, refine=8)
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM familiarity (CCNet-style quality scoring, engine-exact)
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_bigram_lm",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS t
+            FROM documents
+        ), bi AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM toks, UNNEST(range(1, len(t))) AS g(i)
+        ), cnt AS (
+            SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2
+        ), scored AS (
+            SELECT b.doc_id,
+                   COUNT(*) AS n_bigrams,
+                   SUM(c.c) AS familiarity,
+                   SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS n_hapax
+            FROM bi b JOIN cnt c ON b.w1 = c.w1 AND b.w2 = c.w2
+            GROUP BY b.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+               COALESCE(s.familiarity, 0)::BIGINT AS familiarity,
+               COALESCE(s.n_hapax, 0)::BIGINT AS n_hapax
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        ORDER BY d.doc_id
+    """,
+    tags=("E12",),
+)
+def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM familiarity scoring — the shape of CCNet's KenLM
+    perplexity filter: train an n-gram model ON the corpus, score
+    each document by how typical its n-grams are, gate on the score.
+    Engine-exact rendition: the "model" is the corpus bigram
+    frequency table and the score is the INTEGER sum of each doc
+    bigram's corpus frequency (high = in-distribution boilerplate-ish,
+    low + many hapax = novel or noisy) — same ranking signal as mean
+    log-frequency, no floats.
+
+    Spark shape: bigrams are extracted ROW-LOCALLY (zip_with over two
+    shifted slices — no window, no positional shuffle), counted with
+    one (w1, w2) hash aggregate, and scored with one equi-join back +
+    per-doc aggregate. At 100 TB the bigram relation is the corpus's
+    token stream ×1 with 2-word keys; both shuffles are map-side
+    combined, and the frequency table could be thresholded (drop
+    hapax) to bound the join's build side if used as a broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(F.zip_with(
+            F.slice("t", F.lit(1), F.size("t") - 1),
+            F.slice("t", F.lit(2), F.size("t") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    cnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        bi.join(cnt, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("c").alias("familiarity"),
+             F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"))
+    )
+    return (
+        docs.select("doc_id").join(scored, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                F.coalesce("familiarity", F.lit(0)).alias("familiarity"),
+                F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document cap (RefinedWeb-style source balancing)
+# ---------------------------------------------------------------------------
+
+@query(
+    "domain_cap_sample",
+    oracle="""
+        SELECT doc_id, source, pick_rank
+        FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(text), doc_id) AS pick_rank
+            FROM documents
+        )
+        WHERE pick_rank <= 10
+        ORDER BY source, pick_rank
+    """,
+    tags=("E12",),
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep at most K=10 documents per source, chosen
+    by deterministic hash order (md5 of the text — the cross-engine
+    hash, so "random K" is reproducible and engine-identical). This
+    is the source-balancing rule of RefinedWeb/C4-style pipelines:
+    without it, one mega-domain dominates the training mixture.
+
+    Scale shape: ONE window partitioned by domain — group size is the
+    domain's doc count, fine for the long tail that holds ~all
+    domains. For a mega-domain (billions of docs) pre-thin before the
+    exact window: compute an approximate per-domain md5 threshold at
+    ~K docs (percentile_approx over the hash), filter, THEN window —
+    the window then sees O(K) rows per domain with the same result."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("text").cast("binary")), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source",
+                    F.row_number().over(w).alias("pick_rank"))
+        .filter(F.col("pick_rank") <= 10)
+        .orderBy("source", "pick_rank")
+    )

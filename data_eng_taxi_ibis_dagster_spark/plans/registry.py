@@ -90,6 +90,7 @@ def _load_all() -> None:
         analytics2,
         maintenance,
         stats,
+        llm16,
     )
 
 

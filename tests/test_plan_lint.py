@@ -44,6 +44,8 @@ BNLJ_ALLOWED = {
     "weighted_median_price",       # distributed_prefix_sum 1-row (min,max) join
     "skyline_pareto_parts",        # distributed_prefix_max 1-row (min,max) join
     "bpe_merge_audit",             # 1-row vocab-stats scalar join onto the merge table
+    "similarity_pq_audit",         # brute-force scoring stage, probe broadcast
+    "similarity_pq_topk",          # PQ scan scoring, probe broadcast
 }
 
 #: Queries allowed to run an UNPARTITIONED window over something other

@@ -1,0 +1,78 @@
+"""Product quantization (operators/pq.py): lossless round-trip in the
+exact-codebook configuration, code-shape invariants, Lloyd-codebook
+determinism, and refined-search recall vs exact brute force."""
+
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.operators import pq as PQ
+from data_eng_taxi_ibis_dagster_spark.operators.similarity import (
+    as_double,
+    cosine_topk,
+)
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+
+def test_exact_codebook_roundtrip_is_lossless(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    book = PQ.train_codebooks_exact(emb, m=8, dim=64)
+    codes = PQ.pq_encode(emb, book, m=8, dim=64)
+    recon = PQ.pq_reconstruct(codes, book)
+    orig = emb.select(F.col("vec_id").alias("_id"),
+                      as_double("embedding").alias("orig"))
+    joined = recon.join(orig, "_id").select(
+        "_id", (F.col("recon") == F.col("orig")).alias("same"))
+    rows = joined.collect()
+    assert len(rows) == 100
+    assert all(r["same"] for r in rows)
+
+
+def test_encode_shape_and_code_range(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    book = PQ.train_codebooks_lloyd(emb, m=8, dim=64, k=4, iters=1)
+    assert book.count() == 8 * 4
+    codes = PQ.pq_encode(emb, book, m=8, dim=64).toPandas()
+    assert len(codes) == 50
+    assert codes["codes"].map(len).eq(8).all()
+    assert codes["codes"].map(lambda cs: all(0 <= c < 4 for c in cs)).all()
+
+
+def test_lloyd_codebook_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(80)
+    b1 = PQ.train_codebooks_lloyd(emb, m=4, dim=64, k=4, iters=2) \
+        .orderBy("sub", "code").collect()
+    b2 = PQ.train_codebooks_lloyd(emb, m=4, dim=64, k=4, iters=2) \
+        .orderBy("sub", "code").collect()
+    assert [tuple(r) for r in b1] == [tuple(r) for r in b2]
+
+
+def test_pq_refined_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(queries, emb, k=10).toPandas()
+    book = PQ.train_codebooks_lloyd(emb, m=8, dim=64, k=16, iters=2)
+    approx = PQ.pq_topk(queries, emb, book, k=10, m=8, dim=64,
+                        refine=8).toPandas()
+    e = set(zip(exact["query_id"], exact["match_id"]))
+    p = set(zip(approx["query_id"], approx["match_id"]))
+    recall = len(e & p) / len(e)
+    # uniform-random embeddings are PQ-hostile (no cluster structure);
+    # the bar asserts shortlist+refine is functioning, not
+    # vector-db-grade recall (0.86 observed at sf0.01)
+    assert recall >= 0.6, f"PQ refined recall@10 = {recall:.2f}"
+    # refined similarities are exact cosines of the original vectors
+    merged = approx.merge(exact, on=["query_id", "match_id"],
+                          suffixes=("_a", "_e"))
+    assert (merged["cosine_sim_a"] == merged["cosine_sim_e"]).all()
+
+
+def test_pq_exact_config_equals_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    book = PQ.train_codebooks_exact(emb, m=8, dim=64)
+    pq = PQ.pq_topk(queries, emb, book, k=5, m=8, dim=64) \
+        .orderBy("query_id", "rnk").toPandas()
+    bf = cosine_topk(queries, emb, k=5) \
+        .orderBy("query_id", "rnk").toPandas()
+    assert pq[["query_id", "match_id", "rnk"]].values.tolist() == \
+        bf[["query_id", "match_id", "rnk"]].values.tolist()
+    assert (pq["cosine_sim"] == bf["cosine_sim"]).all()
