@@ -534,3 +534,38 @@ def video_frames_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("feat_mean_x1000").isNull(), 1).otherwise(0))
         .alias("n_null_stats"),
     )
+
+
+@query(
+    "simhash_twin_audit",
+    oracle="""
+        SELECT doc_id AS doc_a,
+               doc_id + 1000000 AS doc_b,
+               0 AS hamming
+        FROM documents
+    """,
+    tags=("E10", "audit"),
+)
+def simhash_twin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash near-dedup pipeline (row-local 64-bit majority-vote
+    signature → banded hamming self-join → popcount verify) pinned on
+    its COMPLETENESS contract: every document is doubled under a
+    shifted id, and every byte-identical twin MUST surface at hamming
+    exactly 0 — the audited relation is the output restricted to the
+    twin id-map (doc_b = doc_a + 1M), which the oracle states in SQL.
+    A dropped twin (signature nondeterminism across the union
+    branches, a broken band split, a popcount drift) breaks the hash.
+    The restriction is necessary because SimHash *correctly* maps some
+    planted near-dup texts to hamming 0 (16 such pairs at sf0.01) —
+    true positives of the operator, but not SQL-expressible; the
+    precision direction (no spurious pairs beyond near-dups) stays
+    covered by the planted-pair tests in tests/test_dedup.py. Same
+    code path as ``dedup_simhash`` (production hamming ≤ 3 config,
+    rows-only)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    corpus = docs.unionByName(twins)
+    return (
+        D.simhash_near_dup_pairs(corpus, max_hamming=0)
+        .filter(F.col("doc_b") - F.col("doc_a") == 1_000_000)
+    )

@@ -237,3 +237,88 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick_rank") <= 10)
         .orderBy("source", "pick_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka two-stage retrieval (truncated-prefix shortlist + full re-rank)
+# ---------------------------------------------------------------------------
+
+@query(
+    "similarity_matryoshka_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),
+             s16 AS (
+                 SELECT query_id, match_id,
+                        {S.sql_cosine('qv[1:16]', 'cv[1:16]')} AS sim16
+                 FROM q CROSS JOIN c
+                 WHERE query_id != match_id
+             ),
+             short AS (
+                 SELECT query_id, match_id FROM (
+                     SELECT *, ROW_NUMBER() OVER (
+                         PARTITION BY query_id
+                         ORDER BY sim16 DESC, match_id ASC) AS srnk
+                     FROM s16
+                 ) WHERE srnk <= 25
+             ),
+             rer AS (
+                 SELECT s.query_id, s.match_id,
+                        {S.sql_cosine('q.qv', 'c.cv')} AS cosine_sim
+                 FROM short s
+                 JOIN q ON s.query_id = q.query_id
+                 JOIN c ON s.match_id = c.match_id
+             )
+        SELECT query_id, match_id, cosine_sim, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, match_id ASC) AS rnk
+            FROM rer
+        ) WHERE rnk <= 5
+        ORDER BY query_id, rnk
+    """,
+    tags=("E11",),
+)
+def similarity_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval (Kusupati et al. 2022, MRL):
+    shortlist on the EMBEDDING PREFIX (first 16 of 64 dims — 4× less
+    arithmetic and, with prefix-pruned storage, 4× less scan I/O),
+    then exact full-dimension re-rank of the 25-candidate shortlist.
+    The same two-stage winnow/refine shape as PQ search, but the
+    compressed representation is a plain array slice, so BOTH stages
+    are strictly SQL-expressible and the whole pipeline — truncated
+    scoring, shortlist cut, full re-rank, final ordering — is
+    hash-checked against DuckDB, shortlist boundary ties included.
+
+    Scale shape: stage 1 is the brute-force probe-broadcast scan on
+    quarter-width vectors (or an ANN/PQ variant — composable); stage 2
+    touches |Q|·25 rows. No corpus-wide shuffle in either stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double("embedding").alias("qv")))
+    c = emb.select(F.col("vec_id").alias("match_id"),
+                   S.as_double("embedding").alias("cv"))
+    s16 = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id",
+                S.cosine(F.slice("qv", 1, 16), F.slice("cv", 1, 16))
+                .alias("sim16"))
+    )
+    w16 = Window.partitionBy("query_id").orderBy(
+        F.col("sim16").desc(), F.col("match_id").asc())
+    short = (s16.withColumn("srnk", F.row_number().over(w16))
+             .filter(F.col("srnk") <= 25).select("query_id", "match_id"))
+    rer = (
+        short.join(q, "query_id").join(c, "match_id")
+        .select("query_id", "match_id",
+                S.cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc())
+    return (
+        rer.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("query_id", "rnk")
+    )

@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "bpe_merge_audit",             # 1-row vocab-stats scalar join onto the merge table
     "similarity_pq_audit",         # brute-force scoring stage, probe broadcast
     "similarity_pq_topk",          # PQ scan scoring, probe broadcast
+    "similarity_matryoshka_topk",  # truncated-prefix scan, probe broadcast
 }
 
 #: Queries allowed to run an UNPARTITIONED window over something other
