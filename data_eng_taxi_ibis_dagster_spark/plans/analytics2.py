@@ -154,6 +154,7 @@ def graph_triangle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     """,
     tags=("EXT", "skyline"),
+    bench=True,
 )
 def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline: parts Pareto-optimal under (minimize retail price,
