@@ -274,3 +274,172 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
         rescored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted lists over PQ codes (FAISS IVFPQ shape)
+# ---------------------------------------------------------------------------
+
+def coarse_centroids(corpus: DataFrame, *, n_centroids: int = 8,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse quantizer: the n lowest-id corpus vectors
+    (a real deployment trains k-means offline — ``lloyd_assignments``
+    — and broadcasts the result; the join shape downstream is
+    identical either way)."""
+    return F.broadcast(
+        corpus.orderBy(id_col).limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"),
+                as_double(vec_col).alias("cent")))
+
+
+def _assign_lists(df: DataFrame, cents: DataFrame, idname: str, *,
+                  id_col: str, vec_col: str, topn: int) -> DataFrame:
+    """Nearest-``topn`` coarse lists per row: row-relative window over
+    the broadcast centroid cross product (groups are n_centroids-sized
+    — bounded by construction)."""
+    scored = (
+        df.select(F.col(id_col).alias(idname),
+                  as_double(vec_col).alias("_v"))
+        .crossJoin(cents)
+        .select(idname, "_v", "centroid_id",
+                cosine(F.col("_v"), F.col("cent")).alias("_csim"))
+    )
+    w = Window.partitionBy(idname).orderBy(
+        F.col("_csim").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("_crnk", F.row_number().over(w))
+        .filter(F.col("_crnk") <= topn)
+        .drop("_csim", "_crnk")
+    )
+
+
+def ivfpq_topk(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+               *, n_centroids: int = 8, nprobe: int = 2, k: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               m: int = 8, dim: int = 64, refine: int = 1) -> DataFrame:
+    """IVF-PQ search — the two-axis scale play a 100 TB corpus needs
+    BOTH of: the coarse inverted file prunes which fraction of the
+    corpus is read (nprobe/n_centroids of the lists), and PQ prunes
+    how many bytes each read row costs (m code bytes vs d·4 floats).
+
+    Plan shape: corpus → one coarse list each (bounded window over the
+    broadcast centroid product) + PQ codes; the probe join is a plain
+    equi-join on ``centroid_id``, so each corpus code row is touched
+    only when its list is probed. Candidates are scored against
+    row-local reconstructions, then optionally refined against the
+    original vectors (``refine``, as in :func:`pq_topk`). Each corpus
+    vector lives in exactly one list, so no candidate dedup is needed.
+
+    Audit configuration: ``nprobe = n_centroids`` + the identity
+    codebook makes the candidate set the full corpus and the
+    reconstruction lossless ⇒ the result is PROVABLY brute force, and
+    a brute-force SQL oracle hash-pins the whole pipeline (coarse
+    assignment, probe join, encode/decode, re-rank).
+
+    Emits (query_id, match_id, cosine_sim, rnk)."""
+    cents = coarse_centroids(corpus, n_centroids=n_centroids,
+                             id_col=id_col, vec_col=vec_col)
+    lists = _assign_lists(corpus, cents, "match_id",
+                          id_col=id_col, vec_col=vec_col, topn=1) \
+        .select("match_id", "centroid_id")
+    codes = pq_encode(corpus, codebook, vec_col=vec_col, id_col=id_col,
+                      m=m, dim=dim).withColumnRenamed("_id", "match_id")
+    inv = lists.join(codes, "match_id")  # the inverted file
+    recon = pq_reconstruct(
+        inv.select(F.col("match_id").alias("_id"), "codes"), codebook) \
+        .withColumnRenamed("_id", "match_id")
+    probes = _assign_lists(queries, cents, "query_id",
+                           id_col=id_col, vec_col=vec_col, topn=nprobe) \
+        .withColumnRenamed("_v", "qv")
+    scored = (
+        probes.join(inv.select("match_id", "centroid_id"), "centroid_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .join(recon, "match_id")
+        .select("query_id", "match_id",
+                cosine(F.col("qv"), F.col("recon")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc())
+    shortlist = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k * refine)
+    )
+    if refine <= 1:
+        return shortlist
+    full = corpus.select(F.col(id_col).alias("match_id"),
+                         as_double(vec_col).alias("cv"))
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   as_double(vec_col).alias("qv2")))
+    rescored = (
+        shortlist.select("query_id", "match_id")
+        .join(q, "query_id")
+        .join(full, "match_id")
+        .select("query_id", "match_id",
+                cosine(F.col("qv2"), F.col("cv")).alias("cosine_sim"))
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def write_ivfpq_index(corpus: DataFrame, codebook: DataFrame, path: str,
+                      *, n_centroids: int = 8, id_col: str = "vec_id",
+                      vec_col: str = "embedding", m: int = 8,
+                      dim: int = 64) -> None:
+    """Materialize the inverted file as ``partitionBy(centroid_id)``
+    parquet — the storage layout that makes IVF real on a cluster:
+    a probe reads ONLY its lists' partitions (Spark partition pruning;
+    asserted in tests via ``PartitionFilters``), so search I/O is
+    nprobe/n_centroids of the code bytes, which are themselves 32×
+    smaller than the raw vectors. The codebook and coarse centroids
+    persist as small side tables under the same root."""
+    cents = coarse_centroids(corpus, n_centroids=n_centroids,
+                             id_col=id_col, vec_col=vec_col)
+    lists = _assign_lists(corpus, cents, "match_id",
+                          id_col=id_col, vec_col=vec_col, topn=1) \
+        .select("match_id", "centroid_id")
+    codes = pq_encode(corpus, codebook, vec_col=vec_col, id_col=id_col,
+                      m=m, dim=dim).withColumnRenamed("_id", "match_id")
+    (lists.join(codes, "match_id")
+     .write.mode("overwrite").partitionBy("centroid_id")
+     .parquet(f"{path}/lists"))
+    codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def search_ivfpq_index(spark: SparkSession, path: str, queries: DataFrame,
+                       *, nprobe: int = 2, k: int = 10,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       probe_ids: list[int] | None = None) -> DataFrame:
+    """Search a materialized IVF-PQ index. The probed list ids are
+    resolved first (bounded collect: |queries|·nprobe ints) and pushed
+    into the scan as a ``centroid_id IN (...)`` partition filter, so
+    unprobed partitions are never listed, opened, or read."""
+    cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    codebook = spark.read.parquet(f"{path}/codebook")
+    probes = _assign_lists(queries, cents, "query_id",
+                           id_col=id_col, vec_col=vec_col, topn=nprobe) \
+        .withColumnRenamed("_v", "qv")
+    if probe_ids is None:
+        probe_ids = [r["centroid_id"] for r in
+                     probes.select("centroid_id").distinct().collect()]
+    inv = (spark.read.parquet(f"{path}/lists")
+           .filter(F.col("centroid_id").isin(probe_ids)))
+    recon = pq_reconstruct(
+        inv.select(F.col("match_id").alias("_id"), "codes"), codebook) \
+        .withColumnRenamed("_id", "match_id")
+    scored = (
+        probes.join(inv.select("match_id", "centroid_id"), "centroid_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .join(recon, "match_id")
+        .select("query_id", "match_id",
+                cosine(F.col("qv"), F.col("recon")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -322,3 +322,69 @@ def similarity_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (coarse inverted lists over PQ codes)
+# ---------------------------------------------------------------------------
+
+@query(
+    "similarity_ivfpq_audit",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),
+             scored AS (
+                 SELECT query_id, match_id,
+                        {S.sql_cosine('qv', 'cv')} AS cosine_sim
+                 FROM q CROSS JOIN c
+                 WHERE query_id != match_id
+             )
+        SELECT query_id, match_id, cosine_sim, rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, match_id ASC) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 10
+    """,
+    tags=("E11", "audit"),
+)
+def similarity_ivfpq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ pipeline (operators/pq.ivfpq_topk — the SAME
+    function the production query runs) in its provably-exact
+    configuration: nprobe = n_centroids makes the candidate set the
+    full corpus, and the identity codebook makes reconstruction
+    lossless, so the result IS the brute-force top-10 the oracle
+    states. Drift in the coarse assignment window, the probe-list
+    equi-join, the encode/decode joins, or the re-rank ordering
+    breaks this hash-checked twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = PQ.train_codebooks_exact(emb, m=8, dim=64)
+    return (
+        PQ.ivfpq_topk(emb.filter(F.col("vec_id") < 5), emb, book,
+                      n_centroids=8, nprobe=8, k=10, m=8, dim=64)
+        .orderBy("query_id", "rnk")
+    )
+
+
+@query(
+    "similarity_ivfpq_topk",
+    oracle=None,  # Lloyd float centroids → rows-only
+    tags=("E11",),
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production IVF-PQ: 8 coarse lists probed 3-deep (the probe
+    join touches ~3/8 of the corpus codes), Lloyd codebooks, 4·k
+    refinement against original vectors. The materialized-index twin
+    (``write_ivfpq_index`` / ``search_ivfpq_index`` — inverted lists
+    as partitionBy(centroid_id) parquet, probes pushed down as
+    partition filters) is exercised in tests/test_pq.py with a
+    PartitionFilters plan assertion."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = PQ.train_codebooks_lloyd(emb, m=8, dim=64, k=16, iters=2)
+    return (
+        PQ.ivfpq_topk(emb.filter(F.col("vec_id") < 5), emb, book,
+                      n_centroids=8, nprobe=3, k=10, m=8, dim=64,
+                      refine=4)
+        .orderBy("query_id", "rnk")
+    )

@@ -47,6 +47,8 @@ BNLJ_ALLOWED = {
     "similarity_pq_audit",         # brute-force scoring stage, probe broadcast
     "similarity_pq_topk",          # PQ scan scoring, probe broadcast
     "similarity_matryoshka_topk",  # truncated-prefix scan, probe broadcast
+    "similarity_ivfpq_audit",      # n_centroids-row coarse-quantizer broadcast
+    "similarity_ivfpq_topk",       # n_centroids-row coarse-quantizer broadcast
 }
 
 #: Queries allowed to run an UNPARTITIONED window over something other

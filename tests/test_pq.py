@@ -76,3 +76,49 @@ def test_pq_exact_config_equals_brute_force(spark, sf_dir):
     assert pq[["query_id", "match_id", "rnk"]].values.tolist() == \
         bf[["query_id", "match_id", "rnk"]].values.tolist()
     assert (pq["cosine_sim"] == bf["cosine_sim"]).all()
+
+
+def test_ivfpq_exact_config_equals_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    book = PQ.train_codebooks_exact(emb, m=8, dim=64)
+    res = PQ.ivfpq_topk(queries, emb, book, n_centroids=4, nprobe=4,
+                        k=5, m=8, dim=64) \
+        .orderBy("query_id", "rnk").toPandas()
+    bf = cosine_topk(queries, emb, k=5) \
+        .orderBy("query_id", "rnk").toPandas()
+    assert res[["query_id", "match_id", "rnk"]].values.tolist() == \
+        bf[["query_id", "match_id", "rnk"]].values.tolist()
+    assert (res["cosine_sim"] == bf["cosine_sim"]).all()
+
+
+def test_ivfpq_index_partition_pruning(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    book = PQ.train_codebooks_exact(emb, m=8, dim=64)
+    path = str(tmp_path / "ivfpq")
+    PQ.write_ivfpq_index(emb, book, path, n_centroids=4)
+    queries = emb.filter(F.col("vec_id") < 2)
+    res = PQ.search_ivfpq_index(spark, path, queries, nprobe=1, k=5)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the probed list ids must reach the lists scan as a partition
+    # filter — unprobed partitions are never read
+    assert "PartitionFilters: [centroid_id" in plan.replace("#", " #") or \
+        "centroid_id IN" in plan, plan[:2000]
+    out = res.toPandas()
+    assert set(out["query_id"]) == {0, 1}
+    assert (out.groupby("query_id").size() == 5).all()
+
+
+def test_ivfpq_index_search_matches_inmemory_exact_config(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings").limit(150)
+    book = PQ.train_codebooks_exact(emb, m=8, dim=64)
+    path = str(tmp_path / "ivfpq2")
+    PQ.write_ivfpq_index(emb, book, path, n_centroids=4)
+    queries = emb.filter(F.col("vec_id") < 3)
+    idx = PQ.search_ivfpq_index(spark, path, queries, nprobe=4, k=5) \
+        .orderBy("query_id", "rnk").toPandas()
+    mem = PQ.ivfpq_topk(queries, emb, book, n_centroids=4, nprobe=4,
+                        k=5, m=8, dim=64) \
+        .orderBy("query_id", "rnk").toPandas()
+    assert idx[["query_id", "match_id", "rnk"]].values.tolist() == \
+        mem[["query_id", "match_id", "rnk"]].values.tolist()
