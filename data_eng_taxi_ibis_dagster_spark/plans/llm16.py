@@ -1,9 +1,8 @@
 """LLM-data-pipeline queries, round 5: product-quantized vector
-search (Jégou et al. 2011), bigram-LM familiarity scoring (the
-KenLM-perplexity-shaped quality filter of CCNet-style pipelines,
-made engine-exact with integer statistics), and per-domain document
-caps (the RefinedWeb/C4 rule that no single host dominates the
-training mix).
+search (Jégou et al. 2011) and per-domain document caps (the
+RefinedWeb/C4 rule that no single host dominates the training mix).
+(Corpus-LM familiarity scoring already lives in llm12's
+``lm_bigram_familiarity``.)
 
 Same portable-pair contract as every other module (Spark DataFrame
 plan + DuckDB oracle over the same parquet;
@@ -18,18 +17,13 @@ this generalizes). Engine-parity notes:
   reconstruct/score machinery. The production Lloyd configuration
   (``similarity_pq_topk``) shares every line; only the trainer
   differs.
-* The bigram-LM score uses INTEGER corpus statistics (sum of corpus
-  bigram frequencies, hapax counts) rather than log-probabilities:
-  same ranking signal, zero transcendental functions, strictly
-  hash-checkable.
 * The domain cap orders candidates by md5 (the cross-engine hash) so
   "random K per domain" is deterministic and identical in both
   engines.
 
 Scale shapes: PQ codebooks are m·k-row broadcasts and the corpus
 moves as code bytes (32× compression at d=64, m=8) — see
-operators/pq.py; the bigram relation shuffles once to count and once
-to score (both on compact (w1, w2) keys); the domain cap is one
+operators/pq.py; the domain cap is one
 partitioned window whose groups are per-domain (for mega-domains at
 100 TB, pre-thin with an approximate per-domain hash threshold before
 the exact window — noted on the query).
@@ -112,86 +106,6 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         PQ.pq_topk(emb.filter(F.col("vec_id") < 5), emb, book,
                    k=10, m=8, dim=64, refine=8)
         .orderBy("query_id", "rnk")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Bigram-LM familiarity (CCNet-style quality scoring, engine-exact)
-# ---------------------------------------------------------------------------
-
-@query(
-    "quality_bigram_lm",
-    oracle="""
-        WITH toks AS (
-            SELECT doc_id,
-                   list_filter(string_split(text, ' '), x -> x != '') AS t
-            FROM documents
-        ), bi AS (
-            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-            FROM toks, UNNEST(range(1, len(t))) AS g(i)
-        ), cnt AS (
-            SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2
-        ), scored AS (
-            SELECT b.doc_id,
-                   COUNT(*) AS n_bigrams,
-                   SUM(c.c) AS familiarity,
-                   SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS n_hapax
-            FROM bi b JOIN cnt c ON b.w1 = c.w1 AND b.w2 = c.w2
-            GROUP BY b.doc_id
-        )
-        SELECT d.doc_id,
-               COALESCE(s.n_bigrams, 0)::BIGINT AS n_bigrams,
-               COALESCE(s.familiarity, 0)::BIGINT AS familiarity,
-               COALESCE(s.n_hapax, 0)::BIGINT AS n_hapax
-        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
-        ORDER BY d.doc_id
-    """,
-    tags=("E12",),
-)
-def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-LM familiarity scoring — the shape of CCNet's KenLM
-    perplexity filter: train an n-gram model ON the corpus, score
-    each document by how typical its n-grams are, gate on the score.
-    Engine-exact rendition: the "model" is the corpus bigram
-    frequency table and the score is the INTEGER sum of each doc
-    bigram's corpus frequency (high = in-distribution boilerplate-ish,
-    low + many hapax = novel or noisy) — same ranking signal as mean
-    log-frequency, no floats.
-
-    Spark shape: bigrams are extracted ROW-LOCALLY (zip_with over two
-    shifted slices — no window, no positional shuffle), counted with
-    one (w1, w2) hash aggregate, and scored with one equi-join back +
-    per-doc aggregate. At 100 TB the bigram relation is the corpus's
-    token stream ×1 with 2-word keys; both shuffles are map-side
-    combined, and the frequency table could be thresholded (drop
-    hapax) to bound the join's build side if used as a broadcast."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda x: x != "").alias("t"))
-    bi = toks.select(
-        "doc_id",
-        F.explode(F.zip_with(
-            F.slice("t", F.lit(1), F.size("t") - 1),
-            F.slice("t", F.lit(2), F.size("t") - 1),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        )).alias("g"),
-    ).select("doc_id", "g.w1", "g.w2")
-    cnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    scored = (
-        bi.join(cnt, ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bigrams"),
-             F.sum("c").alias("familiarity"),
-             F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"))
-    )
-    return (
-        docs.select("doc_id").join(scored, "doc_id", "left")
-        .select("doc_id",
-                F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-                F.coalesce("familiarity", F.lit(0)).alias("familiarity"),
-                F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"))
-        .orderBy("doc_id")
     )
 
 
