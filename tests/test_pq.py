@@ -122,3 +122,36 @@ def test_ivfpq_index_search_matches_inmemory_exact_config(spark, sf_dir, tmp_pat
         .orderBy("query_id", "rnk").toPandas()
     assert idx[["query_id", "match_id", "rnk"]].values.tolist() == \
         mem[["query_id", "match_id", "rnk"]].values.tolist()
+
+
+def test_pq_encode_plan_shape(spark, sf_dir):
+    """The encode plan must move the corpus through a BROADCAST join
+    against the codebook (never a shuffled join — the codebook is m·k
+    rows) and reassemble with hash aggregates; the corpus-side
+    exchanges carry only (id, sub, code) ints."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    book = PQ.train_codebooks_exact(emb, m=8, dim=64)
+    codes = PQ.pq_encode(emb, book, m=8, dim=64)
+    codes.collect()
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the codebook must never arrive via a shuffled (sort-merge) join
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_search_reads_codes_not_vectors(spark, sf_dir, tmp_path):
+    """The materialized-index search scan must read the code relation
+    (match_id, codes) — the raw embedding column never appears in the
+    lists scan's ReadSchema, which is the 32x I/O claim."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(150)
+    book = PQ.train_codebooks_exact(emb, m=8, dim=64)
+    path = str(tmp_path / "ivfpq3")
+    PQ.write_ivfpq_index(emb, book, path, n_centroids=4)
+    res = PQ.search_ivfpq_index(spark, path, emb.filter(F.col("vec_id") < 2),
+                                nprobe=1, k=5)
+    res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    code_scans = [ln for ln in plan.splitlines()
+                  if "FileScan parquet" in ln and "codes" in ln]
+    assert code_scans, plan[:1500]
+    assert all("embedding" not in ln for ln in code_scans)
