@@ -129,6 +129,12 @@ def train_codebooks_lloyd(df: DataFrame, *, vec_col: str = "embedding",
     for r in sorted(seed_rows, key=lambda r: (r["sub"], r["_id"])):
         if len(books[r["sub"]]) < k:
             books[r["sub"]].append(list(r["subvec"]))
+    # corpora smaller than k seed fewer centroids — shrink k instead of
+    # indexing past the seed list in the M-step merge
+    k = min([k] + [len(b) for b in books.values()])
+    books = {s: b[:k] for s, b in books.items()}
+    if k == 0:
+        raise ValueError("empty training input for PQ codebooks")
 
     spark = df.sparkSession
     for _ in range(iters):

@@ -302,3 +302,108 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       refine=4)
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction (MaxSim) retrieval
+# ---------------------------------------------------------------------------
+
+def _maxsim_cases_sql() -> str:
+    # fixed-order addition of the 4 per-facet maxima (see docstring)
+    return " + ".join(
+        f"MAX(CASE WHEN qsub = {s} THEN sim END)" for s in range(4))
+
+
+@query(
+    "similarity_maxsim_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),
+             qs AS (
+                 SELECT query_id, s.i AS qsub,
+                        qv[s.i * 16 + 1 : s.i * 16 + 16] AS qsv
+                 FROM q, (SELECT unnest(range(0, 4)) AS i) s
+             ),
+             cs AS (
+                 SELECT match_id, s.i AS csub,
+                        cv[s.i * 16 + 1 : s.i * 16 + 16] AS csv
+                 FROM c, (SELECT unnest(range(0, 4)) AS i) s
+             ),
+             best AS (
+                 SELECT query_id, match_id, qsub,
+                        MAX({S.sql_cosine('qsv', 'csv')}) AS sim
+                 FROM qs CROSS JOIN cs
+                 WHERE query_id != match_id
+                 GROUP BY query_id, match_id, qsub
+             ),
+             scored AS (
+                 SELECT query_id, match_id, {_maxsim_cases_sql()} AS maxsim
+                 FROM (
+                     SELECT query_id, match_id, qsub, MAX(sim) AS sim
+                     FROM best GROUP BY query_id, match_id, qsub
+                 )
+                 GROUP BY query_id, match_id
+             )
+        SELECT query_id, match_id, maxsim, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY maxsim DESC, match_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+        ORDER BY query_id, rnk
+    """,
+    tags=("E11",),
+)
+def similarity_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT MaxSim rule, Khattab &
+    Zaharia 2020): score(q, d) = Σ over query token-vectors of the MAX
+    cosine against any document token-vector — finer-grained matching
+    than single-vector cosine because each query facet picks its own
+    best-matching document facet. The fixture stores one 64-d vector
+    per row, so both engines derive the multi-vector view identically:
+    4 token-vectors of 16 dims by slicing (the matryoshka-style
+    deterministic reshape).
+
+    Engine-exactness: per-(query, match, qsub) reduction is MAX — the
+    one float aggregate that IS order-independent — and the final
+    score adds the 4 per-facet maxima in fixed expression order
+    (CASE-pivot + literal ``+`` chain in BOTH renderings), so no
+    nondeterministic float summation exists anywhere in the path.
+
+    Scale shape: corpus explodes ×4 into facet rows (still row-local),
+    the probe set broadcasts, and the two hash aggregates carry
+    (query, match[, qsub]) keys — candidate generation can swap in any
+    of the ANN tiers (SRP / IVF / PQ) ahead of the exact MaxSim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double("embedding").alias("qv")))
+    c = emb.select(F.col("vec_id").alias("match_id"),
+                   S.as_double("embedding").alias("cv"))
+    qs = q.select(
+        "query_id",
+        F.posexplode(F.array(*[F.slice("qv", s * 16 + 1, 16)
+                               for s in range(4)])).alias("qsub", "qsv"))
+    cs = c.select(
+        "match_id",
+        F.posexplode(F.array(*[F.slice("cv", s * 16 + 1, 16)
+                               for s in range(4)])).alias("csub", "csv"))
+    best = (
+        F.broadcast(qs).crossJoin(cs)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .groupBy("query_id", "match_id", "qsub")
+        .agg(F.max(S.cosine(F.col("qsv"), F.col("csv"))).alias("sim"))
+    )
+    facet = [F.max(F.when(F.col("qsub") == s, F.col("sim")))
+             for s in range(4)]
+    scored = (
+        best.groupBy("query_id", "match_id")
+        .agg((facet[0] + facet[1] + facet[2] + facet[3]).alias("maxsim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("query_id", "rnk")
+    )

@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "similarity_matryoshka_topk",  # truncated-prefix scan, probe broadcast
     "similarity_ivfpq_audit",      # n_centroids-row coarse-quantizer broadcast
     "similarity_ivfpq_topk",       # n_centroids-row coarse-quantizer broadcast
+    "similarity_maxsim_topk",      # facet scoring, probe facet set broadcast
 }
 
 #: Queries allowed to run an UNPARTITIONED window over something other

@@ -155,3 +155,10 @@ def test_ivfpq_search_reads_codes_not_vectors(spark, sf_dir, tmp_path):
                   if "FileScan parquet" in ln and "codes" in ln]
     assert code_scans, plan[:1500]
     assert all("embedding" not in ln for ln in code_scans)
+
+
+def test_lloyd_codebook_small_corpus_shrinks_k(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(3)
+    book = PQ.train_codebooks_lloyd(emb, m=4, dim=64, k=16, iters=1)
+    # only 3 seed vectors exist, so each subspace gets 3 centroids
+    assert book.count() == 4 * 3
