@@ -121,7 +121,9 @@ def training_data_definitions(sf_dir: str, out_dir: str, *,
 
         ingest → quality/language annotate → filter → classifier gate
         → exact dedup → near dedup (MinHash clusters → canonical pick)
+        → semantic dedup (SemDeDup over the embedding table)
         → corpus stats / mixture sample / clustered export
+        → IVF-PQ vector index over the surviving embeddings
 
     This is the 100 TB shape of the pipeline: every stage is a
     DataFrame transformation (no driver-side loops); exact dedup is one
@@ -228,6 +230,51 @@ def training_data_definitions(sf_dir: str, out_dir: str, *,
     def export_corpus(spark: SparkSession, corpus: DataFrame):
         return write_clustered(corpus, f"{out_dir}/corpus",
                                cluster_by="doc_id", files_per_partition=2)
+
+    @defs.asset(compute_kind="pyspark")
+    def ingest_embeddings(spark: SparkSession) -> DataFrame:
+        return load_table(spark, sf_dir, "embeddings")
+
+    @defs.asset(deps=("drop_near_dups", "ingest_embeddings"),
+                compute_kind="pyspark")
+    def semantic_dedup(spark: SparkSession, corpus: DataFrame,
+                       emb: DataFrame) -> DataFrame:
+        """SemDeDup stage (Abbas et al. 2023): drop surviving docs
+        whose embedding is a semantic near-copy of a lower-id one —
+        catches paraphrases the text-hash stages cannot. Pairwise work
+        stays inside k-means clusters (operators/similarity.semdedup);
+        the doc relation only anti-joins the pruned-id set."""
+        from data_eng_taxi_ibis_dagster_spark.operators.similarity import (
+            semdedup,
+        )
+
+        pruned = semdedup(emb, threshold=0.99, k=4, iters=1) \
+            .filter(F.col("is_dup")) \
+            .select(F.col("vec_id").alias("doc_id"))
+        return corpus.join(pruned, "doc_id", "left_anti")
+
+    @defs.asset(deps=("semantic_dedup", "ingest_embeddings"),
+                compute_kind="pyspark")
+    def vector_index(spark: SparkSession, corpus: DataFrame,
+                     emb: DataFrame):
+        """Retrieval-ready artifact: IVF-PQ index over the surviving
+        documents' embeddings (operators/pq.write_ivfpq_index —
+        inverted lists as partitionBy(centroid_id) parquet, codebook +
+        coarse centroids as side tables). Downstream similarity
+        search partition-prunes its probes and scans code bytes, not
+        vectors."""
+        from data_eng_taxi_ibis_dagster_spark.operators.pq import (
+            train_codebooks_lloyd,
+            write_ivfpq_index,
+        )
+
+        kept = emb.join(
+            corpus.select(F.col("doc_id").alias("vec_id")), "vec_id",
+            "left_semi")
+        book = train_codebooks_lloyd(kept, m=8, dim=64, k=16, iters=1)
+        write_ivfpq_index(kept, book, f"{out_dir}/vector_index",
+                          n_centroids=4)
+        return spark.read.parquet(f"{out_dir}/vector_index/lists")
 
     return defs
 

@@ -93,3 +93,26 @@ def test_training_data_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert pdf["doc_id"].isin(exported.toPandas()["doc_id"]).all()
     again = sample.toPandas()
     assert sorted(pdf["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_vector_tier_assets(spark, sf_dir, tmp_path):
+    from data_eng_taxi_ibis_dagster_spark.pipeline import (
+        training_data_definitions,
+    )
+
+    defs = training_data_definitions(sf_dir, str(tmp_path))
+    results = defs.materialize(spark)
+    n_near = results["drop_near_dups"].rows
+    n_sem = results["semantic_dedup"].rows
+    assert 0 < n_sem <= n_near  # semantic stage only removes rows
+    lists = results["vector_index"].value
+    # one inverted-list row per surviving embedding, partitioned layout
+    assert lists.count() == spark.read.parquet(
+        f"{tmp_path}/vector_index/lists").count()
+    assert set(lists.columns) == {"match_id", "codes", "centroid_id"}
+    import os
+    parts = [d for d in os.listdir(f"{tmp_path}/vector_index/lists")
+             if d.startswith("centroid_id=")]
+    assert len(parts) >= 2  # physically partitioned by list
+    assert os.path.isdir(f"{tmp_path}/vector_index/codebook")
+    assert os.path.isdir(f"{tmp_path}/vector_index/centroids")
