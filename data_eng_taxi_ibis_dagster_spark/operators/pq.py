@@ -449,3 +449,113 @@ def search_ivfpq_index(spark: SparkSession, path: str, queries: DataFrame,
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# ADC kernel: lookup-table scoring over the raw code matrix (numpy)
+# ---------------------------------------------------------------------------
+
+def pq_topk_adc(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+                k: int = 10, *, id_col: str = "vec_id",
+                vec_col: str = "embedding", m: int = 8, dim: int = 64,
+                refine: int = 1) -> DataFrame:
+    """Asymmetric-distance PQ search with the classic lookup-table
+    kernel (Jégou et al. 2011 §IV-A): per query, an m×k table of
+    partial dot products (and one of centroid squared norms) is
+    precomputed once, and scoring a corpus row is m table gathers + a
+    sum — no per-row arithmetic on vectors at all. The Arrow batch
+    form: ``mapInPandas`` over the CODES relation, numpy fancy-indexed
+    gathers over the whole batch (LUT[sub, C] for the n×m code matrix
+    C), so the inner loop is a handful of BLAS-free vectorized ops per
+    batch, not per row.
+
+    Scale shape: the only distributed input is the (id, codes)
+    relation — m bytes/row; the LUTs are |Q|·m·k doubles built from
+    two bounded collects (codebook m·k rows, probe set |Q| rows —
+    the same bounded-probe contract as every brute-force scorer
+    here). Each partition emits its local top-(k·refine) per query
+    (n_partitions·|Q|·k·refine rows), and one small window finishes
+    the global cut; with ``refine`` the exact re-rank restores
+    full-precision cosines for the survivors.
+
+    Versus :func:`pq_topk`'s reconstruct-and-fold plan: identical
+    candidate semantics, but the scan never materializes a
+    reconstructed vector column and never joins — the kernel is the
+    throughput path for corpus-scale scans. ADC partial sums use
+    numpy's (deterministic) pairwise summation, so results are
+    reproducible but not bit-identical to the sequential fold — this
+    backend is for rows-only/bench paths; the strict audits pin the
+    fold-based twin."""
+    import numpy as np
+    import pandas as pd
+
+    d = dim // m
+    book_rows = codebook.collect()
+    kk = 1 + max(r["code"] for r in book_rows)
+    cent = np.zeros((m, kk, d), dtype=np.float64)
+    for r in book_rows:
+        cent[r["sub"], r["code"]] = r["cvec"]
+    cent_norm2 = (cent * cent).sum(axis=2)          # m×k
+    q_rows = (queries.select(F.col(id_col).alias("qid"),
+                             as_double(vec_col).alias("qv")).collect())
+    qids = np.array([r["qid"] for r in q_rows])
+    Q = np.stack([np.asarray(r["qv"]) for r in q_rows])      # |Q|×dim
+    qnorm = np.sqrt((Q * Q).sum(axis=1))                     # |Q|
+    # LUT[qi, sub, code] = <q_sub, centroid(sub, code)>
+    lut = np.einsum("qsd,skd->qsk", Q.reshape(len(qids), m, d), cent)
+
+    codes = pq_encode(corpus, codebook, vec_col=vec_col, id_col=id_col,
+                      m=m, dim=dim)
+    shortn = k * refine
+    subs = np.arange(m)
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy())            # n×m
+            ids = pdf["_id"].to_numpy()
+            norm2 = cent_norm2[subs[None, :], C].sum(axis=1)  # n
+            denom = np.sqrt(norm2)
+            out_q, out_m, out_s = [], [], []
+            for qi in range(len(qids)):
+                dots = lut[qi][subs[None, :], C].sum(axis=1)  # n
+                sim = dots / (qnorm[qi] * denom)
+                mask = ids != qids[qi]
+                sim_m, ids_m = sim[mask], ids[mask]
+                take = min(shortn, len(ids_m))
+                if take == 0:
+                    continue
+                part = np.argpartition(-sim_m, take - 1)[:take]
+                out_q.extend([int(qids[qi])] * take)
+                out_m.extend(ids_m[part].tolist())
+                out_s.extend(sim_m[part].tolist())
+            yield pd.DataFrame({
+                "query_id": pd.array(out_q, dtype="int64"),
+                "match_id": pd.array(out_m, dtype="int64"),
+                "cosine_sim": pd.array(out_s, dtype="float64"),
+            })
+
+    local = codes.mapInPandas(
+        _score, schema="query_id long, match_id long, cosine_sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc())
+    shortlist = (local.withColumn("rnk", F.row_number().over(w))
+                 .filter(F.col("rnk") <= shortn))
+    if refine <= 1:
+        return shortlist.filter(F.col("rnk") <= k)
+    full = corpus.select(F.col(id_col).alias("match_id"),
+                         as_double(vec_col).alias("cv"))
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   as_double(vec_col).alias("qv")))
+    rescored = (
+        shortlist.select("query_id", "match_id")
+        .join(q, "query_id")
+        .join(full, "match_id")
+        .select("query_id", "match_id",
+                cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"))
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

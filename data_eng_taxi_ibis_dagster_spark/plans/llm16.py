@@ -87,24 +87,28 @@ def similarity_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_pq_topk",
     oracle=None,  # float centroids from the Lloyd trainer → rows-only
-    tags=("E11",),
+    tags=("E11", "E15"),  # E15: Arrow mapInPandas ADC kernel
     bench=True,
 )
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production PQ search: per-subspace Lloyd codebooks (m=8
     subspaces × k=16 centroids → 8-byte codes for 256-byte vectors,
-    32× compression), encode the corpus once, reconstruct row-locally
-    from the broadcast codebook, then the FAISS-style refinement
-    stage: shortlist 8·k by quantized score, exact re-rank only the
-    shortlist against the original vectors. Deterministic (decimal
-    M-step, lowest-code tie-breaks) but float-centroid distances keep
-    it out of the strict-oracle class — recall vs the exact top-k is
-    asserted in tests/test_similarity.py instead."""
+    32× compression), encode the corpus once, score with the
+    lookup-table ADC kernel (numpy gathers over the Arrow code
+    batches — operators/pq.pq_topk_adc; 1.7× the reconstruct-join
+    plan at sf1 and widening with corpus size), then the FAISS-style
+    refinement stage: shortlist 8·k by quantized score, exact re-rank
+    only the shortlist against the original vectors. Deterministic
+    (decimal M-step, numpy pairwise sums, exact-cosine final scores)
+    but float-centroid distances keep it out of the strict-oracle
+    class — the audit twin (`similarity_pq_audit`) pins the fold-based
+    machinery, and recall vs the exact top-k is asserted in
+    tests/test_pq.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     book = PQ.train_codebooks_lloyd(emb, m=8, dim=64, k=16, iters=2)
     return (
-        PQ.pq_topk(emb.filter(F.col("vec_id") < 5), emb, book,
-                   k=10, m=8, dim=64, refine=8)
+        PQ.pq_topk_adc(emb.filter(F.col("vec_id") < 5), emb, book,
+                       k=10, m=8, dim=64, refine=8)
         .orderBy("query_id", "rnk")
     )
 

@@ -162,3 +162,35 @@ def test_lloyd_codebook_small_corpus_shrinks_k(spark, sf_dir):
     book = PQ.train_codebooks_lloyd(emb, m=4, dim=64, k=16, iters=1)
     # only 3 seed vectors exist, so each subspace gets 3 centroids
     assert book.count() == 4 * 3
+
+
+def test_adc_kernel_exact_config_equals_brute_force(spark, sf_dir):
+    """The numpy lookup-table ADC backend with the lossless codebook
+    and exact refinement must reproduce brute force exactly (final
+    cosines come from the exact re-rank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    book = PQ.train_codebooks_exact(emb, m=8, dim=64)
+    adc = PQ.pq_topk_adc(queries, emb, book, k=5, m=8, dim=64,
+                         refine=2).orderBy("query_id", "rnk").toPandas()
+    bf = cosine_topk(queries, emb, k=5) \
+        .orderBy("query_id", "rnk").toPandas()
+    assert adc[["query_id", "match_id", "rnk"]].values.tolist() == \
+        bf[["query_id", "match_id", "rnk"]].values.tolist()
+    assert (adc["cosine_sim"] == bf["cosine_sim"]).all()
+
+
+def test_adc_kernel_matches_join_backend_lloyd(spark, sf_dir):
+    """Both PQ search backends implement the same semantics: with the
+    same Lloyd codebook and refinement they must pick the same final
+    top-k (exact re-rank makes the survivors' scores identical)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    book = PQ.train_codebooks_lloyd(emb, m=8, dim=64, k=16, iters=2)
+    a = PQ.pq_topk_adc(queries, emb, book, k=10, m=8, dim=64,
+                       refine=8).orderBy("query_id", "rnk").toPandas()
+    j = PQ.pq_topk(queries, emb, book, k=10, m=8, dim=64,
+                   refine=8).orderBy("query_id", "rnk").toPandas()
+    assert a[["query_id", "match_id", "rnk"]].values.tolist() == \
+        j[["query_id", "match_id", "rnk"]].values.tolist()
+    assert (a["cosine_sim"] == j["cosine_sim"]).all()
