@@ -96,8 +96,13 @@ def train_codebooks_exact(df: DataFrame, *, vec_col: str = "embedding",
     return (
         longf.select("sub", F.col("subvec").alias("cvec")).distinct()
         # per-sub rank window: group size = |distinct subvectors in
-        # that subspace| ≤ k by construction of the configs that use
-        # this trainer (bounded, partitioned — lint-clean)
+        # that subspace| — for continuous float embeddings that is the
+        # CORPUS size, so this trainer (and the audits built on it) is
+        # a fixture-scale verification configuration, not a production
+        # codebook; production uses train_codebooks_lloyd, whose m·k
+        # output honors the module's broadcast-sized invariant. It is
+        # also a real codebook whenever a subspace's value set is
+        # genuinely small (int8-quantized / one-hot-ish dimensions).
         .withColumn("code", (F.row_number().over(w) - 1).cast("int"))
         .select("sub", "code", "cvec")
     )
@@ -223,6 +228,40 @@ def pq_reconstruct(codes: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
+def _topk_window():
+    """The declared result ordering of every PQ-family search: best
+    similarity first, lowest match id on ties. (Built lazily — Window
+    specs need an active session, and this module imports before one
+    exists under pytest collection.)"""
+    return Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc())
+
+
+def _refine_topk(shortlist: DataFrame, queries: DataFrame,
+                 corpus: DataFrame, k: int, *, id_col: str,
+                 vec_col: str) -> DataFrame:
+    """Shared exact-refinement stage (FAISS ``IndexRefineFlat``): the
+    |Q|·k·refine shortlist joins the broadcast query vectors and the
+    corpus scan on id — full vectors are read once, never shuffled
+    corpus-wide — then the declared window re-ranks to the final k.
+    One implementation so the three search backends cannot drift."""
+    full = corpus.select(F.col(id_col).alias("match_id"),
+                         as_double(vec_col).alias("cv"))
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   as_double(vec_col).alias("qv")))
+    rescored = (
+        shortlist.select("query_id", "match_id")
+        .join(q, "query_id")  # recover the query vector (broadcast side)
+        .join(full, "match_id")
+        .select("query_id", "match_id",
+                cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"))
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(_topk_window()))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def pq_topk(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
             k: int = 10, *, id_col: str = "vec_id",
             vec_col: str = "embedding", m: int = 8,
@@ -256,30 +295,15 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
         .select("query_id", "match_id",
                 cosine(F.col("qv"), F.col("recon")).alias("cosine_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("match_id").asc())
+    w = _topk_window()
     shortlist = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k * refine)
     )
     if refine <= 1:
         return shortlist
-    # exact re-rank: the shortlist (|Q|·k·refine rows) broadcasts
-    # against the corpus scan — full vectors are read once, joined on
-    # id, never shuffled corpus-wide
-    full = corpus.select(F.col(id_col).alias("match_id"),
-                         as_double(vec_col).alias("cv"))
-    rescored = (
-        shortlist.select("query_id", "match_id")
-        .join(q, "query_id")  # recover the query vector (broadcast side)
-        .join(full, "match_id")
-        .select("query_id", "match_id",
-                cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"))
-    )
-    return (
-        rescored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-    )
+    return _refine_topk(shortlist, queries, corpus, k,
+                        id_col=id_col, vec_col=vec_col)
 
 
 # ---------------------------------------------------------------------------
@@ -352,42 +376,35 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
     codes = pq_encode(corpus, codebook, vec_col=vec_col, id_col=id_col,
                       m=m, dim=dim).withColumnRenamed("_id", "match_id")
     inv = lists.join(codes, "match_id")  # the inverted file
-    recon = pq_reconstruct(
-        inv.select(F.col("match_id").alias("_id"), "codes"), codebook) \
-        .withColumnRenamed("_id", "match_id")
     probes = _assign_lists(queries, cents, "query_id",
                            id_col=id_col, vec_col=vec_col, topn=nprobe) \
         .withColumnRenamed("_v", "qv")
+    # IVF pruning applies to the DECODE stage too: restrict the
+    # inverted file to probed lists (bounded ≤ n_centroids-row
+    # broadcast semi-join) BEFORE reconstructing, so unprobed rows
+    # never pay the decode joins — not just the scoring join
+    inv_probed = inv.join(
+        F.broadcast(probes.select("centroid_id").distinct()),
+        "centroid_id", "left_semi")
+    recon = pq_reconstruct(
+        inv_probed.select(F.col("match_id").alias("_id"), "codes"),
+        codebook).withColumnRenamed("_id", "match_id")
     scored = (
-        probes.join(inv.select("match_id", "centroid_id"), "centroid_id")
+        probes.join(inv_probed.select("match_id", "centroid_id"),
+                    "centroid_id")
         .filter(F.col("query_id") != F.col("match_id"))
         .join(recon, "match_id")
         .select("query_id", "match_id",
                 cosine(F.col("qv"), F.col("recon")).alias("cosine_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("match_id").asc())
     shortlist = (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(_topk_window()))
         .filter(F.col("rnk") <= k * refine)
     )
     if refine <= 1:
         return shortlist
-    full = corpus.select(F.col(id_col).alias("match_id"),
-                         as_double(vec_col).alias("cv"))
-    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   as_double(vec_col).alias("qv2")))
-    rescored = (
-        shortlist.select("query_id", "match_id")
-        .join(q, "query_id")
-        .join(full, "match_id")
-        .select("query_id", "match_id",
-                cosine(F.col("qv2"), F.col("cv")).alias("cosine_sim"))
-    )
-    return (
-        rescored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-    )
+    return _refine_topk(shortlist, queries, corpus, k,
+                        id_col=id_col, vec_col=vec_col)
 
 
 def write_ivfpq_index(corpus: DataFrame, codebook: DataFrame, path: str,
@@ -425,9 +442,12 @@ def search_ivfpq_index(spark: SparkSession, path: str, queries: DataFrame,
     unprobed partitions are never listed, opened, or read."""
     cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
     codebook = spark.read.parquet(f"{path}/codebook")
+    # materialize once: the probe relation feeds both the probe_ids
+    # collect and the search join — without truncation the
+    # query-scan + centroid window would execute twice
     probes = _assign_lists(queries, cents, "query_id",
                            id_col=id_col, vec_col=vec_col, topn=nprobe) \
-        .withColumnRenamed("_v", "qv")
+        .withColumnRenamed("_v", "qv").localCheckpoint(eager=True)
     if probe_ids is None:
         probe_ids = [r["centroid_id"] for r in
                      probes.select("centroid_id").distinct().collect()]
@@ -526,10 +546,20 @@ def pq_topk_adc(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
                 take = min(shortn, len(ids_m))
                 if take == 0:
                     continue
-                part = np.argpartition(-sim_m, take - 1)[:take]
+                # exact (sim DESC, id ASC) selection, partial-sort
+                # cost: partition to the k-th sim value, keep EVERY
+                # row tied with it, then lexsort only that subset —
+                # argpartition alone would break boundary ties
+                # arbitrarily and diverge from the declared ordering
+                if take < len(sim_m):
+                    kth = np.partition(-sim_m, take - 1)[take - 1]
+                    cand = np.nonzero(-sim_m <= kth)[0]
+                else:
+                    cand = np.arange(len(sim_m))
+                order = cand[np.lexsort((ids_m[cand], -sim_m[cand]))][:take]
                 out_q.extend([int(qids[qi])] * take)
-                out_m.extend(ids_m[part].tolist())
-                out_s.extend(sim_m[part].tolist())
+                out_m.extend(ids_m[order].tolist())
+                out_s.extend(sim_m[order].tolist())
             yield pd.DataFrame({
                 "query_id": pd.array(out_q, dtype="int64"),
                 "match_id": pd.array(out_m, dtype="int64"),
@@ -538,24 +568,9 @@ def pq_topk_adc(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
 
     local = codes.mapInPandas(
         _score, schema="query_id long, match_id long, cosine_sim double")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("match_id").asc())
-    shortlist = (local.withColumn("rnk", F.row_number().over(w))
+    shortlist = (local.withColumn("rnk", F.row_number().over(_topk_window()))
                  .filter(F.col("rnk") <= shortn))
     if refine <= 1:
         return shortlist.filter(F.col("rnk") <= k)
-    full = corpus.select(F.col(id_col).alias("match_id"),
-                         as_double(vec_col).alias("cv"))
-    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   as_double(vec_col).alias("qv")))
-    rescored = (
-        shortlist.select("query_id", "match_id")
-        .join(q, "query_id")
-        .join(full, "match_id")
-        .select("query_id", "match_id",
-                cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"))
-    )
-    return (
-        rescored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-    )
+    return _refine_topk(shortlist, queries, corpus, k,
+                        id_col=id_col, vec_col=vec_col)

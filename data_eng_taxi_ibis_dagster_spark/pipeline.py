@@ -248,7 +248,14 @@ def training_data_definitions(sf_dir: str, out_dir: str, *,
             semdedup,
         )
 
-        pruned = semdedup(emb, threshold=0.99, k=4, iters=1) \
+        # restrict to SURVIVORS' embeddings first: a doc removed by an
+        # earlier gate must not act as the lower-id "keeper" (that
+        # would drop its surviving twin while keeping neither —
+        # violating keep-one-representative semantics)
+        kept_emb = emb.join(
+            corpus.select(F.col("doc_id").alias("vec_id")), "vec_id",
+            "left_semi")
+        pruned = semdedup(kept_emb, threshold=0.99, k=4, iters=1) \
             .filter(F.col("is_dup")) \
             .select(F.col("vec_id").alias("doc_id"))
         return corpus.join(pruned, "doc_id", "left_anti")

@@ -540,7 +540,7 @@ def video_frames_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_twin_audit",
     oracle="""
         SELECT doc_id AS doc_a,
-               doc_id + 1000000 AS doc_b,
+               doc_id + 1000000000000 AS doc_b,
                0 AS hamming
         FROM documents
     """,
@@ -562,10 +562,13 @@ def simhash_twin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by the planted-pair tests in tests/test_dedup.py. Same
     code path as ``dedup_simhash`` (production hamming ≤ 3 config,
     rows-only)."""
+    # offset far above any plausible doc_id so twin ids can never
+    # collide with a real id at larger fixtures
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    twins = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    twins = docs.withColumn("doc_id",
+                            F.col("doc_id") + F.lit(1_000_000_000_000))
     corpus = docs.unionByName(twins)
     return (
         D.simhash_near_dup_pairs(corpus, max_hamming=0)
-        .filter(F.col("doc_b") - F.col("doc_a") == 1_000_000)
+        .filter(F.col("doc_b") - F.col("doc_a") == 1_000_000_000_000)
     )

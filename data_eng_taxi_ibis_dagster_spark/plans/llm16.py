@@ -342,10 +342,7 @@ def _maxsim_cases_sql() -> str:
              ),
              scored AS (
                  SELECT query_id, match_id, {_maxsim_cases_sql()} AS maxsim
-                 FROM (
-                     SELECT query_id, match_id, qsub, MAX(sim) AS sim
-                     FROM best GROUP BY query_id, match_id, qsub
-                 )
+                 FROM best
                  GROUP BY query_id, match_id
              )
         SELECT query_id, match_id, maxsim, rnk FROM (
