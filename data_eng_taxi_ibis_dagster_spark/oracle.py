@@ -99,6 +99,33 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
         report.problems.append("row count mismatch")
         return report
 
+    # The external driver hashes values AS RENDERED STRINGS, so an
+    # integer column on one engine vs a float column on the other
+    # ("95" vs "95.0") fails there even when the values are equal.
+    # DuckDB's usual offender: SUM(BIGINT) → HUGEINT → pandas float64.
+    # Flag the dtype-kind skew here so it never reaches the driver.
+    def _kind(s: pd.Series) -> str:
+        if pd.api.types.is_bool_dtype(s):
+            return "bool"
+        if pd.api.types.is_integer_dtype(s):
+            return "int"
+        if pd.api.types.is_float_dtype(s):
+            return "float"
+        if pd.api.types.is_datetime64_any_dtype(s):
+            return "ts"
+        return "other"
+
+    for col in s_cols:
+        sk, ok_ = _kind(spark_pdf[col]), _kind(oracle_pdf[col])
+        if {sk, ok_} == {"int", "float"}:
+            report.ok = False
+            report.problems.append(
+                f"column {col!r}: dtype kind skew spark={sk} oracle={ok_}"
+                " (driver string-hash would mismatch; CAST the oracle"
+                " aggregate, e.g. CAST(SUM(x) AS BIGINT))")
+    if not report.ok:
+        return report
+
     s = _canonical(spark_pdf)
     o = _canonical(oracle_pdf)
     s_rows = sorted((tuple(r) for r in s.itertuples(index=False, name=None)), key=_sort_key)

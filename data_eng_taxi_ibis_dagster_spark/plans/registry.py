@@ -91,6 +91,7 @@ def _load_all() -> None:
         maintenance,
         stats,
         llm16,
+        llm17,
     )
 
 

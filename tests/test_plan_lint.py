@@ -50,6 +50,8 @@ BNLJ_ALLOWED = {
     "similarity_ivfpq_audit",      # n_centroids-row coarse-quantizer broadcast
     "similarity_ivfpq_topk",       # n_centroids-row coarse-quantizer broadcast
     "similarity_maxsim_topk",      # facet scoring, probe facet set broadcast
+    "retrieval_bm25_topk",         # 1-row (N, total-tokens) scalar join
+    "dsir_importance_topk",        # 1-row (raw, target) totals scalar join
 }
 
 #: Queries allowed to run an UNPARTITIONED window over something other
