@@ -1,0 +1,156 @@
+"""LLM-data-pipeline queries, round 5 continuation #2: shingle
+CONTAINMENT dedup — the near-superset detector.
+
+Resemblance Jaccard (``dedup_ngram_jaccard`` / MinHash-LSH) misses the
+boilerplate/quotation case: a short document wholly contained in a much
+longer one has J = |A|/|B| ≈ 0 even though A adds no new content.
+Broder's containment C(A,B) = |S(A)∩S(B)| / |S(A)| is the right
+measure; production pipelines dedup on max-containment
+C*(A,B) = |S(A)∩S(B)| / min(|S(A)|, |S(B)|).
+
+Same portable-pair contract as the rest of the registry (Spark plan +
+DuckDB oracle; ``/root/reference/taxi_pipeline.py:89-147`` is the
+pattern being generalized). Exactness: every quantity is an integer
+count; the threshold is an integer cross-multiplication
+(``den·inter ≥ num·min_size``, no float boundary); the one reported
+double is a single division of exact integers — bit-identical on both
+engines.
+
+Scale shape (set-similarity-join, PPJoin-family): candidate pairs come
+from an inverted-index self-equi-join on shingles, never all-pairs. A
+document-frequency cap (df ≤ {cap}) bounds the per-shingle join
+fan-out at cap²/2 pairs — ultra-common shingles carry no containment
+signal and are exactly the skew that melts a self-join at corpus
+scale, so dropping them is both the performance fix and (deliberately)
+part of the operator's definition: containment is computed over the
+df-capped shingle space in BOTH engines, keeping the strict oracle.
+The df-capped shingle relation is materialized once and shared by the
+size aggregate and both sides of the pair join; per-doc sizes are a
+16 B/doc compact relation.
+
+The fixture corpus has no planted containments, so (same device as
+``dedup_exact``) the corpus is unioned with prefix-truncated twins
+(first half of each document's tokens, doc_id + 1'000'000): a token
+prefix's shingle set is by construction a subset of its source's, so
+every surviving twin pair must score containment exactly 1.0 — the
+semantics are exercised, not just the no-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.operators import text as T
+from data_eng_taxi_ibis_dagster_spark.plans.registry import query
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+_N = 3              # shingle width (tokens)
+_DF_CAP = 100       # max document frequency for a shingle to join on
+_NUM, _DEN = 9, 10  # containment threshold num/den = 0.9
+
+_SQL_TOKS = "string_split(text, ' ')"
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        ),
+        corpus AS (
+            SELECT doc_id, text FROM base
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   array_to_string(
+                       ({_SQL_TOKS})[1:greatest(len({_SQL_TOKS}) // 2, 1)],
+                       ' ')
+            FROM base
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest({T.sql_shingles(_SQL_TOKS, _N)}) AS s
+            FROM corpus
+        ),
+        dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+        shc AS (
+            SELECT sh.doc_id, sh.s
+            FROM sh JOIN dfreq USING (s)
+            WHERE dfreq.df <= {_DF_CAP}
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS inter_size
+            FROM shc a JOIN shc b
+              ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT doc_a, doc_b, inter_size,
+                   sa.sz AS size_a, sb.sz AS size_b
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b, inter_size, size_a, size_b,
+               CAST(inter_size AS DOUBLE)
+                   / CAST(LEAST(size_a, size_b) AS DOUBLE) AS containment
+        FROM j
+        WHERE {_DEN} * inter_size >= {_NUM} * LEAST(size_a, size_b)
+    """,
+    tags=("E10", "EXT"),
+    bench=True,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-superset pairs by exact shingle containment over the
+    df-capped inverted index (module docstring): candidate pairs from a
+    shingle self-equi-join with per-shingle fan-out ≤ cap²/2, per-doc
+    sizes compact, threshold as an integer cross-multiplication."""
+    base = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("text").isNotNull()))
+    toks = T.tokens("text")
+    half = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1,
+                    F.greatest((F.size(toks) / 2).cast("int"), F.lit(1))),
+            " ").alias("text"),
+    )
+    corpus = base.unionByName(half)
+
+    sh = corpus.select(
+        "doc_id", F.explode(T.shingles(T.tokens("text"), _N)).alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # df-cap filter BEFORE the pair join; materialize the capped
+    # relation once — the size aggregate and both join sides share it.
+    shc = (sh.join(dfreq.filter(F.col("df") <= _DF_CAP), "s")
+           .select("doc_id", "s")
+           .localCheckpoint(eager=False))
+    sz = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = shc.select(F.col("doc_id").alias("doc_a"), "s")
+    b = shc.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    j = (
+        inter
+        .join(sz.select(F.col("doc_id").alias("doc_a"),
+                        F.col("sz").alias("size_a")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sz").alias("size_b")), "doc_b")
+    )
+    min_sz = F.least(F.col("size_a"), F.col("size_b"))
+    return (
+        j.filter(_DEN * F.col("inter_size") >= _NUM * min_sz)
+        .select(
+            "doc_a", "doc_b", "inter_size", "size_a", "size_b",
+            (F.col("inter_size").cast("double")
+             / min_sz.cast("double")).alias("containment"),
+        )
+    )

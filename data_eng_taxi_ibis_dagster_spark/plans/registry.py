@@ -92,6 +92,7 @@ def _load_all() -> None:
         stats,
         llm16,
         llm17,
+        llm18,
     )
 
 
