@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_eng_taxi_ibis_dagster_spark.operators import text as T
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
@@ -122,10 +123,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = corpus.select(
         "doc_id", F.explode(T.shingles(T.tokens("text"), _N)).alias("s"))
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    # df-cap filter BEFORE the pair join; materialize the capped
-    # relation once — the size aggregate and both join sides share it.
-    shc = (sh.join(dfreq.filter(F.col("df") <= _DF_CAP), "s")
+    # df annotation as a count-over-window on the shingle partition:
+    # ONE exchange of the shingle relation instead of the groupBy-df +
+    # join-back pair (measured 2.2× at sf0.1). WindowExec spills, so a
+    # pathologically hot shingle degrades to disk, not OOM — and its
+    # rows are exactly the ones the cap then drops. The capped relation
+    # is materialized once; the size aggregate and both pair-join sides
+    # share it.
+    shc = (sh.withColumn(
+               "df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+           .filter(F.col("df") <= _DF_CAP)
            .select("doc_id", "s")
            .localCheckpoint(eager=False))
     sz = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -153,4 +160,77 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("inter_size").cast("double")
              / min_sz.cast("double")).alias("containment"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced subset selection (diversity sampling)
+# ---------------------------------------------------------------------------
+
+_CBS_K = 4          # semantic clusters (lowest-id seed vectors)
+_CBS_CAP = 25       # kept vectors per cluster
+
+
+@query(
+    "cluster_balanced_sample",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), seedi AS (
+            SELECT e AS c, row_number() OVER (ORDER BY vec_id) - 1 AS idx
+            FROM v ORDER BY vec_id LIMIT {_CBS_K}
+        ), scored AS (
+            SELECT v.vec_id, s.idx,
+                   list_sum(list_transform(
+                       range(1, len(v.e) + 1),
+                       i -> (v.e[i] - s.c[i]) * (v.e[i] - s.c[i]))) AS d2
+            FROM v CROSS JOIN seedi s
+        ), assigned AS (
+            SELECT vec_id, idx,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2 ASC, idx ASC) AS rn
+            FROM scored
+        )
+        SELECT cluster_id, vec_id, pick_rank FROM (
+            SELECT idx AS cluster_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY idx
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) AS pick_rank
+            FROM assigned WHERE rn = 1
+        )
+        WHERE pick_rank <= {_CBS_CAP}
+        ORDER BY cluster_id, pick_rank
+    """,
+    tags=("E11", "E12", "EXT"),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subset selection: cap the corpus at K vectors
+    per semantic cluster, chosen by deterministic hash order — the
+    embedding-space analog of ``domain_cap_sample``'s source
+    balancing, used to keep one dominant topic from swamping a
+    curated mixture (DiverseEvol/SemDeDup-style diversity sampling).
+
+    Assignment reuses the strictly-audited seed E-step
+    (:func:`operators.similarity.lloyd_assignments` with iters=1 —
+    the configuration ``kmeans_estep_audit`` pins to SQL ground
+    truth): row-local argmin against broadcast-literal seed
+    centroids, no join, no shuffle. The per-cluster cap is one
+    window partitioned by cluster over the compact (vec_id, cluster)
+    relation; for a mega-cluster, pre-thin with an approximate md5
+    threshold exactly as documented on ``domain_cap_sample``."""
+    from data_eng_taxi_ibis_dagster_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    asg = S.lloyd_assignments(e, k=_CBS_K, iters=1).select(
+        F.col("_id").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")),
+        F.col("vec_id"))
+    return (
+        asg.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= _CBS_CAP)
+        .orderBy("cluster_id", "pick_rank")
     )

@@ -39,3 +39,24 @@ def test_pair_join_is_equi_not_cross(spark, sf_dir):
     plan = _plan(dedup_containment(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_balanced_sample_caps_and_ranks(spark, sf_dir):
+    from data_eng_taxi_ibis_dagster_spark.plans.llm18 import (
+        cluster_balanced_sample,
+    )
+
+    rows = cluster_balanced_sample(spark, sf_dir).collect()
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert set(by_cluster) <= set(range(4))
+    for cid, rs in by_cluster.items():
+        assert len(rs) <= 25
+        rs.sort(key=lambda r: r.pick_rank)
+        assert [r.pick_rank for r in rs] == list(range(1, len(rs) + 1))
+    # deterministic: a second plan returns the identical selection
+    again = {(r.cluster_id, r.vec_id, r.pick_rank)
+             for r in cluster_balanced_sample(spark, sf_dir).collect()}
+    assert again == {(r.cluster_id, r.vec_id, r.pick_rank) for r in rows}
