@@ -93,6 +93,7 @@ def _load_all() -> None:
         llm16,
         llm17,
         llm18,
+        llm19,
     )
 
 

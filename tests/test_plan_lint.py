@@ -73,7 +73,7 @@ PY_TAGS = {"E13", "E15"}
 PY_NODES = (
     "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
     "MapInPandas", "PythonMapInArrow", "AggregateInPandas",
-    "FlatMapGroupsInPandasWithState",
+    "FlatMapGroupsInPandasWithState", "FlatMapGroupsInArrow",
 )
 
 ALL = sorted(all_specs())
