@@ -80,6 +80,7 @@ def _doc_byte_stats(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordB
         ORDER BY lang
     """,
     tags=("E15", "E12", "EXT"),
+    bench=True,
 )
 def map_in_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus byte accounting through ``mapInArrow``
@@ -157,3 +158,124 @@ def apply_in_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_chars long, total_chars long"),
     )
     return out.orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Corpus frequency-distribution diagnostics (Zipf fit + hapax profile)
+# ---------------------------------------------------------------------------
+
+_ZIPF_R = 256       # top ranks entering the log-log slope fit
+_ZIPF_Q = 1_000_000  # ln-value quantization (1e-6 resolution)
+
+
+@query(
+    "zipf_vocab_profile",
+    oracle=f"""
+        WITH tf AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS t
+                  FROM documents WHERE text IS NOT NULL)
+            GROUP BY t
+        ), ranked AS (
+            SELECT freq,
+                   CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, t)
+                        AS BIGINT) AS rnk
+            FROM tf
+        ), q AS (
+            SELECT rnk, freq,
+                   CAST(floor(ln(CAST(rnk AS DOUBLE)) * {_ZIPF_Q} + 0.5)
+                        AS BIGINT) AS lx,
+                   CAST(floor(ln(CAST(freq AS DOUBLE)) * {_ZIPF_Q} + 0.5)
+                        AS BIGINT) AS ly
+            FROM ranked
+        ), s AS (
+            SELECT
+                CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS hapax_count,
+                CAST(SUM(freq) AS BIGINT) AS total_tokens,
+                CAST(SUM(CASE WHEN rnk <= {_ZIPF_R} THEN 1 ELSE 0 END)
+                     AS BIGINT) AS fit_points,
+                CAST(SUM(CASE WHEN rnk <= {_ZIPF_R} THEN lx ELSE 0 END)
+                     AS BIGINT) AS sx,
+                CAST(SUM(CASE WHEN rnk <= {_ZIPF_R} THEN ly ELSE 0 END)
+                     AS BIGINT) AS sy,
+                CAST(SUM(CASE WHEN rnk <= {_ZIPF_R} THEN lx * ly ELSE 0 END)
+                     AS BIGINT) AS sxy,
+                CAST(SUM(CASE WHEN rnk <= {_ZIPF_R} THEN lx * lx ELSE 0 END)
+                     AS BIGINT) AS sxx
+            FROM q
+        )
+        SELECT vocab_size, hapax_count, total_tokens, fit_points,
+               (CAST(fit_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(fit_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   AS zipf_slope
+        FROM s
+    """,
+    tags=("E12", "EXT"),
+    bench=True,
+)
+def zipf_vocab_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency-distribution health check: vocabulary size,
+    hapax-legomenon count, total token mass, and the Zipf log-log
+    slope fitted over the top-256 frequency ranks — the one-row
+    diagnostic a pretraining-corpus build gates on (a slope far from
+    −1 or a collapsed hapax fraction flags boilerplate flooding or a
+    broken dedup upstream).
+
+    Exactness: ln values are quantized to 1e-6 BEFORE summation
+    (`floor(ln·1e6 + 0.5)` — the ``agg_exact_linear_stats`` trick), so
+    every regression sum is an exact 64-bit integer on both engines
+    and the closing slope is one identically-shaped double expression
+    over identical integers. Scale shape: the token-frequency relation
+    is vocab-bounded; its global rank comes from
+    :func:`operators.order.distributed_rank` (affine-bucketed, no
+    single-partition sort); everything after is one aggregate over
+    that bounded relation."""
+    from data_eng_taxi_ibis_dagster_spark.operators import text as T
+    from data_eng_taxi_ibis_dagster_spark.operators.order import distributed_rank
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()))
+    tf = (docs.select(F.explode(T.tokens("text")).alias("t"))
+          .groupBy("t").agg(F.count(F.lit(1)).alias("freq")))
+    ranked = distributed_rank(
+        tf, (-F.col("freq")).cast("double"), F.col("t"), name="rnk"
+    ).select(F.col("freq"), F.col("rnk").cast("long").alias("rnk"))
+
+    lx = F.floor(F.log(F.col("rnk").cast("double")) * _ZIPF_Q + F.lit(0.5)) \
+          .cast("long")
+    ly = F.floor(F.log(F.col("freq").cast("double")) * _ZIPF_Q + F.lit(0.5)) \
+          .cast("long")
+    infit = F.col("rnk") <= _ZIPF_R
+    zero = F.lit(0).cast("long")
+    s = (ranked.withColumn("lx", lx).withColumn("ly", ly)
+         .agg(
+             F.count(F.lit(1)).alias("vocab_size"),
+             F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+              .cast("long").alias("hapax_count"),
+             F.sum("freq").alias("total_tokens"),
+             F.sum(F.when(infit, 1).otherwise(0)).cast("long")
+              .alias("fit_points"),
+             F.sum(F.when(infit, F.col("lx")).otherwise(zero))
+              .alias("sx"),
+             F.sum(F.when(infit, F.col("ly")).otherwise(zero))
+              .alias("sy"),
+             F.sum(F.when(infit, F.col("lx") * F.col("ly")).otherwise(zero))
+              .alias("sxy"),
+             F.sum(F.when(infit, F.col("lx") * F.col("lx")).otherwise(zero))
+              .alias("sxx"),
+         ))
+    n_d = F.col("fit_points").cast("double")
+    slope = (
+        (n_d * F.col("sxy").cast("double")
+         - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (n_d * F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    )
+    return s.select(
+        "vocab_size", "hapax_count", "total_tokens", "fit_points",
+        slope.alias("zipf_slope"),
+    )

@@ -52,6 +52,7 @@ BNLJ_ALLOWED = {
     "similarity_maxsim_topk",      # facet scoring, probe facet set broadcast
     "retrieval_bm25_topk",         # 1-row (N, total-tokens) scalar join
     "dsir_importance_topk",        # 1-row (raw, target) totals scalar join
+    "zipf_vocab_profile",          # distributed_rank 1-row (min,max) join
 }
 
 #: Queries allowed to run an UNPARTITIONED window over something other
