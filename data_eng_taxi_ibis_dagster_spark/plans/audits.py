@@ -572,3 +572,105 @@ def simhash_twin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.simhash_near_dup_pairs(corpus, max_hamming=0)
         .filter(F.col("doc_b") - F.col("doc_a") == 1_000_000_000_000)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation: the BPE ENCODE path gets its strict twin
+# ---------------------------------------------------------------------------
+
+#: Symbol separator for the oracle's string-fold representation — a
+#: control character that cannot occur inside corpus words, so symbol
+#: boundaries in the separator-joined form are unambiguous.
+_BPE_SEP = "\x1e"
+_BPE_AUDIT_MERGES = 3
+
+
+def _bpe_encode_oracle() -> str:
+    """Build the staged-CTE oracle: derive merge k from state k, apply
+    it via a boundary-delimited ``replace`` to produce state k+1. The
+    replace IS the greedy fold on this corpus because the audit
+    restricts to words whose characters are all distinct — any symbol
+    pair then occurs at most once per word (two occurrences of the
+    left symbol would need its characters twice), so "replace the one
+    occurrence" and "greedy left-to-right fold" are the same function
+    and no occurrence can overlap another."""
+    sep, eow = _BPE_SEP, B.EOW
+    sql = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL
+        ), el AS (
+            SELECT doc_id, w FROM tok
+            WHERE len(string_split(w, ''))
+                  = len(list_distinct(string_split(w, '')))
+        ), wf AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM el GROUP BY w
+        ), s0 AS (
+            SELECT w, cnt, list_append(string_split(w, ''), '{eow}') AS s
+            FROM wf
+        )"""
+    for k in range(_BPE_AUDIT_MERGES):
+        sql += f""", adj{k} AS (
+            SELECT cnt, s[i] AS l, s[i+1] AS r
+            FROM s{k}, unnest(range(1, len(s))) AS t(i)
+        ), b{k} AS (
+            SELECT l, r
+            FROM (SELECT l, r, SUM(cnt) AS n FROM adj{k} GROUP BY l, r)
+            WHERE n >= 2 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+        ), s{k + 1} AS (
+            SELECT w, cnt, list_filter(string_split(replace(
+                '{sep}' || array_to_string(s, '{sep}') || '{sep}',
+                '{sep}' || b{k}.l || '{sep}' || b{k}.r || '{sep}',
+                '{sep}' || b{k}.l || b{k}.r || '{sep}'), '{sep}'),
+                x -> x <> '') AS s
+            FROM s{k}, b{k}
+        )"""
+    sql += f"""
+        SELECT el.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(len(fin.s)) AS BIGINT) AS n_units
+        FROM el JOIN s{_BPE_AUDIT_MERGES} fin USING (w)
+        GROUP BY el.doc_id
+    """
+    return sql
+
+
+@query(
+    "bpe_encode_audit",
+    oracle=_bpe_encode_oracle(),
+    tags=("E12", "audit"),
+)
+def bpe_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE ENCODE path — multi-round merge replay
+    (:func:`operators.bpe.segment_words`) plus the broadcast-join
+    corpus tokenization of ``bpe_encode_corpus`` — pinned strictly.
+
+    Config: the corpus restricted to words whose characters are all
+    distinct, trained for 3 merge rounds. On that restriction every
+    symbol pair occurs at most once per word (a second occurrence
+    would repeat the left symbol's characters), so the greedy
+    left-to-right fold (:func:`operators.bpe._merge_pair`) is
+    provably a single boundary-delimited string replacement — which
+    the oracle performs per round on a separator-joined symbol string,
+    after deriving the SAME (count desc, left asc, right asc) argmax
+    merge from the SAME adjacency counting. The per-doc (token count,
+    post-merge unit count) relation must hash-match: drift in the
+    trainer's pair counting or tie-breaks, the fold, multi-round
+    replay order, the EOW sentinel, or the broadcast tokenize join
+    breaks it. Unlike ``bpe_merge_audit`` (one round, trainer-side
+    state), this pins the APPLY artifact the rows-only
+    ``bpe_encode_corpus`` ships."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()))
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("w"))
+    chars = F.split(F.col("w"), "")
+    el = tok.filter(F.size(chars) == F.size(F.array_distinct(chars)))
+    merges = B.learn_bpe_merges(el, F.array("w"),
+                                n_merges=_BPE_AUDIT_MERGES)
+    seg = B.segment_words(el, F.array("w"), merges)
+    return (
+        el.join(F.broadcast(seg.select("w", "n_units")), "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum("n_units").cast("long").alias("n_units"))
+    )
