@@ -674,3 +674,46 @@ def bpe_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_tokens"),
              F.sum("n_units").cast("long").alias("n_units"))
     )
+
+
+@query(
+    "cooccurrence_edges_audit",
+    oracle="""
+        WITH tok AS (
+            SELECT string_split(text, ' ') AS ts
+            FROM documents WHERE text IS NOT NULL
+        ), pairs AS (
+            SELECT least(ts[i], ts[i+1]) AS u,
+                   greatest(ts[i], ts[i+1]) AS v
+            FROM tok, unnest(range(1, len(ts))) AS t(i)
+            WHERE ts[i] <> ts[i+1]
+        ), counted AS (
+            SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w
+            FROM pairs GROUP BY u, v
+            HAVING COUNT(*) >= 2
+        )
+        SELECT u AS src, v AS dst, w FROM counted
+        UNION ALL
+        SELECT v AS src, u AS dst, w FROM counted
+    """,
+    tags=("E12", "audit"),
+)
+def cooccurrence_edges_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-occurrence GRAPH BUILDER pinned strictly. The iterative
+    rank machinery already has its decimal-mirrored twin
+    (``pagerank_iter1_audit``, synthetic keyed graph); this audits the
+    other half of ``pagerank_cooccurrence`` / ``textrank_keywords`` —
+    :func:`operators.graph.cooccurrence_edges` itself: adjacent-pair
+    explode (zip_with against the shifted array, NULL tail and
+    self-loops dropped), (min,max) canonicalization BEFORE counting,
+    the min_count filter, and the both-directions emission. Every edge
+    and weight must hash-match the direct SQL construction; drift in
+    the pair windowing, canonicalization order, or the union breaks
+    it."""
+    from data_eng_taxi_ibis_dagster_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()))
+    return cooccurrence_edges(docs, T.tokens("text"), min_count=2)
