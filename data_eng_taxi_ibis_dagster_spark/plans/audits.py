@@ -717,3 +717,74 @@ def cooccurrence_edges_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("text").isNotNull()))
     return cooccurrence_edges(docs, T.tokens("text"), min_count=2)
+
+
+@query(
+    "kmeans_two_iter_audit",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), seedi AS (
+            SELECT e AS c, row_number() OVER (ORDER BY vec_id) - 1 AS idx
+            FROM v ORDER BY vec_id LIMIT 4
+        ), scored0 AS (
+            SELECT v.vec_id, s.idx,
+                   list_sum(list_transform(
+                       range(1, len(v.e) + 1),
+                       i -> (v.e[i] - s.c[i]) * (v.e[i] - s.c[i]))) AS d2
+            FROM v CROSS JOIN seedi s
+        ), a0 AS (
+            SELECT vec_id, idx,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2 ASC, idx ASC) AS rn
+            FROM scored0
+        ), cells AS (
+            SELECT a0.idx AS cl, t.i AS pos,
+                   CAST(SUM(CAST(v.e[t.i] AS DECIMAL(38,8))) AS DOUBLE)
+                       / COUNT(v.e[t.i]) AS m
+            FROM a0 JOIN v USING (vec_id),
+                 unnest(range(1, len(v.e) + 1)) AS t(i)
+            WHERE a0.rn = 1
+            GROUP BY a0.idx, t.i
+        ), c1 AS (
+            SELECT cl, list(m ORDER BY pos ASC) AS c FROM cells GROUP BY cl
+        ), cents1 AS (
+            SELECT s.idx, COALESCE(c1.c, s.c) AS c
+            FROM seedi s LEFT JOIN c1 ON c1.cl = s.idx
+        ), scored1 AS (
+            SELECT v.vec_id, s.idx,
+                   list_sum(list_transform(
+                       range(1, len(v.e) + 1),
+                       i -> (v.e[i] - s.c[i]) * (v.e[i] - s.c[i]))) AS d2
+            FROM v CROSS JOIN cents1 s
+        ), a1 AS (
+            SELECT vec_id, idx, d2,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2 ASC, idx ASC) AS rn
+            FROM scored1
+        )
+        SELECT idx AS cluster_id,
+               COUNT(*) AS n_vectors,
+               MIN(vec_id) AS min_vec_id,
+               {sql_dsum('d2', 6)} AS sse
+        FROM a1 WHERE rn = 1
+        GROUP BY idx
+    """,
+    tags=("E11", "audit"),
+)
+def kmeans_two_iter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO Lloyd iterations pinned strictly — the step beyond
+    ``kmeans_estep_audit`` (one E-step from SQL-reproducible seeds):
+    this also pins the M-STEP and the iteration replay. The oracle
+    recomputes iteration 1's assignment, derives the new centroids
+    exactly as :func:`functions.exact.davg` does (per-(cluster, dim)
+    decimal(38,8)-quantized sum cast to double, divided by the count —
+    order-independent, so cross-engine identical), applies the
+    empty-cluster keep-previous rule, and re-runs the same
+    sequential-fold squared-L2 argmin against the updated centroids.
+    The per-cluster summary after iteration 2 must hash-match: drift
+    in the M-step shuffle key, the decimal mean, the centroid
+    re-broadcast, or any per-iteration replay detail breaks it. Same
+    function the rows-only ``kmeans_lloyd`` runs for 3 iterations."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_lloyd(e, k=4, iters=2)
