@@ -98,7 +98,7 @@ def _load_all() -> None:
 
 
 # Queries that already hold an out-of-repo correctness row from the
-# driver's 50-query sampled window (union of rounds 1-4).  The
+# driver's 50-query sampled window (union of rounds 1-5).  The
 # registry's public iteration order leads with everything NOT in this
 # set so the external gate rotates across the whole surface instead of
 # re-checking the same prefix each round; ``flagship_avg_price`` stays
@@ -106,36 +106,49 @@ def _load_all() -> None:
 # keys of the CORRECTNESS_r*.json files at the repo root.
 _DRIVER_VERIFIED = frozenset({
     "agg_argminmax_median_bits", "agg_bitwise_flags", "agg_conditional_bool", "agg_exact_linear_stats",
-    "agg_salted_hot_key", "agg_string_concat_sorted", "apply_in_pandas_zscore", "approx_aggregates",
-    "arrow_python_udf", "basket_brand_pairs", "constraint_check", "correlated_scalar_subquery",
-    "count_lineitem", "cube_sales", "customer_order_distribution", "data_mixture_resample",
-    "decontaminate_ngram", "dedup_cluster_audit", "dedup_cluster_pick", "dedup_edit_distance",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_incremental", "dedup_minhash_audit",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash", "distinct_segments",
-    "embedding_centroids", "embedding_quantize_int8", "events_activity_streaks", "events_asof_purchase_click",
-    "events_click_purchase_interval", "events_dedup_ids", "events_funnel_conversion", "events_hourly_by_type",
-    "events_hourly_dense", "events_new_users_daily", "events_retention_cohorts", "events_sessionize",
-    "events_sliding_value", "exact_count_distinct", "explode_tokens", "flagship_avg_price",
-    "flagship_sql_path", "global_shuffle_order", "grouping_sets_sql", "heavy_hitter_tokens",
-    "histogram_price", "join_anti_customers_without_orders", "join_band_acctbal", "join_band_bucketized",
-    "join_full_outer_nation_presence", "join_left_order_counts", "join_null_safe_priority", "join_range_ship_lag",
-    "join_sales_by_region", "join_semi_customers_with_orders", "kmeans_estep_audit", "lateral_topn_per_customer",
-    "local_supplier_volume", "mode_event_type_per_user", "multimodal_decode_stats", "multimodal_features",
-    "ngram_bigram_counts", "order_priority_check", "pack_sequences", "pagerank_iter1_audit",
-    "pandas_udf_grouped", "pandas_udf_scalar", "percentile_cont_price", "percentile_disc_price",
-    "pii_redact_digits", "pivot_status_by_priority", "pricing_summary", "profile_orders",
-    "promo_revenue_share", "quality_gopher_rules", "quality_repetition", "returned_items_top_customers",
-    "rfm_segmentation", "rollup_sales", "scalar_array_funcs", "scalar_date_funcs",
-    "scalar_hash_encode", "scalar_json", "scalar_map_funcs", "scalar_math_case",
-    "scalar_regexp", "scalar_string_funcs", "scalar_struct_explode", "scalar_subquery_fraction",
-    "scalar_try_funcs", "scan_filter_project", "scd2_user_value", "semdedup_audit",
-    "setop_except", "setop_intersect", "setop_union_all_keys", "share_of_priority_by_status",
-    "shipping_priority", "similarity_ann_audit", "similarity_ann_srp", "similarity_cosine_topk",
-    "similarity_ivf", "similarity_ivf_audit", "sketch_rollup_uniques", "stats_aggregates",
-    "stratified_sample_label", "subquery_cte_having", "text_lang_id", "text_quality",
-    "text_shingle_fingerprint", "text_stats", "tfidf_top_term", "topk_orders",
+    "agg_salted_hot_key", "agg_string_concat_sorted", "anomaly_mad_outliers", "apply_in_pandas_zscore",
+    "approx_aggregates", "arrow_python_udf", "audio_twin_audit", "basket_brand_pairs",
+    "bpe_encode_audit", "bpe_merge_audit", "brand_quantity_revenue", "chi2_type_by_hour",
+    "collect_sorted_list", "constraint_check", "contrastive_pair_mining", "cooccurrence_edges_audit",
+    "correlated_scalar_subquery", "count_lineitem", "cube_sales", "curation_funnel",
+    "customer_order_distribution", "data_mixture_resample", "decontaminate_ngram", "dedup_cdc_chunks",
+    "dedup_cluster_audit", "dedup_cluster_pick", "dedup_edit_distance", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_incremental", "dedup_minhash_audit", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_span_removal", "dedup_span_windows",
+    "distinct_segments", "embedding_centroids", "embedding_covariance", "embedding_quantize_int8",
+    "events_activity_streaks", "events_asof_purchase_click", "events_click_purchase_interval", "events_dedup_ids",
+    "events_funnel_conversion", "events_hourly_by_type", "events_hourly_dense", "events_locf_value",
+    "events_new_users_daily", "events_retention_cohorts", "events_sessionize", "events_sliding_value",
+    "exact_count_distinct", "explode_tokens", "fingerprint_winnowing", "flagship_avg_price",
+    "flagship_sql_path", "forecast_revenue", "global_sales_opportunity", "global_shuffle_order",
+    "graph_triangle_tokens", "grouping_sets_sql", "heavy_hitter_tokens", "hierarchy_pointer_doubling",
+    "histogram_price", "important_part_volume", "join_anti_customers_without_orders", "join_band_acctbal",
+    "join_band_bucketized", "join_bloom_prefilter", "join_full_outer_nation_presence", "join_left_order_counts",
+    "join_null_safe_priority", "join_range_ship_lag", "join_sales_by_region", "join_salted_skew",
+    "join_semi_customers_with_orders", "json_schema_parse", "kmeans_estep_audit", "kmeans_two_iter_audit",
+    "large_volume_customers", "late_shipment_priority", "lateral_topn_per_customer", "lm_bigram_familiarity",
+    "local_supplier_volume", "min_cost_supplier", "mode_event_type_per_user", "multimodal_decode_stats",
+    "multimodal_features", "national_market_share", "ngram_bigram_counts", "ngram_novelty",
+    "null_semantics", "order_priority_check", "pack_sequences", "pagerank_iter1_audit",
+    "pandas_udf_grouped", "pandas_udf_scalar", "parts_supplier_relationship", "percentile_cont_price",
+    "percentile_disc_price", "phash_twin_audit", "pii_redact_digits", "pivot_status_by_priority",
+    "pricing_summary", "product_type_profit", "profile_orders", "promo_part_suppliers",
+    "promo_revenue_share", "pysource_telemetry_rollup", "quality_classifier_linear", "quality_gopher_rules",
+    "quality_repetition", "returned_items_top_customers", "rfm_segmentation", "rollup_sales",
+    "scalar_array_funcs", "scalar_date_funcs", "scalar_hash_encode", "scalar_json",
+    "scalar_map_funcs", "scalar_math_case", "scalar_regexp", "scalar_string_funcs",
+    "scalar_struct_explode", "scalar_subquery_fraction", "scalar_try_funcs", "scan_filter_project",
+    "scd2_user_value", "semdedup_audit", "setop_except", "setop_intersect",
+    "setop_union_all_keys", "share_of_priority_by_status", "shipping_priority", "simhash_twin_audit",
+    "similarity_ann_audit", "similarity_ann_srp", "similarity_cosine_topk", "similarity_ivf",
+    "similarity_ivf_audit", "sketch_rollup_uniques", "skyline_pareto_parts", "small_quantity_revenue",
+    "stats_aggregates", "stratified_sample_label", "subquery_cte_having", "systematic_sample",
+    "text_html_strip", "text_lang_id", "text_quality", "text_shingle_fingerprint",
+    "text_stats", "tfidf_top_term", "top_supplier", "topk_orders",
     "topk_per_group", "train_test_split", "udtf_chunk_documents", "unpivot_order_measures",
-    "variant_props_stats", "weighted_sample_aes", "window_rank_lag", "window_running_total",
+    "url_parse_stats", "variant_props_stats", "video_frames_audit", "volume_shipping",
+    "waiting_supplier_check", "weighted_sample_aes", "window_distribution_funcs", "window_rank_lag",
+    "window_running_total",
 })
 
 
