@@ -140,17 +140,33 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the source-balancing rule of RefinedWeb/C4-style pipelines:
     without it, one mega-domain dominates the training mixture.
 
-    Scale shape: ONE window partitioned by domain — group size is the
-    domain's doc count, fine for the long tail that holds ~all
-    domains. For a mega-domain (billions of docs) pre-thin before the
-    exact window: compute an approximate per-domain md5 threshold at
-    ~K docs (percentile_approx over the hash), filter, THEN window —
-    the window then sees O(K) rows per domain with the same result."""
+    Scale shape (two-stage exact top-K): a naive single window
+    partitioned by domain funnels a mega-domain (billions of docs)
+    through ONE task. Instead, stage 1 pre-thins map-side-style: a
+    window keyed by ``(source, input-partition-id)`` keeps the K
+    smallest hashes of each source *within each scan partition* —
+    every group is bounded by the scan partition's row count
+    (``maxPartitionBytes``), and the mega-domain is spread across all
+    its partitions. Stage 2 runs the exact per-source window over the
+    survivors: ≤ K rows per (source, partition), so ≤ K×P rows per
+    source reach it. The thin is provably lossless (any global
+    per-source top-K row is top-K within its own partition), so the
+    strict oracle — a plain single-window SQL rendering — still
+    hash-matches; tests/test_operators.py pins the two-stage ≡
+    one-stage equivalence explicitly as well."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("text").cast("binary")), F.col("doc_id"))
+    hashed = docs.select(
+        "doc_id", "source",
+        F.md5(F.col("text").cast("binary")).alias("_h"),
+        F.spark_partition_id().alias("_pid"))
+    w_local = Window.partitionBy("source", "_pid").orderBy("_h", "doc_id")
+    thin = (
+        hashed.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= 10)
+    )
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
     return (
-        docs.select("doc_id", "source",
+        thin.select("doc_id", "source",
                     F.row_number().over(w).alias("pick_rank"))
         .filter(F.col("pick_rank") <= 10)
         .orderBy("source", "pick_rank")

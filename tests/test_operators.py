@@ -434,3 +434,32 @@ def test_adpcm_compressed_audio_through_spark(spark):
     # driver-side decode agrees with the Spark-side decode
     direct = decode_wav(bytes(rows[0][2]))
     assert abs(direct["feat_mean"] - feats.loc[0, "feat_mean"]) < 1e-12
+
+
+def test_domain_cap_two_stage_equals_single_window(spark, sf_dir):
+    """The map-side pre-thin in ``domain_cap_sample`` is lossless: the
+    two-stage plan must return exactly the rows of the naive
+    single-window-per-source formulation, independent of how the scan
+    partitions the input."""
+    from pyspark.sql import Window, functions as F
+
+    from data_eng_taxi_ibis_dagster_spark.plans.registry import all_specs
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+    got = all_specs()["domain_cap_sample"].builder(spark, sf_dir).collect()
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("text").cast("binary")), F.col("doc_id"))
+    want = (
+        docs.select("doc_id", "source",
+                    F.row_number().over(w).alias("pick_rank"))
+        .filter(F.col("pick_rank") <= 10)
+        .orderBy("source", "pick_rank")
+        .collect()
+    )
+    assert got == want
+    # and the thinned plan really carries the local pre-rank window
+    plan = (all_specs()["domain_cap_sample"].builder(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "_pid" in plan
