@@ -349,3 +349,89 @@ def distributed_prefix_sum(
     if total_name is not None:
         out = out.withColumn(total_name, F.col("_dp_total"))
     return out.drop("_dp_bucket", "_dp_s", "_dp_v", "_dp_offset", "_dp_total")
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    score: Column,
+    *tiebreaks: Column,
+    buckets: int = 256,
+    name: str = "pos",
+    total_name: str | None = None,
+    broadcast_joins: bool = True,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY group_cols ORDER BY score,
+    *tiebreaks)`` with BOUNDED window groups — the per-group companion
+    of :func:`distributed_rank`, for when the partition key is
+    low-cardinality (a status flag, a language, a label) so each
+    window group is corpus/|groups| and funnels through one task.
+
+    Per-group affine range-bucketing: each group's broadcast
+    ``(min, max)`` maps its scores onto ``buckets`` ranges, the rank
+    window partitions by ``(group, bucket)`` (group size ≈
+    N_group/buckets), and the per-group offsets window orders the ≤
+    ``buckets``+1 count rows of one group. Deterministic boundaries —
+    the counts branch and the rank branch can never disagree on a
+    row's bucket. ``total_name`` adds each group's total row count
+    (the n in percentile arithmetic).
+
+    ``broadcast_joins=True`` (the low-cardinality-group case)
+    broadcasts the |groups| min/max rows and the |groups|×buckets
+    offset rows; pass False when |groups| is itself large — the joins
+    then hash on the same (group, bucket) key as the windows.
+    """
+    df = df.localCheckpoint(eager=False)  # see distributed_rank
+    hint = F.broadcast if broadcast_joins else (lambda d: d)
+    lo_hi = df.groupBy(*group_cols).agg(
+        F.min(score).cast("double").alias("_gr_lo"),
+        F.max(score).cast("double").alias("_gr_hi"),
+    )
+    staged = (
+        df.withColumn("_gr_s", score)
+        .join(hint(lo_hi), group_cols)
+        .withColumn(
+            "_gr_bucket",
+            # NULL scores → leading bucket −1 (ASC NULLS FIRST); a NULL
+            # bucket id would drop the row at the offsets equi-join.
+            F.when(F.col("_gr_s").isNull(), F.lit(-1)).otherwise(
+                F.least(
+                    F.lit(buckets - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("_gr_s").cast("double") - F.col("_gr_lo"))
+                            / ((F.col("_gr_hi") - F.col("_gr_lo")) + F.lit(1e-12))
+                            * buckets
+                        ),
+                    ),
+                )
+            ).cast("long"),
+        )
+        .drop("_gr_lo", "_gr_hi")
+    )
+    counts = staged.groupBy(*group_cols, "_gr_bucket").agg(
+        F.count("*").alias("_gr_cnt"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_gr_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols, "_gr_bucket",
+        F.coalesce(F.sum("_gr_cnt").over(w_off), F.lit(0).cast("long"))
+        .alias("_gr_offset"),
+        F.sum("_gr_cnt").over(
+            Window.partitionBy(*group_cols).orderBy("_gr_bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_gr_total"),
+    )
+    w_loc = Window.partitionBy(*group_cols, "_gr_bucket").orderBy(
+        F.col("_gr_s"), *tiebreaks)
+    out = (
+        staged.join(hint(offsets), [*group_cols, "_gr_bucket"])
+        .withColumn(name, F.col("_gr_offset") + F.row_number().over(w_loc))
+    )
+    if total_name is not None:
+        out = out.withColumn(total_name, F.col("_gr_total"))
+    return out.drop("_gr_bucket", "_gr_s", "_gr_offset", "_gr_total")

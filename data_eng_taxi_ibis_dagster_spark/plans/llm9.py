@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_eng_taxi_ibis_dagster_spark.operators.order import grouped_rank
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 
@@ -148,18 +149,21 @@ def percentile_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower PERCENTILE_DISC semantics, rn == ceil(p·n). Selecting an
     actual data value (no interpolation arithmetic) keeps the result
     bit-exact across engines even on doubles — the reliable exact twin
-    of ``percentile_approx`` (E8). One window shuffle on the group
-    key; at 100 TB with few groups you'd swap rank-selection for a
-    two-pass histogram or the approx sketch, which is exactly why both
-    live in this registry."""
+    of ``percentile_approx`` (E8). The rank comes from
+    :func:`grouped_rank`, NOT a bare per-flag window: l_returnflag has
+    3 values, so a plain ``PARTITION BY l_returnflag`` window funnels
+    N/3 rows through one task. grouped_rank range-buckets each group's
+    prices into 256 deterministic buckets — every window group is
+    ≈ N/(3·256) rows and the per-group offsets window orders ≤ 257
+    count rows, at any corpus size."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber")
-    cw = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag", "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(cw).alias("cnt"),
+    ranked = grouped_rank(
+        li.select("l_returnflag", "l_extendedprice",
+                  "l_orderkey", "l_linenumber"),
+        ["l_returnflag"],
+        F.col("l_extendedprice"),
+        F.col("l_orderkey"), F.col("l_linenumber"),
+        name="rn", total_name="cnt",
     )
 
     def pick(p: float, name: str):
@@ -297,18 +301,20 @@ def percentile_cont_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact PERCENTILE_CONT (linear interpolation between the two
     bracketing order statistics, SQL-2003 h = (n−1)q + 1) — the
     continuous twin of ``percentile_disc_price``. Both order
-    statistics come from the same partitioned rank window; the
-    interpolation is textually mirrored double arithmetic, so the
-    result is bit-identical across engines (no reliance on either
-    engine's native quantile implementation)."""
+    statistics come from the same :func:`grouped_rank` pass (per-group
+    range-bucketed rank — no N/3-row window group; see
+    ``percentile_disc_price``); the interpolation is textually
+    mirrored double arithmetic, so the result is bit-identical across
+    engines (no reliance on either engine's native quantile
+    implementation)."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber")
-    wc = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag", "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("cnt"),
+    ranked = grouped_rank(
+        li.select("l_returnflag", "l_extendedprice",
+                  "l_orderkey", "l_linenumber"),
+        ["l_returnflag"],
+        F.col("l_extendedprice"),
+        F.col("l_orderkey"), F.col("l_linenumber"),
+        name="rn", total_name="cnt",
     )
 
     def cont(q: float):

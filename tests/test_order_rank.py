@@ -206,3 +206,53 @@ def test_distributed_rank_and_prefix_sum_keep_null_scores(spark):
     gr = {r["id"]: r["pos"] for r in ranked.collect()}
     wr = {r["id"]: r["pos"] for r in want_r.collect()}
     assert gr == wr and len(gr) == 4
+
+
+def _grouped_rows(spark, pairs):
+    return spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(pairs)], ["id", "g", "v"])
+
+
+@pytest.mark.parametrize("pairs", [
+    [("a", 5.0), ("a", 1.0), ("b", 3.0), ("b", 2.0), ("a", 4.0)],
+    [("a", 1.0)] * 6 + [("b", 2.0)] * 3,          # total skew per group
+    [("a", float(x % 7)) for x in range(40)]
+    + [("b", float(x % 3)) for x in range(25)],   # duplicates, uneven groups
+    [("only", float(x)) for x in range(30)],      # single group
+])
+def test_grouped_rank_matches_partitioned_window(spark, pairs):
+    from data_eng_taxi_ibis_dagster_spark.operators.order import grouped_rank
+
+    df = _grouped_rows(spark, pairs)
+    got = grouped_rank(df, ["g"], F.col("v"), F.col("id"), buckets=4,
+                       name="pos", total_name="n")
+    want = df.select(
+        "id",
+        F.row_number().over(Window.partitionBy("g").orderBy("v", "id"))
+        .alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+    )
+    g = {r["id"]: (r["pos"], r["n"]) for r in got.collect()}
+    w = {r["id"]: (r["pos"], r["n"]) for r in want.collect()}
+    assert g == w
+
+
+def test_grouped_rank_null_scores_lead(spark):
+    from data_eng_taxi_ibis_dagster_spark.operators.order import grouped_rank
+
+    df = spark.createDataFrame(
+        [(0, "a", None), (1, "a", 2.0), (2, "a", 1.0),
+         (3, "b", None), (4, "b", None), (5, "b", 9.0)],
+        ["id", "g", "v"])
+    got = grouped_rank(df, ["g"], F.col("v"), F.col("id"), buckets=4,
+                       name="pos", total_name="n")
+    want = df.select(
+        "id",
+        F.row_number().over(
+            Window.partitionBy("g").orderBy(F.asc_nulls_first("v"), "id"))
+        .alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+    )
+    g = {r["id"]: (r["pos"], r["n"]) for r in got.collect()}
+    w = {r["id"]: (r["pos"], r["n"]) for r in want.collect()}
+    assert g == w
