@@ -435,3 +435,97 @@ def grouped_rank(
     if total_name is not None:
         out = out.withColumn(total_name, F.col("_gr_total"))
     return out.drop("_gr_bucket", "_gr_s", "_gr_offset", "_gr_total")
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    score: Column,
+    value: Column,
+    *tiebreaks: Column,
+    buckets: int = 256,
+    name: str = "prefix",
+    total_name: str | None = None,
+    broadcast_joins: bool = True,
+) -> DataFrame:
+    """Per-group running ``SUM(value) OVER (PARTITION BY group_cols
+    ORDER BY score, *tiebreaks ROWS UNBOUNDED PRECEDING)`` with
+    BOUNDED window groups — the value-cumulative companion of
+    :func:`grouped_rank`, for when the partition key is
+    low-cardinality (a language stream, a status flag) so a naive
+    per-group cumsum window funnels corpus/|groups| rows through one
+    task (sequence packing, per-stream byte offsets, per-segment
+    Lorenz curves).
+
+    Per-group affine range-bucketing exactly as ``grouped_rank``: each
+    group's broadcast ``(min, max)`` maps scores onto ``buckets``
+    ranges, per-(group, bucket) value sums feed a per-group offsets
+    window of ≤ ``buckets``+1 rows, and each row's prefix is its
+    bucket's offset plus a within-(group, bucket) running sum. NULL
+    scores sort first (bucket −1). ``value`` should be integer/decimal
+    (exact under reordering). The prefix is INCLUSIVE of the current
+    row; subtract ``value`` for the exclusive form.
+
+    ``broadcast_joins=True`` broadcasts the |groups| min/max rows and
+    the |groups|×buckets offset rows; pass False when |groups| is
+    large — the joins then hash on the same (group, bucket) key as the
+    windows."""
+    df = df.localCheckpoint(eager=False)  # see distributed_rank
+    hint = F.broadcast if broadcast_joins else (lambda d: d)
+    lo_hi = df.groupBy(*group_cols).agg(
+        F.min(score).cast("double").alias("_gp_lo"),
+        F.max(score).cast("double").alias("_gp_hi"),
+    )
+    staged = (
+        df.withColumn("_gp_s", score)
+        .withColumn("_gp_v", value)
+        .join(hint(lo_hi), group_cols)
+        .withColumn(
+            "_gp_bucket",
+            # NULL scores → leading bucket −1 (ASC NULLS FIRST); a NULL
+            # bucket id would drop the row at the offsets equi-join
+            # while its value still inflated downstream offsets.
+            F.when(F.col("_gp_s").isNull(), F.lit(-1)).otherwise(
+                F.least(
+                    F.lit(buckets - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("_gp_s").cast("double") - F.col("_gp_lo"))
+                            / ((F.col("_gp_hi") - F.col("_gp_lo")) + F.lit(1e-12))
+                            * buckets
+                        ),
+                    ),
+                )
+            ).cast("long"),
+        )
+        .drop("_gp_lo", "_gp_hi")
+    )
+    sums = staged.groupBy(*group_cols, "_gp_bucket").agg(
+        F.sum("_gp_v").alias("_gp_sum"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_gp_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        *group_cols, "_gp_bucket",
+        F.coalesce(F.sum("_gp_sum").over(w_off), F.lit(0).cast("long"))
+        .alias("_gp_offset"),
+        F.sum("_gp_sum").over(
+            Window.partitionBy(*group_cols).orderBy("_gp_bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_gp_total"),
+    )
+    w_loc = (
+        Window.partitionBy(*group_cols, "_gp_bucket")
+        .orderBy(F.col("_gp_s"), *tiebreaks)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        staged.join(hint(offsets), [*group_cols, "_gp_bucket"])
+        .withColumn(name, F.col("_gp_offset") + F.sum("_gp_v").over(w_loc))
+    )
+    if total_name is not None:
+        out = out.withColumn(total_name, F.col("_gp_total"))
+    return out.drop("_gp_bucket", "_gp_s", "_gp_v", "_gp_offset", "_gp_total")

@@ -90,22 +90,27 @@ def train_codebooks_exact(df: DataFrame, *, vec_col: str = "embedding",
     machinery to a brute-force SQL oracle. (It is also the correct
     codebook when a subspace's value set is genuinely small — e.g.
     int8-quantized or one-hot-ish dimensions.)"""
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        grouped_rank,
+    )
     longf = explode_subvectors(df, vec_col=vec_col, id_col=id_col,
                                m=m, dim=dim)
-    w = Window.partitionBy("sub").orderBy("cvec")
-    return (
-        longf.select("sub", F.col("subvec").alias("cvec")).distinct()
-        # per-sub rank window: group size = |distinct subvectors in
-        # that subspace| — for continuous float embeddings that is the
-        # CORPUS size, so this trainer (and the audits built on it) is
-        # a fixture-scale verification configuration, not a production
-        # codebook; production uses train_codebooks_lloyd, whose m·k
-        # output honors the module's broadcast-sized invariant. It is
-        # also a real codebook whenever a subspace's value set is
-        # genuinely small (int8-quantized / one-hot-ish dimensions).
-        .withColumn("code", (F.row_number().over(w) - 1).cast("int"))
-        .select("sub", "code", "cvec")
-    )
+    distinct = longf.select("sub", F.col("subvec").alias("cvec")).distinct()
+    # Per-sub lexicographic rank WITHOUT a per-sub window over the
+    # whole distinct relation (for continuous floats that is
+    # corpus-sized): grouped_rank range-buckets each subspace by the
+    # subvector's FIRST element and ranks within (sub, bucket), with
+    # the full array as the tiebreak — ordering by (cvec[0], cvec) ≡
+    # ordering by cvec, so codes are identical to the naive window.
+    # The codebook relation can still be corpus-sized for continuous
+    # floats (this remains the audit/small-value-set configuration —
+    # production is train_codebooks_lloyd's m·k output), but no single
+    # task sees more than ≈ |distinct|/(m·buckets) rows.
+    ranked = grouped_rank(
+        distinct, ["sub"], F.element_at("cvec", 1).cast("double"),
+        F.col("cvec"), name="_code1")
+    return ranked.select(
+        "sub", (F.col("_code1") - 1).cast("int").alias("code"), "cvec")
 
 
 def train_codebooks_lloyd(df: DataFrame, *, vec_col: str = "embedding",
@@ -574,3 +579,113 @@ def pq_topk_adc(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
         return shortlist.filter(F.col("rnk") <= k)
     return _refine_topk(shortlist, queries, corpus, k,
                         id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Three-stage retrieval stack (matryoshka shortlist → PQ re-rank → MaxSim)
+# ---------------------------------------------------------------------------
+
+def retrieval_stack(queries: DataFrame, corpus: DataFrame,
+                    codebook: DataFrame, *, id_col: str = "vec_id",
+                    vec_col: str = "embedding", m: int = 8, dim: int = 64,
+                    shortlist: int = 50, pq_keep: int = 15, k: int = 5,
+                    facets: int = 4) -> DataFrame:
+    """The realistic serving pipeline, composed end-to-end: each stage
+    reads less data per candidate than the one before it winnowed.
+
+    1. **Matryoshka shortlist** — brute-force cosine on the first
+       ``dim/4`` dims (quarter-width scan; with prefix-pruned storage,
+       quarter the scan I/O) keeps ``shortlist`` candidates per query.
+    2. **PQ re-rank** — the shortlist's candidate ids semi-join the
+       corpus (broadcast — ≤ |Q|·shortlist ids), ONLY those rows are
+       encoded/reconstructed against the codebook, and the quantized
+       cosine keeps ``pq_keep`` per query. With a Lloyd codebook this
+       is the production approximate pass; with the identity codebook
+       (``train_codebooks_exact``) reconstruction is lossless and the
+       stage provably equals a full-precision re-rank — the audit
+       configuration, same trick as ``similarity_pq_audit``.
+    3. **MaxSim final** — the survivors are scored with the
+       late-interaction rule over ``facets`` sliced token-vectors of
+       the ORIGINAL full-precision embeddings (fixed-order CASE-pivot
+       sum, so no nondeterministic float reduction), and the declared
+       window emits the final top-``k``.
+
+    Scale shape: stage 1 is the only corpus-wide scan and it reads
+    prefix bytes; stages 2-3 touch ≤ |Q|·shortlist rows, reached via
+    broadcast semi-joins on candidate ids — the corpus full-width
+    vectors are read only for those rows. No corpus-wide shuffle
+    anywhere; every window partitions by query_id with ≤ shortlist
+    rows per group.
+
+    Emits (query_id, match_id, maxsim, rnk); ordering is
+    (maxsim DESC, match_id ASC) per query."""
+    prefix = dim // 4
+    fw = dim // facets
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   as_double(vec_col).alias("qv")))
+    c = corpus.select(F.col(id_col).alias("match_id"),
+                      as_double(vec_col).alias("cv"))
+
+    # stage 1: quarter-width shortlist
+    pre = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id",
+                cosine(F.slice("qv", 1, prefix), F.slice("cv", 1, prefix))
+                .alias("sim_pre"))
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.col("sim_pre").desc(), F.col("match_id").asc())
+    short = (pre.withColumn("srnk", F.row_number().over(w_pre))
+             .filter(F.col("srnk") <= shortlist)
+             .select("query_id", "match_id"))
+
+    # stage 2: PQ re-rank of the candidate union only
+    cand = short.select(F.col("match_id").alias(id_col)).distinct()
+    sub = corpus.join(F.broadcast(cand), id_col, "left_semi")
+    recon = pq_reconstruct(
+        pq_encode(sub, codebook, vec_col=vec_col, id_col=id_col,
+                  m=m, dim=dim),
+        codebook).withColumnRenamed("_id", "match_id")
+    pq_scored = (
+        short.join(q, "query_id")
+        .join(recon, "match_id")
+        .select("query_id", "match_id",
+                cosine(F.col("qv"), F.col("recon")).alias("sim_pq"))
+    )
+    w_pq = Window.partitionBy("query_id").orderBy(
+        F.col("sim_pq").desc(), F.col("match_id").asc())
+    keep = (pq_scored.withColumn("prnk", F.row_number().over(w_pq))
+            .filter(F.col("prnk") <= pq_keep)
+            .select("query_id", "match_id"))
+
+    # stage 3: MaxSim late interaction over the survivors
+    qs = q.select(
+        "query_id",
+        F.posexplode(F.array(*[F.slice("qv", s * fw + 1, fw)
+                               for s in range(facets)])).alias("qsub", "qsv"))
+    cs = c.join(F.broadcast(keep.select("match_id").distinct()),
+                "match_id", "left_semi").select(
+        "match_id",
+        F.posexplode(F.array(*[F.slice("cv", s * fw + 1, fw)
+                               for s in range(facets)])).alias("csub", "csv"))
+    best = (
+        F.broadcast(keep).join(F.broadcast(qs), "query_id")
+        .join(cs, "match_id")
+        .groupBy("query_id", "match_id", "qsub")
+        .agg(F.max(cosine(F.col("qsv"), F.col("csv"))).alias("sim"))
+    )
+    facet = [F.max(F.when(F.col("qsub") == s, F.col("sim")))
+             for s in range(facets)]
+    maxsim = facet[0]
+    for col in facet[1:]:
+        maxsim = maxsim + col
+    scored = (best.groupBy("query_id", "match_id")
+              .agg(maxsim.alias("maxsim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

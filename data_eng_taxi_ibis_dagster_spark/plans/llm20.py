@@ -1,0 +1,223 @@
+"""LLM-data-pipeline queries, round 6: the composed retrieval stack
+(the realistic serving shape — each approximation tier winnows for
+the next, more exact one) and the approximate-aggregate exact-regime
+audit (the strict twin the rows-only ``approx_aggregates`` lacked).
+
+Same portable-pair contract as every module (Spark DataFrame plan +
+DuckDB oracle over the same parquet;
+``/root/reference/taxi_pipeline.py:89-147`` is the 387-line pattern
+this generalizes). Engine-parity notes:
+
+* ``retrieval_stack_audit`` runs the REAL three-stage pipeline
+  (operators/pq.retrieval_stack — the same function the production
+  query executes) with the identity codebook, where the PQ re-rank is
+  provably a full-precision re-rank — so the whole composition
+  (prefix shortlist cut, candidate semi-joins, encode/reconstruct,
+  facet MaxSim, every tie-break) is hash-pinned by one SQL rendering.
+* ``approx_exact_regime_audit`` pins the approximate-aggregate
+  surface in configurations where the sketches are provably or
+  deterministically exact: a DataSketches HLL below its sparse-mode
+  promotion threshold IS an exact distinct count, and a
+  ``percentile_approx`` whose accuracy exceeds the group row count
+  degenerates to the exact discrete percentile (DuckDB
+  ``quantile_disc``). Drift in hashing, merge, or quantile-summary
+  logic breaks the hash match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.operators import pq as PQ
+from data_eng_taxi_ibis_dagster_spark.operators import similarity as S
+from data_eng_taxi_ibis_dagster_spark.plans.registry import query
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+
+def _maxsim_cases_sql() -> str:
+    # fixed-order addition of the 4 per-facet maxima (mirrors the
+    # literal + chain in operators/pq.retrieval_stack)
+    return " + ".join(
+        f"MAX(CASE WHEN qsub = {s} THEN sim END)" for s in range(4))
+
+
+_STACK_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),
+         pre AS (
+             SELECT query_id, match_id,
+                    {S.sql_cosine('qv[1:16]', 'cv[1:16]')} AS sim_pre
+             FROM q CROSS JOIN c
+             WHERE query_id != match_id
+         ),
+         short AS (
+             SELECT query_id, match_id FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY query_id
+                     ORDER BY sim_pre DESC, match_id ASC) AS srnk
+                 FROM pre
+             ) WHERE srnk <= 50
+         ),
+         pqr AS (
+             SELECT s.query_id, s.match_id,
+                    {S.sql_cosine('q.qv', 'c.cv')} AS sim_pq
+             FROM short s
+             JOIN q ON s.query_id = q.query_id
+             JOIN c ON s.match_id = c.match_id
+         ),
+         keep AS (
+             SELECT query_id, match_id FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY query_id
+                     ORDER BY sim_pq DESC, match_id ASC) AS prnk
+                 FROM pqr
+             ) WHERE prnk <= 15
+         ),
+         qs AS (
+             SELECT query_id, s.i AS qsub,
+                    qv[s.i * 16 + 1 : s.i * 16 + 16] AS qsv
+             FROM q, (SELECT unnest(range(0, 4)) AS i) s
+         ),
+         cs AS (
+             SELECT match_id, s.i AS csub,
+                    cv[s.i * 16 + 1 : s.i * 16 + 16] AS csv
+             FROM c, (SELECT unnest(range(0, 4)) AS i) s
+         ),
+         best AS (
+             SELECT k.query_id, k.match_id, qs.qsub,
+                    MAX({S.sql_cosine('qs.qsv', 'cs.csv')}) AS sim
+             FROM keep k
+             JOIN qs ON k.query_id = qs.query_id
+             JOIN cs ON k.match_id = cs.match_id
+             GROUP BY k.query_id, k.match_id, qs.qsub
+         ),
+         scored AS (
+             SELECT query_id, match_id, {_maxsim_cases_sql()} AS maxsim
+             FROM best
+             GROUP BY query_id, match_id
+         )
+    SELECT query_id, match_id, maxsim, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY maxsim DESC, match_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY query_id, rnk
+"""
+
+
+@query(
+    "retrieval_stack_audit",
+    oracle=_STACK_ORACLE,
+    tags=("E11", "audit"),
+)
+def retrieval_stack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed serving stack (operators/pq.retrieval_stack — the
+    SAME function the production query runs) with the identity
+    codebook: the PQ re-rank stage reconstructs bit-exactly, so stage
+    2 provably equals a full-precision cosine re-rank and the entire
+    three-stage composition — quarter-width shortlist, candidate
+    semi-joins, encode/min_by/reconstruct, facet MaxSim with the
+    fixed-order sum, and all three window tie-breaks — is hash-checked
+    against one DuckDB rendering. Any drift anywhere in the stack
+    (a lost tie-break, a facet boundary off-by-one, an encode join
+    regression) breaks this twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = PQ.train_codebooks_exact(emb, m=8, dim=64)
+    return PQ.retrieval_stack(
+        emb.filter(F.col("vec_id") < 5), emb, book,
+        m=8, dim=64, shortlist=50, pq_keep=15, k=5, facets=4)
+
+
+@query(
+    "retrieval_stack_topk",
+    oracle=None,  # Lloyd float codebooks in stage 2 → rows-only
+    tags=("E11",),
+    bench=True,
+)
+def retrieval_stack_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production retrieval stack: matryoshka quarter-width shortlist
+    (50/query) → Lloyd-codebook PQ re-rank (15/query) → full-precision
+    MaxSim final (top-5). The realistic serving shape: the only
+    corpus-wide scan reads prefix bytes, the PQ stage reads m-byte
+    codes for ≤ |Q|·50 candidates, and the expensive late-interaction
+    scoring touches ≤ |Q|·15 rows. The audit twin
+    (``retrieval_stack_audit``) hash-pins the identical composition
+    with the lossless codebook; recall vs exact MaxSim-over-everything
+    is asserted in tests/test_pq.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = PQ.train_codebooks_lloyd(emb, m=8, dim=64, k=16, iters=2)
+    return PQ.retrieval_stack(
+        emb.filter(F.col("vec_id") < 5), emb, book,
+        m=8, dim=64, shortlist=50, pq_keep=15, k=5, facets=4)
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates, pinned in their exact regime
+# ---------------------------------------------------------------------------
+
+@query(
+    "approx_exact_regime_audit",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT hour(ts)) AS nd_hours,
+               COUNT(DISTINCT hour(ts)) AS nd_hours_acd,
+               COUNT(DISTINCT user_id)  AS nd_users,
+               quantile_disc(value, 0.5)  AS value_p50,
+               quantile_disc(value, 0.95) AS value_p95,
+               quantile_disc(value, 0.99) AS value_p99
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("E8", "audit"),
+)
+def approx_exact_regime_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-aggregate machinery (``approx_aggregates``'s
+    rows-only surface) pinned strictly in regimes where the sketches
+    are exact, so the hashing/merge/summary logic gets a hash-checked
+    external row:
+
+    * ``hll_sketch_agg`` (DataSketches HLL, lgK=12) stays in its
+      coupon LIST/SET representation below ~3/4·2^lgK distinct items —
+      in that mode the sketch stores exact hashes and the estimate IS
+      the exact distinct count (24 hours; ≤ a few hundred users at
+      audit scale), for any partitioning/merge order.
+    * ``approx_count_distinct`` (HLL++, rsd=0.005 → dense high-p
+      registers) is deterministic given the merged registers and
+      empirically exact at 24-distinct scale — pinned on the bounded
+      hour-of-day domain, never on an unbounded-cardinality column.
+    * ``percentile_approx`` with accuracy ≥ the group row count
+      retains every observation in its quantile summary and
+      degenerates to the exact discrete percentile — the value DuckDB
+      ``quantile_disc`` defines (smallest element whose cumulative
+      rank reaches p).
+
+    The audit holds BECAUSE the regime is bounded (hour-of-day domain,
+    per-type group rows ≪ accuracy); outside it the same expressions
+    are the estimator surface the rows-only twin covers."""
+    ev = load_table(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.95, 0.99], 1_000_000)
+    agg = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(hour(ts), 12))")
+            .alias("nd_hours"),
+            F.approx_count_distinct(F.hour("ts"), 0.005)
+            .alias("nd_hours_acd"),
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+            .alias("nd_users"),
+            pcts.alias("_pcts"),
+        )
+    )
+    return (
+        agg.select(
+            "event_type",
+            "nd_hours", "nd_hours_acd", "nd_users",
+            F.col("_pcts")[0].alias("value_p50"),
+            F.col("_pcts")[1].alias("value_p95"),
+            F.col("_pcts")[2].alias("value_p99"),
+        )
+        .orderBy("event_type")
+    )

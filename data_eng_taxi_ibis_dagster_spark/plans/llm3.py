@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_eng_taxi_ibis_dagster_spark.operators import order as O
 from data_eng_taxi_ibis_dagster_spark.operators import text as T
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
@@ -100,18 +101,20 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     its language stream — the offset-chunking form of greedy packing
     (a pack may overrun the budget by less than one document; the
     deterministic, single-window semantic trainers actually use for
-    "concat then split" data loading). One window over (lang, doc_id)
-    — no UDF, no shuffle beyond the lang repartition. At 100 TB the
-    partition key becomes (lang, shard) with shard = doc_id DIV n so
-    each window partition stays executor-sized; pack boundaries are
-    then per-shard, which packing tolerates by design (packs never
-    span shards)."""
+    "concat then split" data loading). The per-lang running
+    offset is computed with ``grouped_prefix_sum`` (range-bucketed:
+    per-(lang, bucket) partial sums + a ≤256-row per-lang offsets
+    window), so a mega-language stream never funnels through one
+    task — the window groups are ≈ N_lang/256 at any corpus size."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", _tokens().alias("n_tokens"))
-    w = (Window.partitionBy("lang").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
-    return docs.select(
+    # inclusive per-lang prefix via bounded range-bucketed windows
+    # (group size ≈ N_lang/256 instead of the whole language stream
+    # through one task); the exclusive offset is prefix − n_tokens
+    pref = O.grouped_prefix_sum(
+        docs, ["lang"], F.col("doc_id"), F.col("n_tokens"), name="_cum")
+    cum_before = F.col("_cum") - F.col("n_tokens")
+    return pref.select(
         "doc_id", "lang", "n_tokens",
         (cum_before / F.lit(_PACK_BUDGET)).cast("long").alias("pack_id"),
         (cum_before % F.lit(_PACK_BUDGET)).alias("pack_offset"),
@@ -138,15 +141,13 @@ def stratified_sample_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic, oracle-able counterpart of sampleBy's Bernoulli
     draw). Guarantees each label's sample fraction is ⌈n/10⌉/n rather
     than a random variable — what class-balanced eval-set carving
-    actually wants. One window shuffle on label; at scale, skewed
-    label cardinalities are AQE's problem (skew-join/partition split),
-    not the operator's."""
+    actually wants. The per-label rank runs on
+    ``grouped_rank`` (range-bucketed: rank window keyed by (label,
+    bucket), per-label offsets window over ≤256 count rows), so a
+    dominant label never funnels through one task."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    w = Window.partitionBy("label").orderBy("vec_id")
-    return (
-        e.withColumn("strat_rn", F.row_number().over(w))
-        .filter(F.col("strat_rn") % 10 == 1)
-    )
+    ranked = O.grouped_rank(e, ["label"], F.col("vec_id"), name="strat_rn")
+    return ranked.filter(F.col("strat_rn") % 10 == 1)
 
 
 @query(

@@ -94,6 +94,7 @@ def _load_all() -> None:
         llm17,
         llm18,
         llm19,
+        llm20,
     )
 
 

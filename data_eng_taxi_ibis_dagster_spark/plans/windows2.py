@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_eng_taxi_ibis_dagster_spark.operators import order as O
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 
@@ -26,17 +27,31 @@ from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
     tags=("E5",),
 )
 def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions over one shared window spec.
-    percent_rank/cume_dist emit exact rational doubles ((rank-1)/(n-1),
-    rank/n) — integer-derived, so bit-comparable."""
-    w = Window.partitionBy("o_orderstatus").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return load_table(spark, sf_dir, "orders").select(
+    """Distribution window functions, derived arithmetically from
+    ``grouped_rank`` instead of a per-status window over the raw
+    corpus (3 status values → each naive window group is n/3 rows
+    through ONE task). The ORDER BY tuple (price, key) is unique, so
+    row_number ≡ rank, percent_rank = (pos−1)/(n−1), cume_dist =
+    pos/n, ntile is the closed-form :func:`ntile_from_rank`, and
+    first_value is the per-status ``min_by`` aggregate — every value
+    bit-identical to the window functions (integer-derived doubles),
+    with no window group larger than ≈ n/(3·256)."""
+    o = load_table(spark, sf_dir, "orders")
+    ranked = O.grouped_rank(
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        ["o_orderstatus"], F.col("o_totalprice"), F.col("o_orderkey"),
+        name="_pos", total_name="_n")
+    cheapest = o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", F.struct("o_totalprice", "o_orderkey"))
+        .alias("cheapest_key"))
+    return ranked.join(F.broadcast(cheapest), "o_orderstatus").select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        O.ntile_from_rank(F.col("_pos"), F.col("_n"), 4).alias("quartile"),
+        F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+            (F.col("_pos") - 1).cast("double") / (F.col("_n") - 1))
+        .alias("pct_rank"),
+        (F.col("_pos").cast("double") / F.col("_n")).alias("cume"),
+        "cheapest_key",
     )
 
 

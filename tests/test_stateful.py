@@ -168,6 +168,9 @@ def test_stateful_tws_twin_matches_batch(spark, sf_dir):
     )
 
     if not tws_available():
+        # install attempted and impossible: `pip download protobuf`
+        # fails at name resolution (no outbound network, verified
+        # 2026-08-15) and no wheel exists on the image
         pytest.skip("transformWithStateInPandas needs protobuf (not in container)")
 
     stream = running_user_spend_tws(read_events_stream(spark, sf_dir))
