@@ -380,6 +380,16 @@ def grouped_rank(
     broadcasts the |groups| min/max rows and the |groups|×buckets
     offset rows; pass False when |groups| is itself large — the joins
     then hash on the same (group, bucket) key as the windows.
+
+    Boundedness caveat: range-bucketing divides the SCORE domain, so a
+    single score value carrying a large share of a group's rows lands
+    in one bucket undivided (ties cannot be split across buckets
+    without breaking rank semantics). Pass a (near-)unique score —
+    a key, a price, a hash — as every registry call site does; for a
+    heavily-tied score, rank on a composite that is unique (e.g.
+    ``xxhash64(score, id)`` is NOT order-preserving — instead put the
+    tie-splitting column INTO the score, as ``train_codebooks_exact``
+    does with ``cvec[0]`` + full-array tiebreak).
     """
     df = df.localCheckpoint(eager=False)  # see distributed_rank
     hint = F.broadcast if broadcast_joins else (lambda d: d)
@@ -469,7 +479,11 @@ def grouped_prefix_sum(
     ``broadcast_joins=True`` broadcasts the |groups| min/max rows and
     the |groups|×buckets offset rows; pass False when |groups| is
     large — the joins then hash on the same (group, bucket) key as the
-    windows."""
+    windows.
+
+    Same heavy-tie caveat as :func:`grouped_rank`: buckets divide the
+    score DOMAIN, so a dominant tie value stays in one bucket — use a
+    (near-)unique score column."""
     df = df.localCheckpoint(eager=False)  # see distributed_rank
     hint = F.broadcast if broadcast_joins else (lambda d: d)
     lo_hi = df.groupBy(*group_cols).agg(

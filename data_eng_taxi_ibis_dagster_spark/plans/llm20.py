@@ -29,8 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_eng_taxi_ibis_dagster_spark.operators import dedup as D
 from data_eng_taxi_ibis_dagster_spark.operators import pq as PQ
 from data_eng_taxi_ibis_dagster_spark.operators import similarity as S
+from data_eng_taxi_ibis_dagster_spark.operators import text as T
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 
@@ -220,4 +222,131 @@ def approx_exact_regime_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_pcts")[2].alias("value_p99"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The composed curation pipeline (gate -> exact dedup -> near dedup -> stats)
+# ---------------------------------------------------------------------------
+
+_CURATION_JACC = (
+    "CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)"
+    " / CAST(len(a.s) + len(b.s)"
+    " - len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)"
+)
+
+
+def _curation_oracle() -> str:
+    q = T.sql_quality_score("text")
+    lp = T.sql_lang_pred("string_split(text, ' ')")
+    fp = T.sql_fingerprint("text")
+    sh = T.sql_shingles("string_split(text, ' ')", 3)
+    return f"""
+        WITH RECURSIVE gated AS (
+            SELECT doc_id, text, lang,
+                   {lp} AS lang_pred,
+                   {q} AS quality,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   {fp} AS fp
+            FROM documents
+            WHERE {q} >= 0.5 AND lang IN ('en', 'de', 'fr')
+        ),
+        keep_fp AS (
+            SELECT fp, MIN(doc_id) AS doc_id FROM gated GROUP BY fp
+        ),
+        docs1 AS (
+            SELECT g.* FROM gated g JOIN keep_fp k
+              ON g.fp = k.fp AND g.doc_id = k.doc_id
+        ),
+        sh AS (SELECT doc_id, {sh} AS s FROM docs1),
+        pairs AS (
+            SELECT a.doc_id AS pa, b.doc_id AS pb
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE {_CURATION_JACC} >= 0.6
+        ),
+        edges AS (
+            SELECT pa AS src, pb AS dst FROM pairs
+            UNION
+            SELECT pb AS src, pa AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        drop_docs AS (
+            SELECT src AS doc_id FROM reach
+            GROUP BY src HAVING MIN(dst) < src
+        )
+        SELECT doc_id, lang, lang_pred, quality, n_tokens
+        FROM docs1
+        WHERE doc_id NOT IN (SELECT doc_id FROM drop_docs)
+        ORDER BY doc_id
+    """
+
+
+@query(
+    "curation_stack",
+    oracle=_curation_oracle(),
+    tags=("E9", "E10", "E12", "EXT"),
+)
+def curation_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pipeline, end-to-end as ONE
+    query — the curation analog of ``retrieval_stack``:
+
+    1. **Gate** (row-local, codegen'd): quality score ≥ 0.5 AND labeled
+       language in the allowlist; the stopword-profile ``lang_pred`` is
+       carried through so the predictor is hash-pinned in composition.
+    2. **Exact dedup**: min doc_id per content fingerprint (groupBy on
+       the 16-byte fp + left-semi join back — one compact-key shuffle).
+    3. **Near dedup**: the production MinHash(32)+LSH(8×4) pair
+       pipeline on the survivors, exact-Jaccard-verified at 0.6, then
+       connected-components min-label canonicalization
+       (``operators/dedup.dedup_clusters``) — non-representatives are
+       anti-joined away.
+    4. **Emit** per-doc curation stats (lang, lang_pred, quality,
+       n_tokens) for the curated corpus.
+
+    STRICTLY oracle-checked end-to-end: the DuckDB twin mirrors the
+    gate and fp-dedup textually, re-derives the near-dup pairs as
+    global all-pairs exact Jaccard (the fixture admits no LSH recall
+    loss — externally proven by ``dedup_minhash_audit``; gating only
+    removes documents, and banding is per-doc deterministic, so the
+    surviving pair set is exactly the audit's pair set restricted to
+    survivors), and canonicalizes clusters with a RECURSIVE-CTE
+    transitive closure whose min-reachable-id representative is
+    provably the min-label fixpoint the Spark CC loop converges to.
+    This gives the iterative CC operator its first strict external
+    row (``dedup_cluster_pick`` is rows-only by itself).
+
+    Scale shape: stages 1-2 are one compact-key shuffle over gated
+    rows; stage 3 is the banded bucket self-join (never all-pairs,
+    hot buckets capped) + a cluster-diameter-bounded loop over the
+    PAIR relation only (orders of magnitude smaller than the corpus);
+    the final anti-join broadcasts the drop list in practice (near-dup
+    representatives' complement is pair-bounded)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    q = T.quality_score("text")
+    gated = (
+        d.filter((q >= 0.5) & F.col("lang").isin("en", "de", "fr"))
+        .select(
+            "doc_id", "text", "lang",
+            T.lang_pred(toks).alias("lang_pred"),
+            q.alias("quality"),
+            F.size(toks).alias("n_tokens"),
+            T.fingerprint("text").alias("fp"),
+        )
+    )
+    keep_fp = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    docs1 = gated.join(keep_fp, ["fp", "doc_id"], "left_semi")
+    pairs = D.minhash_near_dup_pairs(
+        docs1.select("doc_id", "text"), threshold=0.6)
+    clusters = D.dedup_clusters(pairs)
+    drop = (clusters.filter(F.col("canonical_id") != F.col("doc_id"))
+            .select("doc_id"))
+    return (
+        docs1.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "lang", "lang_pred", "quality", "n_tokens")
+        .orderBy("doc_id")
     )
