@@ -659,29 +659,38 @@ def retrieval_stack(queries: DataFrame, corpus: DataFrame,
             .filter(F.col("prnk") <= pq_keep)
             .select("query_id", "match_id"))
 
-    # stage 3: MaxSim late interaction over the survivors
+    # stage 3: MaxSim late interaction over the survivors. `keep`
+    # appears ONCE (broadcast against the corpus relation — the join
+    # restricts c to the ≤ |Q|·pq_keep survivor rows before the facet
+    # explode); a separate distinct/semi-join branch would re-execute
+    # stages 1-2 a second time for the same restriction.
     qs = q.select(
         "query_id",
         F.posexplode(F.array(*[F.slice("qv", s * fw + 1, fw)
                                for s in range(facets)])).alias("qsub", "qsv"))
-    cs = c.join(F.broadcast(keep.select("match_id").distinct()),
-                "match_id", "left_semi").select(
-        "match_id",
-        F.posexplode(F.array(*[F.slice("cv", s * fw + 1, fw)
-                               for s in range(facets)])).alias("csub", "csv"))
-    best = (
-        F.broadcast(keep).join(F.broadcast(qs), "query_id")
-        .join(cs, "match_id")
-        .groupBy("query_id", "match_id", "qsub")
-        .agg(F.max(cosine(F.col("qsv"), F.col("csv"))).alias("sim"))
+    cs = (
+        F.broadcast(keep).join(c, "match_id")
+        .select("query_id", "match_id",
+                F.explode(F.array(*[F.slice("cv", s * fw + 1, fw)
+                                    for s in range(facets)])).alias("csv"))
     )
-    facet = [F.max(F.when(F.col("qsub") == s, F.col("sim")))
+    # ONE aggregate: per-facet conditional maxes (MAX is exact and
+    # order-independent, so folding the per-(q,m,qsub) max and the
+    # facet pivot into a single groupBy is bit-identical to the
+    # two-aggregate form) summed in fixed facet order — one exchange
+    # on (query_id, match_id) instead of two chained ones.
+    sim = cosine(F.col("qsv"), F.col("csv"))
+    facet = [F.max(F.when(F.col("qsub") == s, sim)).alias(f"_f{s}")
              for s in range(facets)]
-    maxsim = facet[0]
-    for col in facet[1:]:
-        maxsim = maxsim + col
-    scored = (best.groupBy("query_id", "match_id")
-              .agg(maxsim.alias("maxsim")))
+    maxsim = F.col("_f0")
+    for s in range(1, facets):
+        maxsim = maxsim + F.col(f"_f{s}")
+    scored = (
+        cs.join(F.broadcast(qs), "query_id")
+        .groupBy("query_id", "match_id")
+        .agg(*facet)
+        .select("query_id", "match_id", maxsim.alias("maxsim"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("maxsim").desc(), F.col("match_id").asc())
     return (
