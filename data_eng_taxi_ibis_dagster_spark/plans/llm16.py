@@ -405,17 +405,24 @@ def similarity_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match_id",
         F.posexplode(F.array(*[F.slice("cv", s * 16 + 1, 16)
                                for s in range(4)])).alias("csub", "csv"))
-    best = (
-        F.broadcast(qs).crossJoin(cs)
-        .filter(F.col("query_id") != F.col("match_id"))
-        .groupBy("query_id", "match_id", "qsub")
-        .agg(F.max(S.cosine(F.col("qsv"), F.col("csv"))).alias("sim"))
-    )
-    facet = [F.max(F.when(F.col("qsub") == s, F.col("sim")))
+    # ONE hash aggregate: per-facet conditional maxes (MAX is exact
+    # and order-independent, so folding the per-(q, m, qsub) max and
+    # the facet pivot into a single groupBy is bit-identical to the
+    # two-aggregate rendering the oracle uses) — map-side combine now
+    # shrinks the corpus×16 facet-pair rows to ONE 4-column row per
+    # (query, match) before the only exchange, instead of 4 rows plus
+    # a second chained exchange.
+    sim = S.cosine(F.col("qsv"), F.col("csv"))
+    facet = [F.max(F.when(F.col("qsub") == s, sim)).alias(f"_f{s}")
              for s in range(4)]
     scored = (
-        best.groupBy("query_id", "match_id")
-        .agg((facet[0] + facet[1] + facet[2] + facet[3]).alias("maxsim"))
+        F.broadcast(qs).crossJoin(cs)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .groupBy("query_id", "match_id")
+        .agg(*facet)
+        .select("query_id", "match_id",
+                (F.col("_f0") + F.col("_f1") + F.col("_f2") + F.col("_f3"))
+                .alias("maxsim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("maxsim").desc(), F.col("match_id").asc())
