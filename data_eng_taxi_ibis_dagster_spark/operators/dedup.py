@@ -378,3 +378,81 @@ def simhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
     sh = simhash(df, id_col=id_col, text_col=text_col)
     return hamming_band_pairs(sh, id_col=id_col, sig_col="simhash",
                               max_hamming=max_hamming, bands=4)
+
+
+def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", n: int = 3,
+                               num_hashes: int = 32, bands: int = 8,
+                               rows: int = 4, threshold: float = 0.6,
+                               max_bucket: int = 1000) -> DataFrame:
+    """Incremental (batch-vs-index) MinHash near-dedup — the PRODUCTION
+    ingest shape: dedup a NEW batch of documents against an already-
+    indexed corpus plus the batch's own earlier rows, without ever
+    self-joining the historical corpus.
+
+    Emits ``(doc_new, doc_other, jaccard_sim)`` where ``doc_new`` is a
+    batch document and ``doc_other`` is either an indexed corpus
+    document or an earlier batch document (``doc_other < doc_new`` —
+    the accept-in-id-order semantic: each new doc is checked against
+    everything accepted before it). Candidates come from an ASYMMETRIC
+    band-bucket equi-join (batch bands probe the index bands), then
+    exact-Jaccard verification, exactly like the self-join pipeline.
+
+    Scale shape: at 100 TB the index side's ``(id, band, bucket)``
+    relation is the persisted LSH index (append batches to it after
+    acceptance); each ingest then costs O(|batch| · bands) probe rows
+    joined against the bucket-partitioned index — proportional to the
+    BATCH, never to the corpus. Hot index buckets above ``max_bucket``
+    are dropped (the degenerate-key skew guard, same policy as
+    :func:`lsh_candidate_pairs` — their members are exact-dup
+    territory). Ids of ``batch`` and ``corpus`` must be disjoint.
+    """
+    def banded(sigs: DataFrame) -> DataFrame:
+        band_cols = [
+            F.xxhash64(F.lit(b),
+                       *[F.col("sig")[b * rows + r] for r in range(rows)])
+            .alias(f"b{b}")
+            for b in range(bands)
+        ]
+        withb = sigs.select(F.col(id_col), *band_cols)
+        return withb.select(
+            F.col(id_col),
+            F.stack(
+                F.lit(bands),
+                *[c for b in range(bands)
+                  for c in (F.lit(b), F.col(f"b{b}"))],
+            ).alias("band", "bucket"),
+        )
+
+    sig_new = banded(minhash_signatures(
+        batch, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes))
+    index = banded(minhash_signatures(
+        corpus, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes)).withColumn("_new", F.lit(False)) \
+        .unionByName(sig_new.withColumn("_new", F.lit(True)))
+    sized = index.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+    ).filter(F.col("_bn") <= max_bucket).drop("_bn")
+    probe = sig_new.select("band", "bucket", F.col(id_col).alias("doc_new"))
+    hit = sized.select("band", "bucket", F.col(id_col).alias("doc_other"),
+                       "_new")
+    cands = (
+        probe.join(hit, ["band", "bucket"])
+        .filter((~F.col("_new")) | (F.col("doc_other") < F.col("doc_new")))
+        .select("doc_new", "doc_other")
+        .distinct()
+    )
+    sh_new = _right_size(batch).select(
+        F.col(id_col).alias("doc_new"),
+        shingles(tokens(text_col), n).alias("sh_a"))
+    sh_all = _right_size(corpus.unionByName(batch)).select(
+        F.col(id_col).alias("doc_other"),
+        shingles(tokens(text_col), n).alias("sh_b"))
+    return (
+        cands.join(sh_new, "doc_new").join(sh_all, "doc_other")
+        .select("doc_new", "doc_other",
+                jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )

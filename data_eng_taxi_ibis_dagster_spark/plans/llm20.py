@@ -350,3 +350,54 @@ def curation_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "lang_pred", "quality", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-index) near-dedup — the production ingest shape
+# ---------------------------------------------------------------------------
+
+def _incremental_oracle() -> str:
+    sh = T.sql_shingles("string_split(text, ' ')", 3)
+    return f"""
+        WITH sh AS (SELECT doc_id, {sh} AS s FROM documents),
+             newb AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+             pairs AS (
+                 SELECT a.doc_id AS doc_new, b.doc_id AS doc_other,
+                        {_CURATION_JACC} AS jaccard_sim
+                 FROM newb a JOIN sh b
+                   ON b.doc_id % 2 = 0 OR b.doc_id < a.doc_id
+             )
+        SELECT doc_new, doc_other, jaccard_sim
+        FROM pairs WHERE jaccard_sim >= 0.6
+        ORDER BY doc_new, doc_other
+    """
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=_incremental_oracle(),
+    tags=("E10", "EXT"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: a NEW ingest batch (odd doc_ids) is
+    deduplicated against the already-indexed corpus (even doc_ids)
+    plus the batch's own earlier rows (accept-in-id-order), via an
+    ASYMMETRIC band-bucket probe of the LSH index — the daily-crawl
+    production shape, where ingest cost is proportional to the batch
+    and never to the historical corpus
+    (``operators/dedup.incremental_near_dup_pairs``).
+
+    STRICT oracle: the DuckDB twin computes exact all-pairs Jaccard
+    between the batch and its allowed comparison set. The LSH probe
+    admits no recall loss on the fixture (externally proven for the
+    identical banding by ``dedup_minhash_audit``; the asymmetric join
+    sees exactly the same candidate pairs restricted to
+    batch-vs-allowed), and candidates are exact-verified, so the pair
+    sets hash-match."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    return (
+        D.incremental_near_dup_pairs(batch, corpus, threshold=0.6)
+        .orderBy("doc_new", "doc_other")
+    )
