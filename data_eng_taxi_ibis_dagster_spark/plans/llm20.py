@@ -377,6 +377,7 @@ def _incremental_oracle() -> str:
     "dedup_incremental_batch",
     oracle=_incremental_oracle(),
     tags=("E10", "EXT"),
+    bench=True,
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dedup: a NEW ingest batch (odd doc_ids) is
