@@ -380,12 +380,46 @@ def simhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
                               max_hamming=max_hamming, bands=4)
 
 
+def lsh_band_index(df: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 3,
+                   num_hashes: int = 32, bands: int = 8,
+                   rows: int = 4) -> DataFrame:
+    """The PERSISTABLE LSH index relation: ``(id, band, bucket)`` —
+    one row per (document, band), ``bucket`` the band's hash. This is
+    what an ingest pipeline materializes (``partitionBy("band")``
+    parquet: a probe of band b prunes to 1/bands of the index files)
+    and appends each accepted batch to; :func:`incremental_near_dup_pairs`
+    accepts it via ``index=`` so repeated ingests never re-band the
+    historical corpus. Signatures are per-row codegen and the band
+    stack is a projection, so building it costs one compact
+    (id, k-longs) exchange (``minhash_signatures``' materialization)
+    and nothing corpus-shaped."""
+    sigs = minhash_signatures(df, id_col=id_col, text_col=text_col,
+                              n=n, num_hashes=num_hashes)
+    band_cols = [
+        F.xxhash64(F.lit(b),
+                   *[F.col("sig")[b * rows + r] for r in range(rows)])
+        .alias(f"b{b}")
+        for b in range(bands)
+    ]
+    withb = sigs.select(F.col(id_col), *band_cols)
+    return withb.select(
+        F.col(id_col),
+        F.stack(
+            F.lit(bands),
+            *[c for b in range(bands)
+              for c in (F.lit(b), F.col(f"b{b}"))],
+        ).alias("band", "bucket"),
+    )
+
+
 def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
                                id_col: str = "doc_id",
                                text_col: str = "text", n: int = 3,
                                num_hashes: int = 32, bands: int = 8,
                                rows: int = 4, threshold: float = 0.6,
-                               max_bucket: int = 1000) -> DataFrame:
+                               max_bucket: int = 1000,
+                               index: DataFrame | None = None) -> DataFrame:
     """Incremental (batch-vs-index) MinHash near-dedup — the PRODUCTION
     ingest shape: dedup a NEW batch of documents against an already-
     indexed corpus plus the batch's own earlier rows, without ever
@@ -407,30 +441,21 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
     are dropped (the degenerate-key skew guard, same policy as
     :func:`lsh_candidate_pairs` — their members are exact-dup
     territory). Ids of ``batch`` and ``corpus`` must be disjoint.
-    """
-    def banded(sigs: DataFrame) -> DataFrame:
-        band_cols = [
-            F.xxhash64(F.lit(b),
-                       *[F.col("sig")[b * rows + r] for r in range(rows)])
-            .alias(f"b{b}")
-            for b in range(bands)
-        ]
-        withb = sigs.select(F.col(id_col), *band_cols)
-        return withb.select(
-            F.col(id_col),
-            F.stack(
-                F.lit(bands),
-                *[c for b in range(bands)
-                  for c in (F.lit(b), F.col(f"b{b}"))],
-            ).alias("band", "bucket"),
-        )
 
-    sig_new = banded(minhash_signatures(
-        batch, id_col=id_col, text_col=text_col, n=n,
-        num_hashes=num_hashes))
-    index = banded(minhash_signatures(
-        corpus, id_col=id_col, text_col=text_col, n=n,
-        num_hashes=num_hashes)).withColumn("_new", F.lit(False)) \
+    Pass ``index`` to probe a PRE-MATERIALIZED corpus band relation
+    (the output of :func:`lsh_band_index`, e.g. read back from parquet
+    ``partitionBy("band")``) instead of re-banding the corpus texts —
+    the persisted-index production path; ``corpus`` is then used only
+    for exact-verification texts.
+    """
+    sig_new = lsh_band_index(batch, id_col=id_col, text_col=text_col,
+                             n=n, num_hashes=num_hashes, bands=bands,
+                             rows=rows)
+    if index is None:
+        index = lsh_band_index(corpus, id_col=id_col, text_col=text_col,
+                               n=n, num_hashes=num_hashes, bands=bands,
+                               rows=rows)
+    index = index.withColumn("_new", F.lit(False)) \
         .unionByName(sig_new.withColumn("_new", F.lit(True)))
     sized = index.withColumn(
         "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
