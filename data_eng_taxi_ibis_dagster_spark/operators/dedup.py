@@ -160,6 +160,29 @@ def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
     )
 
 
+def _band_stack(sigs: DataFrame, *, id_col: str, bands: int,
+                rows: int) -> DataFrame:
+    """(id, band, bucket) from MinHash signatures — THE banding
+    expression, shared by the self-join pipeline
+    (:func:`lsh_candidate_pairs`) and the persistable index
+    (:func:`lsh_band_index`) so the two can never drift apart (the
+    incremental pipeline's recall argument depends on identical
+    banding)."""
+    band_cols = [
+        F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
+        .alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.stack(
+            F.lit(bands),
+            *[c for b in range(bands) for c in (F.lit(b), F.col(f"b{b}"))],
+        ).alias("band", "bucket"),
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame, *, id_col: str = "doc_id",
                         bands: int = 8, rows: int = 4,
                         max_bucket: int = 1000) -> DataFrame:
@@ -170,19 +193,7 @@ def lsh_candidate_pairs(sigs: DataFrame, *, id_col: str = "doc_id",
     exactly the skew that would quadratically blow up the self-join);
     callers wanting them get them from exact dedup instead.
     """
-    band_cols = [
-        F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
-        .alias(f"b{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.stack(
-            F.lit(bands),
-            *[c for b in range(bands) for c in (F.lit(b), F.col(f"b{b}"))],
-        ).alias("band", "bucket"),
-    )
+    stacked = _band_stack(sigs, id_col=id_col, bands=bands, rows=rows)
     sized = stacked.withColumn(
         "bucket_n",
         F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
@@ -396,21 +407,7 @@ def lsh_band_index(df: DataFrame, *, id_col: str = "doc_id",
     and nothing corpus-shaped."""
     sigs = minhash_signatures(df, id_col=id_col, text_col=text_col,
                               n=n, num_hashes=num_hashes)
-    band_cols = [
-        F.xxhash64(F.lit(b),
-                   *[F.col("sig")[b * rows + r] for r in range(rows)])
-        .alias(f"b{b}")
-        for b in range(bands)
-    ]
-    withb = sigs.select(F.col(id_col), *band_cols)
-    return withb.select(
-        F.col(id_col),
-        F.stack(
-            F.lit(bands),
-            *[c for b in range(bands)
-              for c in (F.lit(b), F.col(f"b{b}"))],
-        ).alias("band", "bucket"),
-    )
+    return _band_stack(sigs, id_col=id_col, bands=bands, rows=rows)
 
 
 def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
@@ -455,9 +452,18 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
         index = lsh_band_index(corpus, id_col=id_col, text_col=text_col,
                                n=n, num_hashes=num_hashes, bands=bands,
                                rows=rows)
-    index = index.withColumn("_new", F.lit(False)) \
+    # Batch-proportionality: restrict the index to the (band, bucket)
+    # keys the batch actually probes BEFORE anything corpus-shaped
+    # runs. The semi-join keeps every member of a touched bucket (so
+    # the skew-cap counts below are complete for exactly the buckets
+    # that matter) and drops the rest of the index unread — without
+    # it, the sizing window re-shuffles the ENTIRE historical index on
+    # every ingest.
+    touched = index.join(sig_new.select("band", "bucket").distinct(),
+                         ["band", "bucket"], "left_semi")
+    both = touched.withColumn("_new", F.lit(False)) \
         .unionByName(sig_new.withColumn("_new", F.lit(True)))
-    sized = index.withColumn(
+    sized = both.withColumn(
         "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
     ).filter(F.col("_bn") <= max_bucket).drop("_bn")
     probe = sig_new.select("band", "bucket", F.col(id_col).alias("doc_new"))
@@ -469,10 +475,18 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
         .select("doc_new", "doc_other")
         .distinct()
     )
+    # Shingle only candidate texts: the corpus side is semi-joined to
+    # the candidates' doc_other ids (pair-bounded) before the
+    # tokenize+shingle projection, so verification never shingles the
+    # historical corpus — the same candidates-only discipline as the
+    # retrieval stack's stage 2.
     sh_new = _right_size(batch).select(
         F.col(id_col).alias("doc_new"),
         shingles(tokens(text_col), n).alias("sh_a"))
-    sh_all = _right_size(corpus.unionByName(batch)).select(
+    others = corpus.unionByName(batch).join(
+        cands.select(F.col("doc_other").alias(id_col)).distinct(),
+        id_col, "left_semi")
+    sh_all = _right_size(others).select(
         F.col(id_col).alias("doc_other"),
         shingles(tokens(text_col), n).alias("sh_b"))
     return (

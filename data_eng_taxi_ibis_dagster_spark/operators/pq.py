@@ -52,6 +52,7 @@ from pyspark.sql.window import Window
 from data_eng_taxi_ibis_dagster_spark.operators.similarity import (
     as_double,
     cosine,
+    cosine_topk,
     squared_l2,
 )
 
@@ -626,19 +627,18 @@ def retrieval_stack(queries: DataFrame, corpus: DataFrame,
     c = corpus.select(F.col(id_col).alias("match_id"),
                       as_double(vec_col).alias("cv"))
 
-    # stage 1: quarter-width shortlist
-    pre = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "match_id",
-                cosine(F.slice("qv", 1, prefix), F.slice("cv", 1, prefix))
-                .alias("sim_pre"))
-    )
-    w_pre = Window.partitionBy("query_id").orderBy(
-        F.col("sim_pre").desc(), F.col("match_id").asc())
-    short = (pre.withColumn("srnk", F.row_number().over(w_pre))
-             .filter(F.col("srnk") <= shortlist)
-             .select("query_id", "match_id"))
+    # stage 1: quarter-width shortlist — the shared brute-force top-k
+    # operator on prefix-sliced vectors (same broadcast × scan shape,
+    # same (sim DESC, id ASC) tie-break, WindowGroupLimit thinning);
+    # tests/test_pq.py asserts the stack's shortlist equals exactly
+    # this call, so share the code instead of mirroring it.
+    short = cosine_topk(
+        queries.select(id_col, F.slice(as_double(vec_col), 1, prefix)
+                       .alias(vec_col)),
+        corpus.select(id_col, F.slice(as_double(vec_col), 1, prefix)
+                      .alias(vec_col)),
+        k=shortlist, id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "match_id")
 
     # stage 2: PQ re-rank of the candidate union only
     cand = short.select(F.col("match_id").alias(id_col)).distinct()

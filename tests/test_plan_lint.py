@@ -100,9 +100,6 @@ WINDOW_KEY_BOUNDS = {
     "_id": ("wgl", "threshold-join dedup: top-k per probe row"),
     "cluster_id": ("wgl", "per-cluster cap: rank ≤ cap"),
     "o_orderpriority": ("wgl", "top-k per group demo: rank ≤ k"),
-    "sub": ("bounded", "identity-codebook trainer: grouped_rank offsets "
-            "relation ≤ buckets+1 rows per subspace (the rank itself is "
-            "range-bucketed; production Lloyd trainer is k-bounded)"),
     "doc_id": ("entity", "per-document token/shingle rows ≤ doc length"),
     "user_id": ("entity", "per-user event history (time-bounded stream)"),
     "o_custkey": ("entity", "per-customer orders"),
@@ -114,12 +111,6 @@ WINDOW_KEY_BOUNDS = {
     "source": ("bounded", "domain cap: exact window runs AFTER the "
                "(source, partition-id) map-side top-K pre-thin — "
                "≤ K·n_partitions rows per domain"),
-    "lang": ("bounded", "grouped_prefix_sum offsets relation: ≤ "
-             "buckets+1 count rows per language"),
-    "label": ("bounded", "grouped_rank offsets relation: ≤ buckets+1 "
-              "count rows per label"),
-    "l_returnflag": ("bounded", "grouped_rank offsets relation: ≤ "
-                     "buckets+1 count rows per flag"),
     "o_orderstatus": ("bounded", "post-aggregate |status|×|priority| "
                       "grid (share_of_priority_by_status)"),
     "from_type": ("bounded", "post-aggregate |event_type|² transition "
@@ -141,7 +132,15 @@ ALL = sorted(all_specs())
 #: unpartitioned window ordered by one of these runs over ≤ ``buckets``
 #: (default 256) rows by construction, at ANY input scale.
 _BOUNDED_OFFSET_PREFIXES = ("_dr_bucket", "_dp_bucket", "_pm_bucket",
-                            "_gsi_bucket", "_nt_", "_cum_bucket")
+                            "_gsi_bucket", "_nt_", "_cum_bucket",
+                            # grouped_rank / grouped_prefix_sum
+                            # (operators/order.py): the rank windows
+                            # carry the range-bucket column in their
+                            # PARTITION tuple; the ≤buckets+1-row
+                            # offsets windows carry it as their ORDER
+                            # key — both bounded by construction at
+                            # ANY scale.
+                            "_gr_bucket", "_gp_bucket")
 
 
 def _unpartitioned_window_orders(plan: str) -> list[str]:
@@ -219,6 +218,18 @@ def _partitioned_window_keys(plan: str) -> set[tuple[str, ...]]:
             k += 1
         args.append("".join(cur).strip())
         i = k
+        # A window ORDERED BY a range-bucket column of the
+        # operators/order machinery is one of its offsets windows: the
+        # input relation is the post-aggregate (group, bucket) rollup,
+        # ≤ buckets+1 rows per group BY CONSTRUCTION at any scale —
+        # bounded regardless of what the partition key is. (The
+        # bucket-partitioned rank windows are caught by the same
+        # prefixes appearing in the partition tuple below.)
+        orders = [re.sub(r"#\d+L?", "", a) for a in args
+                  if " ASC" in a or " DESC" in a]
+        if orders and orders[0].lstrip("(").startswith(
+                _BOUNDED_OFFSET_PREFIXES):
+            continue
         part = tuple(
             re.sub(r"#\d+L?", "", a) for a in args
             if " ASC" not in a and " DESC" not in a
@@ -312,3 +323,35 @@ def test_rfm_has_no_global_ntile_window(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ntile" not in plan
     assert "windowspecdefinition(_dr_bucket" in plan
+
+
+def test_window_bound_lint_flags_naive_group_window(spark):
+    """The lint mechanism itself: a naive corpus window partitioned by
+    a low-cardinality key with NO declared bound must be flagged (the
+    round-5 `domain_cap_sample` regression class), while the same
+    logical rank computed via grouped_rank passes GENERICALLY (its
+    windows self-identify through the range-bucket column in the
+    partition tuple / offsets order key) — no per-key whitelist entry
+    involved in either direction."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_eng_taxi_ibis_dagster_spark.operators.order import grouped_rank
+
+    df = spark.createDataFrame(
+        [(1, "A", 2.0), (2, "N", 3.0)], "k long, flag string, p double")
+
+    def offending(frame):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        return [
+            part for part in _partitioned_window_keys(plan)
+            if not any(c.startswith(_BOUNDED_OFFSET_PREFIXES) for c in part)
+            and WINDOW_KEY_BOUNDS.get(part[0]) is None
+        ]
+
+    naive = df.withColumn("r", F.row_number().over(
+        Window.partitionBy("flag").orderBy("p", "k")))
+    assert offending(naive) == [("flag",)]
+
+    bounded = grouped_rank(df, ["flag"], F.col("p"), F.col("k"), name="r")
+    assert offending(bounded) == []
