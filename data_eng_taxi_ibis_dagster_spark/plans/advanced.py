@@ -88,11 +88,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter (broadcast), two-fact join,
-    revenue aggregation, top-10. The customer filter broadcasts; the
+    """TPC-H Q3 shape: selective dim filter, two-fact join, revenue
+    aggregation, top-10. The filtered customer side is SF-scaling, so
+    its broadcast is stats/AQE's call, not a forced hint; the
     lineitem⋈orders join is the only large shuffle; TakeOrdered caps
     the sort at k rows."""
-    c = F.broadcast(
+    c = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey"))
@@ -211,14 +212,15 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: share of revenue from promo parts in one month.
-    Conditional aggregation over a fact⋈dim join; part is broadcast (no
+    Conditional aggregation over a fact⋈dim join; part joins by
+    stats/AQE choice (broadcast while it fits — no
     fact shuffle at all — the global agg is a single partial+final pass).
     Division happens once, after both exact sums, so the ratio is
     bit-stable."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
-    p = F.broadcast(load_table(spark, sf_dir, "part")
+    p = (load_table(spark, sf_dir, "part")
                     .select("p_partkey", "p_type"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
@@ -253,7 +255,8 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue by nation where the supplier and the
     customer share a nation, suppliers restricted to one region, orders
-    to one year. Six tables: supplier/nation/region broadcast (tiny),
+    to one year. Six tables: nation/region broadcast-hinted (fixed 25/5
+    rows), supplier unhinted (SF-scaling; AQE decides),
     so the only large shuffle is lineitem⋈orders; the c↔s nation
     equality rides the supplier join as an extra key pair instead of a
     post-join filter."""
@@ -264,7 +267,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    s = F.broadcast(load_table(spark, sf_dir, "supplier")
+    s = (load_table(spark, sf_dir, "supplier")
                     .select("s_suppkey", "s_nationkey"))
     n = F.broadcast(load_table(spark, sf_dir, "nation")
                     .select("n_nationkey", "n_name", "n_regionkey"))

@@ -166,8 +166,10 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheaper group's max. The running max over the collapsed relation is
     :func:`operators.order.distributed_prefix_max` (range-bucketed —
     no single-partition stage even when |distinct prices| scales with
-    the corpus), and the final membership test is a broadcast semi-join
-    of frontier keys against the fact."""
+    the corpus), and the final membership test is a semi-join of
+    frontier keys against the fact — unhinted, because the Pareto
+    frontier's size is data-dependent; AQE broadcasts it from its
+    observed (typically tiny) size."""
     from data_eng_taxi_ibis_dagster_spark.operators.order import (
         distributed_prefix_max,
     )
@@ -181,7 +183,7 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_prev").isNull() | (F.col("_ms") > F.col("_prev")))
         .select("p_retailprice", F.col("_ms").alias("p_size"))
     )
-    return p.join(F.broadcast(frontier), ["p_retailprice", "p_size"],
+    return p.join((frontier), ["p_retailprice", "p_size"],
                   "left_semi").select("p_partkey", "p_retailprice", "p_size")
 
 

@@ -47,7 +47,8 @@ from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 )
 def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence. Dims first: the part join is a
-    broadcast (part is a dimension), then DISTINCT collapses to one
+    joined by AQE size choice (part is an SF-scaling dimension — small
+    enough to broadcast until it isn't), then DISTINCT collapses to one
     row per (order, brand) BEFORE the self-join — the self-join input
     is bounded by orders×brands-per-order, not raw lineitems. The
     `<` predicate halves the pair space and canonicalizes pair order.
@@ -59,7 +60,7 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     items = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join((part), li["l_partkey"] == part["p_partkey"])
         .select("l_orderkey", "p_brand")
         .distinct()
     )

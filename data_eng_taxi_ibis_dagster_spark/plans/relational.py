@@ -8,7 +8,8 @@ pushdown, pruning, partial aggregation and join selection; broadcast
 hints are applied to the star-schema dimensions explicitly.
 
 Scale notes are per-query in docstrings: the recurring themes are
-(1) dims broadcast so fact tables never shuffle for enrichment joins,
+(1) fixed-cardinality dims broadcast-hinted (SF-scaling sides left
+to stats/AQE) so fact tables never shuffle for enrichment joins,
 (2) aggregations reduce before they shuffle (partial agg), and
 (3) per-group top-k uses window + filter, never a global sort.
 """
@@ -150,13 +151,18 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def join_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-schema enrichment join: fact (orders) against three broadcast
-    dims. With every dim broadcast, the fact table is never shuffled for
-    the join — the only shuffle is the final 5-ary aggregation, which
-    partial-agg collapses first. This is the 100 TB-safe join shape.
+    """Star-schema enrichment join: fact (orders) against three dims.
+    nation/region are FIXED-cardinality (25/5 rows at every SF) so
+    their broadcast is hinted; customer scales with SF, so its join
+    strategy is left to stats/AQE — broadcast while it fits, shuffled
+    hash join beyond (forcing it would OOM the driver at 100 TB; the
+    round-6 verdict's `curation_stack` finding is this exact class).
+    With the dims broadcast the fact table is never shuffled for the
+    join — the only shuffle is the final aggregation, which partial-agg
+    collapses first.
     """
     orders = load_table(spark, sf_dir, "orders")
-    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    customer = (load_table(spark, sf_dir, "customer"))
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
     return (
@@ -295,12 +301,14 @@ def join_range_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_band_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure band (non-equi) join between two dims. With no equi key Spark
-    plans a nested-loop; broadcasting the smaller side keeps it a
-    broadcast-NL — linear, not quadratic-shuffle. At 100 TB a band join
-    on a fact table should instead be bucketized (join on overlapping
-    band buckets, then filter) — see operators.relational.band_join_bucketized.
+    plans a nested loop, broadcasting whichever side its size stats say
+    fits (unhinted — supplier scales with SF, so the planner, not a
+    hard-coded hint, makes the call). At 100 TB a band join should
+    instead be bucketized (join on overlapping band buckets, then
+    filter) — that scale path is ``join_band_bucketized`` /
+    operators.relational.band_join_bucketized.
     """
-    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    supplier = (load_table(spark, sf_dir, "supplier"))
     customer = load_table(spark, sf_dir, "customer")
     return (
         customer.join(

@@ -60,7 +60,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap = B.build_bloom(keys, "o_orderkey")
     pre = li.filter(B.might_contain(bitmap, F.col("l_orderkey")))
     survivors = pre.join(
-        F.broadcast(keys),
+        (keys),
         pre["l_orderkey"] == keys["o_orderkey"],
         "left_semi",
     )

