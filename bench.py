@@ -42,12 +42,25 @@ def main() -> None:
         load_table(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
 
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    # Queries whose builder runs EAGER Spark jobs at plan-build time
+    # (curation_stack's connected-components loop converges before the
+    # plan exists).  Their honest cost is build+execute, so the timer
+    # wraps both — for everything else, plan build stays outside the
+    # timed window and only the noop write is measured.  The lazy
+    # dominant half of curation is benched separately as
+    # ``curation_pairs``.
+    eager_build = {"curation_stack"}
     timings: dict[str, float] = {name: float("inf") for name in specs}
     for _ in range(passes):  # separated passes; min per query
         for name in sorted(specs):
-            df = specs[name].builder(spark, sf_dir)
-            start = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
+            if name in eager_build:
+                start = time.perf_counter()
+                df = specs[name].builder(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+            else:
+                df = specs[name].builder(spark, sf_dir)
+                start = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
             timings[name] = min(timings[name], time.perf_counter() - start)
     timings = {n: round(v, 3) for n, v in sorted(timings.items())}
 

@@ -29,6 +29,30 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _group_join(left: DataFrame, right: DataFrame,
+                group_cols: list[str], hint,
+                bucket_col: str | None = None) -> DataFrame:
+    """Equi-join ``left`` to ``right`` on the group columns with
+    NULL-AS-EQUAL semantics (plus, optionally, a non-null bucket
+    column). ``PARTITION BY`` windows keep NULL group keys as their
+    own partition, so the grouped_* machinery's internal joins back to
+    the per-group (min, max) / offsets relations must too — a plain
+    null-unsafe equi-join would silently DROP every NULL-group row
+    (round-6 advisor finding). The right side's join columns are
+    renamed before the ``eqNullSafe`` condition so self-derived
+    lineage stays unambiguous; EqualNullSafe keys still plan as hash
+    joins (no nested loop)."""
+    cols = [*group_cols] + ([bucket_col] if bucket_col else [])
+    ren = {c: f"_nsj_{c}" for c in cols}
+    for c, rc in ren.items():
+        right = right.withColumnRenamed(c, rc)
+    cond = None
+    for c, rc in ren.items():
+        e = left[c].eqNullSafe(right[rc])
+        cond = e if cond is None else (cond & e)
+    return left.join(hint(right), cond).drop(*ren.values())
+
+
 def global_sort_index(
     df: DataFrame,
     hash_col: Column,
@@ -215,7 +239,19 @@ def distributed_prefix_max(
     bucket id is a function of the score), so the cross-bucket max can
     never split a tie group. MAX is idempotent, so — unlike the sum
     variant — the same machinery is safe for any merge-idempotent
-    aggregate (min works by negation)."""
+    aggregate (min works by negation).
+
+    **Point-mass caveat** (measured: ``scripts/skew_stress.py
+    point_mass`` / SCALE.md): a score value carrying most rows stays
+    in one bucket, one task. Every registered consumer feeds a
+    DISTINCT-score relation (skyline's per-price max, Pareto
+    envelopes), which structurally cannot carry a point mass — keep it
+    that way: collapse to one row per score (max value wins under an
+    exclusive prefix-max) BEFORE calling this on a tie-heavy column.
+    The sum variant's ``tie_split`` decomposition does not transfer
+    as-is (an exclusive within-tie running max is order-dependent
+    across equal scores only through its tiebreaks), so the collapse
+    IS the mitigation here."""
     df = df.localCheckpoint(eager=False)  # see distributed_rank
     lo_hi = df.select(
         F.min(score).cast("double").alias("_lo"),
@@ -277,6 +313,7 @@ def distributed_prefix_sum(
     buckets: int = 256,
     name: str = "prefix",
     total_name: str | None = None,
+    tie_split: Column | None = None,
 ) -> DataFrame:
     """Global running ``SUM(value) OVER (ORDER BY score, *tiebreaks
     ROWS UNBOUNDED PRECEDING)`` without a single-partition sort — the
@@ -290,7 +327,44 @@ def distributed_prefix_sum(
     (bucket −1), matching the window's ``ASC NULLS FIRST`` ordering.
     ``value`` should be an integer/decimal column (exact under
     reordering); a raw double would make the prefix partition-order-
-    dependent."""
+    dependent.
+
+    **Point-mass scores**: the buckets divide the score DOMAIN, so a
+    score value carrying most rows lands in ONE bucket undivided and
+    its window runs on one task (measured super-linear in
+    ``scripts/skew_stress.py point_mass`` / SCALE.md). For such
+    distributions pass ``tie_split`` — a numeric-monotone column
+    (typically the row id) that refines the ordering to ``(score,
+    tie_split, *tiebreaks)``. The prefix then decomposes into three
+    fully-parallel passes, exact because SUM is order-insensitive
+    within a tie group: per-score totals (one hash aggregate), an
+    EXCLUSIVE prefix over the DISTINCT-score relation (this machinery
+    recursively — a distinct relation cannot carry a point mass), and
+    a within-score running sum via :func:`grouped_prefix_sum` keyed on
+    the score itself (per-group affine bucketing of ``tie_split``
+    splits the tie group across ``buckets`` tasks). Hash joins
+    throughout (``broadcast_joins=False``): |distinct scores| may be
+    corpus-order."""
+    if tie_split is not None:
+        df = (df.withColumn("_ts_s", score).withColumn("_ts_v", value)
+              .localCheckpoint(eager=False))
+        per = df.groupBy("_ts_s").agg(F.sum("_ts_v").alias("_ts_tot"))
+        off = distributed_prefix_sum(
+            per, F.col("_ts_s"), F.col("_ts_tot"), buckets=buckets,
+            name="_ts_incl",
+            total_name="_ts_gtot" if total_name is not None else None)
+        off = off.select(
+            "_ts_s",
+            (F.col("_ts_incl") - F.col("_ts_tot")).alias("_ts_off"),
+            *(["_ts_gtot"] if total_name is not None else []))
+        within = grouped_prefix_sum(
+            df, ["_ts_s"], tie_split, F.col("_ts_v"), *tiebreaks,
+            buckets=buckets, name="_ts_win", broadcast_joins=False)
+        out = _group_join(within, off, ["_ts_s"], lambda d: d) \
+            .withColumn(name, F.col("_ts_off") + F.col("_ts_win"))
+        if total_name is not None:
+            out = out.withColumn(total_name, F.col("_ts_gtot"))
+        return out.drop("_ts_s", "_ts_v", "_ts_off", "_ts_win", "_ts_gtot")
     df = df.localCheckpoint(eager=False)  # see distributed_rank
     lo_hi = df.select(
         F.min(score).cast("double").alias("_lo"),
@@ -398,8 +472,7 @@ def grouped_rank(
         F.max(score).cast("double").alias("_gr_hi"),
     )
     staged = (
-        df.withColumn("_gr_s", score)
-        .join(hint(lo_hi), group_cols)
+        _group_join(df.withColumn("_gr_s", score), lo_hi, group_cols, hint)
         .withColumn(
             "_gr_bucket",
             # NULL scores → leading bucket −1 (ASC NULLS FIRST); a NULL
@@ -439,7 +512,8 @@ def grouped_rank(
     w_loc = Window.partitionBy(*group_cols, "_gr_bucket").orderBy(
         F.col("_gr_s"), *tiebreaks)
     out = (
-        staged.join(hint(offsets), [*group_cols, "_gr_bucket"])
+        _group_join(staged, offsets, group_cols, hint,
+                    bucket_col="_gr_bucket")
         .withColumn(name, F.col("_gr_offset") + F.row_number().over(w_loc))
     )
     if total_name is not None:
@@ -491,9 +565,9 @@ def grouped_prefix_sum(
         F.max(score).cast("double").alias("_gp_hi"),
     )
     staged = (
-        df.withColumn("_gp_s", score)
-        .withColumn("_gp_v", value)
-        .join(hint(lo_hi), group_cols)
+        _group_join(
+            df.withColumn("_gp_s", score).withColumn("_gp_v", value),
+            lo_hi, group_cols, hint)
         .withColumn(
             "_gp_bucket",
             # NULL scores → leading bucket −1 (ASC NULLS FIRST); a NULL
@@ -537,7 +611,8 @@ def grouped_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = (
-        staged.join(hint(offsets), [*group_cols, "_gp_bucket"])
+        _group_join(staged, offsets, group_cols, hint,
+                    bucket_col="_gp_bucket")
         .withColumn(name, F.col("_gp_offset") + F.sum("_gp_v").over(w_loc))
     )
     if total_name is not None:

@@ -236,6 +236,27 @@ _CURATION_JACC = (
 )
 
 
+def _gated_fp_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-2 of the curation pipeline (quality/lang gate, then
+    exact fingerprint dedup) — shared by ``curation_stack`` and its
+    benchable lazy half ``curation_pairs``."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    q = T.quality_score("text")
+    gated = (
+        d.filter((q >= 0.5) & F.col("lang").isin("en", "de", "fr"))
+        .select(
+            "doc_id", "text", "lang",
+            T.lang_pred(toks).alias("lang_pred"),
+            q.alias("quality"),
+            F.size(toks).alias("n_tokens"),
+            T.fingerprint("text").alias("fp"),
+        )
+    )
+    keep_fp = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return gated.join(keep_fp, ["fp", "doc_id"], "left_semi")
+
+
 def _curation_oracle() -> str:
     q = T.sql_quality_score("text")
     lp = T.sql_lang_pred("string_split(text, ' ')")
@@ -289,6 +310,7 @@ def _curation_oracle() -> str:
     "curation_stack",
     oracle=_curation_oracle(),
     tags=("E9", "E10", "E12", "EXT"),
+    bench=True,
 )
 def curation_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation pipeline, end-to-end as ONE
@@ -328,21 +350,7 @@ def curation_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup rates at CommonCrawl scale), so broadcast must be AQE's
     runtime call from observed size, never forced (round-6 verdict:
     a forced broadcast here is a driver OOM at 100 TB)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    q = T.quality_score("text")
-    gated = (
-        d.filter((q >= 0.5) & F.col("lang").isin("en", "de", "fr"))
-        .select(
-            "doc_id", "text", "lang",
-            T.lang_pred(toks).alias("lang_pred"),
-            q.alias("quality"),
-            F.size(toks).alias("n_tokens"),
-            T.fingerprint("text").alias("fp"),
-        )
-    )
-    keep_fp = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    docs1 = gated.join(keep_fp, ["fp", "doc_id"], "left_semi")
+    docs1 = _gated_fp_deduped(spark, sf_dir)
     pairs = D.minhash_near_dup_pairs(
         docs1.select("doc_id", "text"), threshold=0.6)
     clusters = D.dedup_clusters(pairs)
@@ -404,4 +412,137 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         D.incremental_near_dup_pairs(batch, corpus, threshold=0.6)
         .orderBy("doc_new", "doc_other")
+    )
+
+
+def _persisted_oracle() -> str:
+    sh = T.sql_shingles("string_split(text, ' ')", 3)
+    return f"""
+        WITH sh AS (SELECT doc_id, {sh} AS s FROM documents),
+             pairs AS (
+                 SELECT a.doc_id AS doc_new, b.doc_id AS doc_other,
+                        {_CURATION_JACC} AS jaccard_sim
+                 FROM sh a JOIN sh b
+                   ON a.doc_id % 2 = 1
+                  AND ((a.doc_id % 4 = 1
+                        AND (b.doc_id % 2 = 0
+                             OR (b.doc_id % 4 = 1 AND b.doc_id < a.doc_id)))
+                    OR (a.doc_id % 4 = 3
+                        AND (b.doc_id % 2 = 0 OR b.doc_id % 4 = 1
+                             OR (b.doc_id % 4 = 3 AND b.doc_id < a.doc_id))))
+             )
+        SELECT doc_new, doc_other, jaccard_sim
+        FROM pairs WHERE jaccard_sim >= 0.6
+        ORDER BY doc_new, doc_other
+    """
+
+
+@query(
+    "dedup_incremental_persisted",
+    oracle=_persisted_oracle(),
+    tags=("E10", "EXT"),
+)
+def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO ingest cycles through the PERSISTED LSH index — the full
+    production loop the inline ``dedup_incremental_batch`` only
+    simulates: materialize the corpus band index as parquet
+    ``partitionBy("band")``, probe ingest batch 1 against the read-back
+    index, APPEND batch 1's band rows (acceptance), then probe ingest
+    batch 2 against the GROWN index. corpus = even doc_ids, batch 1 =
+    ids ≡ 1 (mod 4), batch 2 = ids ≡ 3 (mod 4); output is the union of
+    both cycles' verified near-dup pairs.
+
+    The index writes run at plan-build (the Lloyd-training precedent:
+    index maintenance is the offline half of ingest); the returned
+    plan reads ONLY the parquet index — the historical corpus is never
+    re-banded, and each probe's cost is proportional to its batch
+    (``operators/dedup.incremental_near_dup_pairs`` restricts the
+    index to probed (band, bucket) keys before anything corpus-shaped
+    runs). ``tests/test_dedup.py::
+    test_incremental_dedup_probes_materialized_index`` additionally
+    pins the band-partition pruning of a single-band probe.
+
+    STRICT oracle: exact all-pairs Jaccard over each batch's allowed
+    comparison set (corpus ∪ earlier-accepted batches ∪ own earlier
+    rows). Same no-recall-loss grounds as ``dedup_incremental_batch``
+    (externally proven banding via ``dedup_minhash_audit``; the
+    fixture's bucket sizes sit far below the skew cap —
+    ``tests/test_dedup.py::test_lsh_fixture_bucket_bounds``)."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    b1 = d.filter(F.col("doc_id") % 4 == 1)
+    b2 = d.filter(F.col("doc_id") % 4 == 3)
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"sg_lsh_index_{tag}")
+    D.lsh_band_index(corpus).write.mode("overwrite") \
+        .partitionBy("band").parquet(path)
+    p1 = D.incremental_near_dup_pairs(
+        b1, corpus, threshold=0.6, index=spark.read.parquet(path))
+    D.lsh_band_index(b1).write.mode("append") \
+        .partitionBy("band").parquet(path)
+    p2 = D.incremental_near_dup_pairs(
+        b2, corpus.unionByName(b1), threshold=0.6,
+        index=spark.read.parquet(path))
+    return p1.unionByName(p2).orderBy("doc_new", "doc_other")
+
+
+def _curation_pairs_oracle() -> str:
+    q = T.sql_quality_score("text")
+    fp = T.sql_fingerprint("text")
+    sh = T.sql_shingles("string_split(text, ' ')", 3)
+    return f"""
+        WITH gated AS (
+            SELECT doc_id, text, {fp} AS fp
+            FROM documents
+            WHERE {q} >= 0.5 AND lang IN ('en', 'de', 'fr')
+        ),
+        keep_fp AS (
+            SELECT fp, MIN(doc_id) AS doc_id FROM gated GROUP BY fp
+        ),
+        docs1 AS (
+            SELECT g.doc_id, g.text FROM gated g JOIN keep_fp k
+              ON g.fp = k.fp AND g.doc_id = k.doc_id
+        ),
+        sh AS (SELECT doc_id, {sh} AS s FROM docs1)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               {_CURATION_JACC} AS jaccard_sim
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE {_CURATION_JACC} >= 0.6
+        ORDER BY doc_a, doc_b
+    """
+
+
+@query(
+    "curation_pairs",
+    oracle=_curation_pairs_oracle(),
+    tags=("E9", "E10", "EXT"),
+    bench=True,
+)
+def curation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY half of the curation pipeline — gate → exact fp dedup →
+    MinHash-LSH banding → exact-Jaccard pair verification — split out
+    of ``curation_stack`` so the tier's dominant cost is MEASURED
+    (round-6 verdict: the full stack's connected-components loop runs
+    eagerly at plan build, outside bench.py's timed noop write, so the
+    stack itself was deliberately unbenched; bench.py now also times
+    ``curation_stack`` build+execute as the eager total). Everything
+    here is one lazy plan: row-local gating, the compact fp-key
+    shuffle, the banded bucket self-join with the hot-bucket cap, and
+    candidates-only shingle verification — the stages that scale with
+    the corpus. The CC canonicalization that follows in the full stack
+    runs over THIS output (the pair relation, orders of magnitude
+    smaller).
+
+    STRICT oracle: all-pairs exact Jaccard over the gated fp-survivors
+    (no LSH recall loss on the fixture — ``dedup_minhash_audit``)."""
+    docs1 = _gated_fp_deduped(spark, sf_dir)
+    return (
+        D.minhash_near_dup_pairs(docs1.select("doc_id", "text"),
+                                 threshold=0.6)
+        .orderBy("doc_a", "doc_b")
     )

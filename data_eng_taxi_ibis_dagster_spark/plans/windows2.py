@@ -104,3 +104,53 @@ def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_orderkey") % 100 == 7)
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
     )
+
+
+@query(
+    "cum_revenue_by_orderdate",
+    oracle="""
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    OVER (ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_revenue_cents
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    tags=("E5", "EXT"),
+)
+def cum_revenue_by_orderdate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running revenue ordered by ORDER DATE — the tie-heavy
+    global-cumsum shape: every order placed the same day shares one
+    score value, so the date column is a lattice of point masses and
+    the plain affine bucketing of ``distributed_prefix_sum`` would push
+    whole days through single tasks (at web scale, one hot day = one
+    hot task; measured in SCALE.md round 7). Runs the ``tie_split``
+    decomposition instead: per-date totals, a distinct-DATE prefix
+    (point-mass-free by construction), and a within-date running sum
+    range-bucketed on the order key — no corpus-scale window anywhere
+    in the plan. Revenue is quantized to integer cents
+    (``floor(x*100+0.5)``) so the running sum is exact under
+    reordering, per the repo float discipline."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        .alias("_cents"),
+        # injective monotone day index of the TIMESTAMP_NTZ order date
+        # (the fixture is midnight-granular: ties of the index are
+        # exactly ties of o_orderdate, which tie_split requires)
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("double").alias("_day"))
+    out = O.distributed_prefix_sum(
+        o, F.col("_day"), F.col("_cents"),
+        F.col("o_orderkey"), name="cum_revenue_cents",
+        tie_split=F.col("o_orderkey"))
+    return (
+        out.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "cum_revenue_cents")
+        .orderBy("o_orderkey")
+    )

@@ -157,5 +157,86 @@ def main() -> None:
         print(json.dumps(r))
 
 
+
+
+def point_mass(n: int | None = None) -> None:
+    """Head-to-head 4 (round-6 verdict item): the VALUE-bucketed global
+    prefix machinery under a point-mass score — 95% of rows share ONE
+    score value, so the affine bucket map sends them all to one bucket
+    and the within-bucket window runs on one task (same shape as the
+    naive global window). Measures naive global cumsum / running-max
+    windows vs distributed_prefix_sum/_max on (a) the point-mass score
+    and (b) a spread score (doc_id) for the asymptote contrast, plus
+    the tie-split decomposition where implemented.
+
+    Usage: python scripts/skew_stress.py point_mass [n_rows]
+    """
+    import sys as _sys
+    n = n or (int(_sys.argv[2]) if len(_sys.argv) > 2 else 4_000_000)
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        distributed_prefix_max,
+        distributed_prefix_sum,
+    )
+    from data_eng_taxi_ibis_dagster_spark.session import get_session
+
+    spark = get_session(app_name="skew-stress-pm")
+    path = os.path.join(SKEW_DIR, "documents.parquet")
+    if not os.path.exists(path):
+        make_skew(spark, n)
+    docs = (
+        spark.read.parquet(path)
+        .withColumn("score_pm",
+                    F.when(F.col("doc_id") % 20 != 0, F.lit(1000.0))
+                    .otherwise(F.col("doc_id").cast("double")))
+        .select("doc_id", "score_pm", "n_tokens")
+    )
+    docs.count()
+
+    results = []
+    for label, score in [("point_mass", "score_pm"),
+                         ("spread", "doc_id")]:
+        w = (Window.orderBy(F.col(score).cast("double"), "doc_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        naive_sum = docs.select(
+            "doc_id", F.sum("n_tokens").over(w).alias("cum"))
+        dist_sum = distributed_prefix_sum(
+            docs, F.col(score), F.col("n_tokens"), F.col("doc_id"),
+            name="cum").select("doc_id", "cum")
+        match = checksum(naive_sum, "doc_id", "cum") == \
+            checksum(dist_sum, "doc_id", "cum")
+        results.append({"name": f"prefix_sum_{label}",
+                        "naive_sec": timed(naive_sum),
+                        "bounded_sec": timed(dist_sum),
+                        "checksum_match": match})
+        print(json.dumps(results[-1]), flush=True)
+        tie_sum = distributed_prefix_sum(
+            docs, F.col(score), F.col("n_tokens"), F.col("doc_id"),
+            name="cum", tie_split=F.col("doc_id")).select("doc_id", "cum")
+        match = checksum(naive_sum, "doc_id", "cum") == \
+            checksum(tie_sum, "doc_id", "cum")
+        results.append({"name": f"prefix_sum_{label}_tie_split",
+                        "naive_sec": None,
+                        "bounded_sec": timed(tie_sum),
+                        "checksum_match": match})
+        print(json.dumps(results[-1]), flush=True)
+        wx = (Window.orderBy(F.col(score).cast("double"), "doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1))
+        naive_max = docs.select(
+            "doc_id", F.max("n_tokens").over(wx).alias("pm"))
+        dist_max = distributed_prefix_max(
+            docs, F.col(score), F.col("n_tokens"), F.col("doc_id"),
+            name="pm").select("doc_id", "pm")
+        match = checksum(naive_max.fillna(-1), "doc_id", "pm") == \
+            checksum(dist_max.fillna(-1), "doc_id", "pm")
+        results.append({"name": f"prefix_max_{label}",
+                        "naive_sec": timed(naive_max),
+                        "bounded_sec": timed(dist_max),
+                        "checksum_match": match})
+        print(json.dumps(results[-1]), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "point_mass":
+        point_mass()
+    else:
+        main()

@@ -249,3 +249,27 @@ def test_incremental_dedup_probes_materialized_index(spark, sf_dir, tmp_path):
     plan = persisted.filter(F.col("band") == 3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(band" in plan
+
+
+def test_lsh_fixture_bucket_bounds(spark):
+    """Fixture-drift guard (round-6 advisor): incremental_near_dup_pairs
+    silently drops (band, bucket) groups larger than ``max_bucket``
+    (default 1000) — a legitimate skew cap at scale, but if a fixture
+    regeneration ever produced a hot bucket the strict oracles of
+    dedup_incremental_batch / dedup_incremental_persisted (exact
+    all-pairs Jaccard) would surface it as an inscrutable hash mismatch.
+    Pin the max LSH bucket size on every correctness-gate corpus far
+    below the cap, mirroring test_approx_exact_regime_fixture_bounds."""
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        lsh_band_index,
+    )
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        idx = lsh_band_index(
+            load_table(spark, sf, "documents").select("doc_id", "text"))
+        mx = (idx.groupBy("band", "bucket")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .agg(F.max("n").alias("mx")).first()["mx"])
+        assert mx <= 500, (
+            f"{sf}: hottest LSH bucket has {mx} members — within 2x of "
+            f"the max_bucket=1000 drop cap; the strict incremental-dedup "
+            f"oracles assume NO bucket is ever dropped on the fixtures")

@@ -287,3 +287,85 @@ def test_grouped_prefix_sum_matches_per_group_window(spark, vals):
               df.groupBy("g").agg(F.sum("v").alias("t")).collect()}
     by_group = {(i, gr): g[i][1] for i, (gr, _, _) in enumerate(vals)}
     assert all(t == totals[gr] for (_, gr), t in by_group.items())
+
+
+def test_grouped_rank_null_group_keys(spark):
+    """PARTITION BY keeps a NULL group key as its own partition —
+    grouped_rank must too (its internal joins back to the lo_hi and
+    offsets relations are null-safe; a plain equi-join would silently
+    drop every NULL-group row: round-6 advisor finding)."""
+    from data_eng_taxi_ibis_dagster_spark.operators.order import grouped_rank
+
+    df = spark.createDataFrame(
+        [(0, None, 3.0), (1, "a", 2.0), (2, None, 1.0),
+         (3, "a", 5.0), (4, None, 4.0), (5, "b", 0.0)],
+        "id long, g string, v double")
+    got = grouped_rank(df, ["g"], F.col("v"), F.col("id"), buckets=4,
+                       name="pos", total_name="n")
+    want = df.select(
+        "id",
+        F.row_number().over(Window.partitionBy("g").orderBy("v", "id"))
+        .alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+    )
+    g = {r["id"]: (r["pos"], r["n"]) for r in got.collect()}
+    w = {r["id"]: (r["pos"], r["n"]) for r in want.collect()}
+    assert len(g) == 6, "NULL-group rows were dropped"
+    assert g == w
+
+
+def test_grouped_prefix_sum_null_group_keys(spark):
+    """Same NULL-group-partition contract for the cumulative form,
+    including a NULL score inside the NULL group (bucket −1 within the
+    NULL partition)."""
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        grouped_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None, 3.0, 2), (1, "a", 2.0, 3), (2, None, None, 5),
+         (3, "a", 5.0, 7), (4, None, 4.0, 11), (5, "b", 0.0, 13)],
+        "id long, g string, s double, v long")
+    got = grouped_prefix_sum(df, ["g"], F.col("s"), F.col("v"),
+                             F.col("id"), buckets=4, name="pfx",
+                             total_name="tot")
+    w = (Window.partitionBy("g").orderBy(F.col("s").asc_nulls_first(), "id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = df.select(
+        "id", F.sum("v").over(w).alias("pfx"),
+        F.sum("v").over(Window.partitionBy("g")).alias("tot"))
+    g = {r["id"]: (r["pfx"], r["tot"]) for r in got.collect()}
+    ww = {r["id"]: (r["pfx"], r["tot"]) for r in want.collect()}
+    assert len(g) == 6, "NULL-group rows were dropped"
+    assert g == ww
+
+
+@pytest.mark.parametrize("vals", [
+    # point mass: 90% of rows share one score
+    [(i, 7.0 if i % 10 else float(i), i % 5 + 1) for i in range(60)],
+    # all one value
+    [(i, 3.0, 2) for i in range(20)],
+    # NULLs + point mass
+    [(0, None, 4), (1, 5.0, 1), (2, 5.0, 2), (3, None, 8), (4, 9.0, 3),
+     (5, 5.0, 6)],
+])
+def test_distributed_prefix_sum_tie_split(spark, vals):
+    """The tie_split decomposition must equal the naive global cumsum
+    bit-for-bit on point-mass distributions (the shape the plain
+    affine bucketing funnels through one task)."""
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.createDataFrame(vals, "id long, s double, v long")
+    got = distributed_prefix_sum(
+        df, F.col("s"), F.col("v"), buckets=4, name="cum",
+        total_name="tot", tie_split=F.col("id"))
+    w = (Window.orderBy(F.col("s").asc_nulls_first(), "id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = df.select("id", F.sum("v").over(w).alias("cum"))
+    g = {r["id"]: r["cum"] for r in got.collect()}
+    ww = {r["id"]: r["cum"] for r in want.collect()}
+    assert g == ww
+    total = sum(v for (_, _, v) in vals)
+    assert {r["tot"] for r in got.collect()} == {total}

@@ -44,6 +44,8 @@ BNLJ_ALLOWED = {
     "histogram_equidepth_price",   # distributed_ntile 1-row (min,max) join
     "gini_customer_revenue",       # distributed_rank 1-row (min,max) join
     "weighted_median_price",       # distributed_prefix_sum 1-row (min,max) join
+    "cum_revenue_by_orderdate",    # tie_split recursion: 1-row (min,max) join
+                                   # on the distinct-date offsets pass
     "skyline_pareto_parts",        # distributed_prefix_max 1-row (min,max) join
     "bpe_merge_audit",             # 1-row vocab-stats scalar join onto the merge table
     "similarity_pq_audit",         # brute-force scoring stage, probe broadcast
@@ -76,7 +78,9 @@ GLOBAL_WINDOW_ALLOWED = {
 #: registry — round 5's `domain_cap_sample` showed a partitioned
 #: window can still be unbounded per group (one mega-domain through
 #: one task), so every partition key must name its bound here. Keyed
-#: by the FIRST partition column of the window spec; values are
+#: by the FULL partition-column tuple of the window spec (round-6
+#: advisor: first-column keying let a second window reuse a
+#: whitelisted leading column unreviewed); values are
 #: (kind, justification). Kinds:
 #:   "wgl"     — rank-limit window; the plan MUST contain
 #:               WindowGroupLimit (machine-asserted): each map
@@ -94,27 +98,30 @@ GLOBAL_WINDOW_ALLOWED = {
 #: operators/order machinery are generically bounded (group ≈
 #: N_group/buckets) and need no entry.
 WINDOW_KEY_BOUNDS = {
-    "query_id": ("wgl", "top-k rank windows over scored candidates"),
-    "match_id": ("wgl", "coarse-list assignment: rank over n_centroids rows"),
-    "anchor_id": ("wgl", "contrastive mining: top-k per anchor"),
-    "_id": ("wgl", "threshold-join dedup: top-k per probe row"),
-    "cluster_id": ("wgl", "per-cluster cap: rank ≤ cap"),
-    "o_orderpriority": ("wgl", "top-k per group demo: rank ≤ k"),
-    "doc_id": ("entity", "per-document token/shingle rows ≤ doc length"),
-    "user_id": ("entity", "per-user event history (time-bounded stream)"),
-    "o_custkey": ("entity", "per-customer orders"),
-    "p_partkey": ("entity", "suppliers per part (TPC-H: 4)"),
-    "l_orderkey": ("entity", "lines per order ≤ 7"),
-    "_k": ("entity", "as-of join key = per-user event stream"),
-    "band": ("bounded", "LSH (band, bucket) groups, hot-bucket skew cap "
-             "in operators/dedup"),
-    "source": ("bounded", "domain cap: exact window runs AFTER the "
-               "(source, partition-id) map-side top-K pre-thin — "
-               "≤ K·n_partitions rows per domain"),
-    "o_orderstatus": ("bounded", "post-aggregate |status|×|priority| "
-                      "grid (share_of_priority_by_status)"),
-    "from_type": ("bounded", "post-aggregate |event_type|² transition "
-                  "grid"),
+    ("query_id",): ("wgl", "top-k rank windows over scored candidates"),
+    ("match_id",): ("wgl", "coarse-list assignment: rank over n_centroids "
+                    "rows"),
+    ("anchor_id",): ("wgl", "contrastive mining: top-k per anchor"),
+    ("_id",): ("wgl", "threshold-join dedup: top-k per probe row"),
+    ("cluster_id",): ("wgl", "per-cluster cap: rank <= cap"),
+    ("o_orderpriority",): ("wgl", "top-k per group demo: rank <= k"),
+    ("doc_id",): ("entity", "per-document token/shingle rows <= doc length"),
+    ("user_id",): ("entity", "per-user event history (time-bounded stream)"),
+    ("o_custkey",): ("entity", "per-customer orders"),
+    ("p_partkey",): ("entity", "suppliers per part (TPC-H: 4)"),
+    ("l_orderkey",): ("entity", "lines per order <= 7"),
+    ("_k",): ("entity", "as-of join key = per-user event stream"),
+    ("band", "bucket"): ("bounded", "LSH (band, bucket) groups, hot-bucket "
+                         "skew cap in operators/dedup"),
+    ("source",): ("bounded", "domain cap: exact window runs AFTER the "
+                  "(source, partition-id) map-side top-K pre-thin — "
+                  "<= K*n_partitions rows per domain"),
+    ("source", "_pid"): ("wgl", "the map-side top-K pre-thin itself: "
+                         "rank-limited per (domain, input partition)"),
+    ("o_orderstatus",): ("bounded", "post-aggregate |status|x|priority| "
+                         "grid (share_of_priority_by_status)"),
+    ("from_type",): ("bounded", "post-aggregate |event_type|^2 transition "
+                     "grid"),
 }
 
 #: Tags whose queries may cross the JVM→Python boundary.
@@ -239,6 +246,24 @@ def _partitioned_window_keys(plan: str) -> set[tuple[str, ...]]:
     return keys
 
 
+def _wgl_partition_tuples(plan: str) -> set[tuple[str, ...]]:
+    """Partition-column tuple of every WindowGroupLimit node. Renders
+    as ``WindowGroupLimit [part#1L, part2#2], [order...], rank_fn, k,
+    mode`` — the first bracket is the partition list."""
+    out = set()
+    marker = "WindowGroupLimit ["
+    i = 0
+    while True:
+        j = plan.find(marker, i)
+        if j < 0:
+            break
+        k = plan.index("]", j)
+        cols = plan[j + len(marker):k].split(", ")
+        out.add(tuple(re.sub(r"#\d+L?", "", c) for c in cols if c))
+        i = k
+    return out
+
+
 @pytest.mark.parametrize("name", ALL)
 def test_plan_lint(spark, sf_dir, name):
     spec = all_specs()[name]
@@ -262,19 +287,21 @@ def test_plan_lint(spark, sf_dir, name):
     for part in _partitioned_window_keys(plan):
         if any(c.startswith(_BOUNDED_OFFSET_PREFIXES) for c in part):
             continue  # range-bucketed: group ≈ N_group/buckets
-        entry = WINDOW_KEY_BOUNDS.get(part[0])
+        entry = WINDOW_KEY_BOUNDS.get(part)
         assert entry is not None, (
             f"{name}: partitioned window on {part} has no declared "
             f"scale bound — a partitioned window can still funnel a "
-            f"mega-group through one task; name the partition key's "
+            f"mega-group through one task; name the partition TUPLE's "
             f"bound in WINDOW_KEY_BOUNDS (wgl/entity/bounded) or "
             f"rewrite via operators/order.grouped_*")
         kind, _why = entry
         if kind == "wgl":
-            assert "WindowGroupLimit" in plan, (
-                f"{name}: window key {part} is declared rank-limit-"
-                f"bounded but the plan has no WindowGroupLimit node — "
-                f"the rank filter is not being pushed map-side")
+            assert part in _wgl_partition_tuples(plan), (
+                f"{name}: window on {part} is declared rank-limit-"
+                f"bounded but no WindowGroupLimit node partitions by "
+                f"exactly {part} — the rank filter is not being pushed "
+                f"map-side for THIS window (a WGL elsewhere in the "
+                f"plan does not bound it)")
 
     if "BroadcastNestedLoopJoin" in plan:
         assert name in BNLJ_ALLOWED, (
@@ -346,7 +373,7 @@ def test_window_bound_lint_flags_naive_group_window(spark):
         return [
             part for part in _partitioned_window_keys(plan)
             if not any(c.startswith(_BOUNDED_OFFSET_PREFIXES) for c in part)
-            and WINDOW_KEY_BOUNDS.get(part[0]) is None
+            and WINDOW_KEY_BOUNDS.get(part) is None
         ]
 
     naive = df.withColumn("r", F.row_number().over(
@@ -355,3 +382,33 @@ def test_window_bound_lint_flags_naive_group_window(spark):
 
     bounded = grouped_rank(df, ["flag"], F.col("p"), F.col("k"), name="r")
     assert offending(bounded) == []
+
+
+def test_wgl_bound_is_checked_per_window_tuple(spark):
+    """Round-6 advisor: the 'wgl' kind must bind to the SPECIFIC window,
+    not to WindowGroupLimit-appears-anywhere. A plan that contains a
+    genuinely rank-limited window on one whitelisted wgl key plus an
+    UNLIMITED window on a different whitelisted wgl key must flag the
+    latter: its tuple has no matching WindowGroupLimit node."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10, 0.5), (1, 11, 0.7), (2, 10, 0.1)],
+        "query_id long, match_id long, sim double")
+    limited = df.withColumn("r", F.row_number().over(
+        Window.partitionBy("query_id").orderBy("sim", "match_id"))) \
+        .filter(F.col("r") <= 1)
+    sneaky = limited.withColumn("r2", F.row_number().over(
+        Window.partitionBy("match_id").orderBy("sim", "query_id")))
+    plan = sneaky._jdf.queryExecution().executedPlan().toString()
+
+    wgl = _wgl_partition_tuples(plan)
+    assert ("query_id",) in wgl          # the limited window pushed WGL
+    assert ("match_id",) not in wgl      # the sneaky one did not
+    flagged = [part for part in _partitioned_window_keys(plan)
+               if not any(c.startswith(_BOUNDED_OFFSET_PREFIXES)
+                          for c in part)
+               and WINDOW_KEY_BOUNDS.get(part, ("", ""))[0] == "wgl"
+               and part not in wgl]
+    assert flagged == [("match_id",)]
