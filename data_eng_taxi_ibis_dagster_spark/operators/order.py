@@ -223,6 +223,7 @@ def distributed_prefix_max(
     *tiebreaks: Column,
     buckets: int = 256,
     name: str = "prefix_max",
+    tie_split: Column | None = None,
 ) -> DataFrame:
     """EXCLUSIVE global running ``MAX(value) OVER (ORDER BY score,
     *tiebreaks ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``
@@ -243,15 +244,32 @@ def distributed_prefix_max(
 
     **Point-mass caveat** (measured: ``scripts/skew_stress.py
     point_mass`` / SCALE.md): a score value carrying most rows stays
-    in one bucket, one task. Every registered consumer feeds a
-    DISTINCT-score relation (skyline's per-price max, Pareto
-    envelopes), which structurally cannot carry a point mass — keep it
-    that way: collapse to one row per score (max value wins under an
-    exclusive prefix-max) BEFORE calling this on a tie-heavy column.
-    The sum variant's ``tie_split`` decomposition does not transfer
-    as-is (an exclusive within-tie running max is order-dependent
-    across equal scores only through its tiebreaks), so the collapse
-    IS the mitigation here."""
+    in one bucket, one task. Mitigations, in preference order: collapse
+    to one row per score first when the semantics allow (max value wins
+    under an exclusive prefix-max — every registered consumer feeds a
+    DISTINCT-score relation already: skyline's per-price max, Pareto
+    envelopes), or pass ``tie_split`` exactly as on
+    :func:`distributed_prefix_sum` — the prefix max decomposes the
+    same way (MAX is commutative/idempotent): per-score maxima, an
+    exclusive cross-score prefix max over the DISTINCT-score relation
+    (recursively), a within-score exclusive running max via
+    :func:`grouped_prefix_max`, combined with a NULL-skipping
+    ``greatest``."""
+    if tie_split is not None:
+        df = (df.withColumn("_tm_s", score).withColumn("_tm_v", value)
+              .localCheckpoint(eager=False))
+        per = df.groupBy("_tm_s").agg(F.max("_tm_v").alias("_tm_tot"))
+        off = distributed_prefix_max(
+            per, F.col("_tm_s"), F.col("_tm_tot"), buckets=buckets,
+            name="_tm_off").select("_tm_s", "_tm_off")
+        within = grouped_prefix_max(
+            df, ["_tm_s"], tie_split, F.col("_tm_v"), *tiebreaks,
+            buckets=buckets, name="_tm_win", broadcast_joins=False)
+        return (
+            _group_join(within, off, ["_tm_s"], lambda d: d)
+            .withColumn(name, F.greatest("_tm_off", "_tm_win"))
+            .drop("_tm_s", "_tm_v", "_tm_off", "_tm_win")
+        )
     df = df.localCheckpoint(eager=False)  # see distributed_rank
     lo_hi = df.select(
         F.min(score).cast("double").alias("_lo"),
@@ -618,3 +636,87 @@ def grouped_prefix_sum(
     if total_name is not None:
         out = out.withColumn(total_name, F.col("_gp_total"))
     return out.drop("_gp_bucket", "_gp_s", "_gp_v", "_gp_offset", "_gp_total")
+
+
+def grouped_prefix_max(
+    df: DataFrame,
+    group_cols: list[str],
+    score: Column,
+    value: Column,
+    *tiebreaks: Column,
+    buckets: int = 256,
+    name: str = "prefix_max",
+    broadcast_joins: bool = True,
+) -> DataFrame:
+    """EXCLUSIVE per-group running ``MAX(value) OVER (PARTITION BY
+    group_cols ORDER BY score, *tiebreaks ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` with BOUNDED window groups — the
+    prefix-max member of the grouped family (``name`` is NULL for each
+    group's first row, exactly like the window form). Completes the
+    :func:`distributed_prefix_max` ``tie_split`` decomposition: the
+    within-score exclusive running max runs through THIS, with the
+    score value as the group key and the tie-split column as the
+    bucketed sub-score.
+
+    Same per-group affine range-bucketing as :func:`grouped_prefix_sum`
+    (NULL scores → leading bucket −1; null-safe group joins keep NULL
+    group keys as their own partition). Per (group, bucket) one MAX
+    aggregate; a per-group offsets window over ≤ ``buckets``+1 rows
+    computes each bucket's strictly-lower-bucket max; within a bucket
+    an exclusive running max window; a row's prefix max is the
+    NULL-skipping ``greatest`` of the two. MAX is commutative and
+    idempotent, so splitting a tie group across buckets by any
+    order-preserving sub-key is exact."""
+    df = df.localCheckpoint(eager=False)  # see distributed_rank
+    hint = F.broadcast if broadcast_joins else (lambda d: d)
+    lo_hi = df.groupBy(*group_cols).agg(
+        F.min(score).cast("double").alias("_gm_lo"),
+        F.max(score).cast("double").alias("_gm_hi"),
+    )
+    staged = (
+        _group_join(
+            df.withColumn("_gm_s", score).withColumn("_gm_v", value),
+            lo_hi, group_cols, hint)
+        .withColumn(
+            "_gm_bucket",
+            # NULL scores → leading bucket −1 (ASC NULLS FIRST)
+            F.when(F.col("_gm_s").isNull(), F.lit(-1)).otherwise(
+                F.least(
+                    F.lit(buckets - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("_gm_s").cast("double") - F.col("_gm_lo"))
+                            / ((F.col("_gm_hi") - F.col("_gm_lo")) + F.lit(1e-12))
+                            * buckets
+                        ),
+                    ),
+                )
+            ).cast("long"),
+        )
+        .drop("_gm_lo", "_gm_hi")
+    )
+    maxes = staged.groupBy(*group_cols, "_gm_bucket").agg(
+        F.max("_gm_v").alias("_gm_max"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_gm_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = maxes.select(
+        *group_cols, "_gm_bucket",
+        F.max("_gm_max").over(w_off).alias("_gm_lower"),
+    )
+    w_loc = (
+        Window.partitionBy(*group_cols, "_gm_bucket")
+        .orderBy(F.col("_gm_s"), *tiebreaks)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        _group_join(staged, offsets, group_cols, hint,
+                    bucket_col="_gm_bucket")
+        .withColumn(
+            name,
+            F.greatest(F.col("_gm_lower"), F.max("_gm_v").over(w_loc)))
+        .drop("_gm_bucket", "_gm_s", "_gm_v", "_gm_lower")
+    )

@@ -233,6 +233,16 @@ def point_mass(n: int | None = None) -> None:
                         "bounded_sec": timed(dist_max),
                         "checksum_match": match})
         print(json.dumps(results[-1]), flush=True)
+        tie_max = distributed_prefix_max(
+            docs, F.col(score), F.col("n_tokens"), F.col("doc_id"),
+            name="pm", tie_split=F.col("doc_id")).select("doc_id", "pm")
+        match = checksum(naive_max.fillna(-1), "doc_id", "pm") == \
+            checksum(tie_max.fillna(-1), "doc_id", "pm")
+        results.append({"name": f"prefix_max_{label}_tie_split",
+                        "naive_sec": None,
+                        "bounded_sec": timed(tie_max),
+                        "checksum_match": match})
+        print(json.dumps(results[-1]), flush=True)
 
 
 if __name__ == "__main__":

@@ -369,3 +369,58 @@ def test_distributed_prefix_sum_tie_split(spark, vals):
     assert g == ww
     total = sum(v for (_, _, v) in vals)
     assert {r["tot"] for r in got.collect()} == {total}
+
+
+@pytest.mark.parametrize("vals", [
+    [("a", 5.0, 2), ("a", 1.0, 3), ("b", 3.0, 1), ("a", 2.0, 7),
+     ("b", 4.0, 5), ("b", 0.0, 11), ("a", 6.0, 1)],
+    [("x", 1.0, 4)] * 9,                                 # one tie bucket
+    [("a", 1.0, 9), ("a", 1.0, 2), ("b", 2.0, 3),
+     ("b", 2.0, 4), ("a", 2.0, 5), ("b", 3.0, 6)],       # duplicate scores
+    [("g", float(x % 4), x) for x in range(50)],
+    [("a", None, 2), ("a", 1.0, 3), ("a", None, 5)],     # NULL scores lead
+    [(None, 2.0, 4), ("a", 1.0, 3), (None, None, 5)],    # NULL group keys
+])
+def test_grouped_prefix_max_matches_per_group_window(spark, vals):
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        grouped_prefix_max,
+    )
+    df = spark.createDataFrame(
+        [(i, g, s, v) for i, (g, s, v) in enumerate(vals)],
+        "id long, g string, s double, v long")
+    got = grouped_prefix_max(df, ["g"], F.col("s"), F.col("v"),
+                             F.col("id"), buckets=4, name="pm")
+    w = (Window.partitionBy("g").orderBy(F.col("s").asc_nulls_first(), "id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    want = df.select("id", F.max("v").over(w).alias("pm"))
+    g = {r["id"]: r["pm"] for r in got.collect()}
+    ww = {r["id"]: r["pm"] for r in want.collect()}
+    assert len(g) == len(vals), "rows dropped"
+    assert g == ww
+
+
+@pytest.mark.parametrize("vals", [
+    # point mass: 90% of rows share one score
+    [(i, 7.0 if i % 10 else float(i), i % 5 + 1) for i in range(60)],
+    [(i, 3.0, 2) for i in range(20)],                    # all one value
+    [(0, None, 4), (1, 5.0, 1), (2, 5.0, 2), (3, None, 8), (4, 9.0, 3),
+     (5, 5.0, 6)],                                       # NULLs + ties
+])
+def test_distributed_prefix_max_tie_split(spark, vals):
+    """The tie_split decomposition of the EXCLUSIVE global prefix max
+    must equal the naive global window bit-for-bit on point-mass
+    distributions (MAX is commutative/idempotent, so splitting a tie
+    group by an order-preserving sub-key is exact)."""
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        distributed_prefix_max,
+    )
+    df = spark.createDataFrame(vals, "id long, s double, v long")
+    got = distributed_prefix_max(
+        df, F.col("s"), F.col("v"), buckets=4, name="pm",
+        tie_split=F.col("id"))
+    w = (Window.orderBy(F.col("s").asc_nulls_first(), "id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    want = df.select("id", F.max("v").over(w).alias("pm"))
+    g = {r["id"]: r["pm"] for r in got.collect()}
+    ww = {r["id"]: r["pm"] for r in want.collect()}
+    assert g == ww
