@@ -162,7 +162,7 @@ def join_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses first.
     """
     orders = load_table(spark, sf_dir, "orders")
-    customer = (load_table(spark, sf_dir, "customer"))
+    customer = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
     return (
@@ -308,7 +308,7 @@ def join_band_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter) — that scale path is ``join_band_bucketized`` /
     operators.relational.band_join_bucketized.
     """
-    supplier = (load_table(spark, sf_dir, "supplier"))
+    supplier = load_table(spark, sf_dir, "supplier")
     customer = load_table(spark, sf_dir, "customer")
     return (
         customer.join(
