@@ -183,7 +183,7 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_prev").isNull() | (F.col("_ms") > F.col("_prev")))
         .select("p_retailprice", F.col("_ms").alias("p_size"))
     )
-    return p.join((frontier), ["p_retailprice", "p_size"],
+    return p.join(frontier, ["p_retailprice", "p_size"],
                   "left_semi").select("p_partkey", "p_retailprice", "p_size")
 
 

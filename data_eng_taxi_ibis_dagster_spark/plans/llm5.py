@@ -224,7 +224,7 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("token"))
     return (
-        tf.join((df_), "token")
+        tf.join(df_, "token")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "token", "tf", "df")

@@ -68,7 +68,7 @@ def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 o.agg(F.count(F.lit(1)).alias("value")))
     orphans = one(
         "orphan_orders",
-        o.join((c.select("c_custkey")),
+        o.join(c.select("c_custkey"),
                o.o_custkey == c.c_custkey, "left_anti")
          .agg(F.count(F.lit(1)).alias("value")))
     dups = one(

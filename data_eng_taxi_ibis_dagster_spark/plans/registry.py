@@ -107,21 +107,28 @@ def _load_all() -> None:
 # verified block ordered OLDEST ROUND FIRST so long-unchecked queries
 # are re-confirmed before recently-checked ones.  Regenerate with
 # ``python scripts/regen_driver_verified.py`` after each driver round.
+# Regeneration watermark: the highest driver round folded into
+# ``_DRIVER_VERIFIED`` below.  The rotation tripwire
+# (tests/test_registry_rotation.py) ignores CORRECTNESS files NEWER
+# than this round -- the driver writes CORRECTNESS_r{N+1}.json after
+# the final commit of round N+1, so a judged tree can never list it;
+# any discrepancy AT or BELOW the watermark still fails hard.
+_DRIVER_VERIFIED_AS_OF = 7
 _DRIVER_VERIFIED = {
     "abc_pareto_customers": 6,
     "abtest_two_proportion": 6,
-    "agg_argminmax_median_bits": 2,
+    "agg_argminmax_median_bits": 7,
     "agg_bitwise_flags": 4,
-    "agg_conditional_bool": 2,
-    "agg_exact_linear_stats": 2,
-    "agg_salted_hot_key": 3,
-    "agg_string_concat_sorted": 2,
+    "agg_conditional_bool": 7,
+    "agg_exact_linear_stats": 7,
+    "agg_salted_hot_key": 7,
+    "agg_string_concat_sorted": 7,
     "anomaly_mad_outliers": 5,
     "apply_in_arrow_group_stats": 6,
-    "apply_in_pandas_zscore": 2,
-    "approx_aggregates": 3,
+    "apply_in_pandas_zscore": 7,
+    "approx_aggregates": 7,
     "approx_exact_regime_audit": 6,
-    "arrow_python_udf": 2,
+    "arrow_python_udf": 7,
     "audio_twin_audit": 5,
     "basket_brand_pairs": 4,
     "bpe_encode_audit": 5,
@@ -136,29 +143,32 @@ _DRIVER_VERIFIED = {
     "contrastive_pair_mining": 5,
     "cooccurrence_edges_audit": 5,
     "correlated_scalar_subquery": 4,
-    "count_lineitem": 3,
-    "cube_sales": 3,
+    "count_lineitem": 7,
+    "cube_sales": 7,
+    "cum_revenue_by_orderdate": 7,
     "curation_funnel": 5,
-    "curation_stack": 6,
-    "customer_order_distribution": 2,
+    "curation_pairs": 7,
+    "curation_stack": 7,
+    "customer_order_distribution": 7,
     "data_mixture_resample": 4,
     "decontaminate_ngram": 4,
     "dedup_cdc_chunks": 5,
     "dedup_cluster_audit": 6,
-    "dedup_cluster_pick": 3,
+    "dedup_cluster_pick": 7,
     "dedup_containment": 6,
     "dedup_edit_distance": 4,
-    "dedup_embedding_cosine": 3,
-    "dedup_exact": 3,
+    "dedup_embedding_cosine": 7,
+    "dedup_exact": 7,
     "dedup_incremental": 4,
     "dedup_incremental_batch": 6,
+    "dedup_incremental_persisted": 7,
     "dedup_minhash_audit": 6,
-    "dedup_minhash_lsh": 3,
-    "dedup_ngram_jaccard": 3,
-    "dedup_simhash": 3,
+    "dedup_minhash_lsh": 7,
+    "dedup_ngram_jaccard": 7,
+    "dedup_simhash": 7,
     "dedup_span_removal": 5,
     "dedup_span_windows": 5,
-    "distinct_segments": 3,
+    "distinct_segments": 7,
     "domain_cap_sample": 6,
     "dsir_importance_topk": 6,
     "embedding_centroids": 4,
@@ -179,9 +189,9 @@ _DRIVER_VERIFIED = {
     "events_sliding_value": 3,
     "events_trailing_24h_spend": 6,
     "exact_count_distinct": 3,
-    "explode_tokens": 2,
+    "explode_tokens": 7,
     "fingerprint_winnowing": 5,
-    "flagship_avg_price": 6,
+    "flagship_avg_price": 7,
     "flagship_sql_path": 3,
     "forecast_revenue": 5,
     "forecast_seasonal_naive": 6,
@@ -189,7 +199,7 @@ _DRIVER_VERIFIED = {
     "global_sales_opportunity": 5,
     "global_shuffle_order": 4,
     "graph_triangle_tokens": 5,
-    "grouping_sets_sql": 2,
+    "grouping_sets_sql": 7,
     "heavy_hitter_tokens": 4,
     "hierarchy_pointer_doubling": 5,
     "histogram_equidepth_price": 6,
@@ -215,7 +225,7 @@ _DRIVER_VERIFIED = {
     "late_shipment_priority": 5,
     "lateral_topn_per_customer": 4,
     "lm_bigram_familiarity": 5,
-    "local_supplier_volume": 2,
+    "local_supplier_volume": 7,
     "map_in_arrow_stats": 6,
     "markov_event_transitions": 6,
     "min_cost_supplier": 5,
@@ -229,31 +239,31 @@ _DRIVER_VERIFIED = {
     "ngram_bigram_counts": 4,
     "ngram_novelty": 5,
     "null_semantics": 5,
-    "order_priority_check": 2,
-    "pack_sequences": 4,
+    "order_priority_check": 7,
+    "pack_sequences": 7,
     "pagerank_cooccurrence": 6,
     "pagerank_iter1_audit": 6,
-    "pandas_udf_grouped": 2,
-    "pandas_udf_scalar": 2,
+    "pandas_udf_grouped": 7,
+    "pandas_udf_scalar": 7,
     "parts_supplier_relationship": 5,
-    "percentile_cont_price": 4,
-    "percentile_disc_price": 4,
+    "percentile_cont_price": 7,
+    "percentile_disc_price": 7,
     "phash_twin_audit": 6,
     "pii_redact_digits": 4,
-    "pivot_status_by_priority": 2,
-    "pricing_summary": 2,
+    "pivot_status_by_priority": 7,
+    "pricing_summary": 7,
     "product_type_profit": 5,
-    "profile_orders": 2,
+    "profile_orders": 7,
     "promo_part_suppliers": 5,
-    "promo_revenue_share": 2,
+    "promo_revenue_share": 7,
     "pysource_telemetry_rollup": 5,
     "quality_classifier_linear": 5,
     "quality_gopher_rules": 4,
     "quality_repetition": 4,
     "retrieval_bm25_topk": 6,
-    "retrieval_stack_audit": 6,
-    "retrieval_stack_topk": 6,
-    "returned_items_top_customers": 2,
+    "retrieval_stack_audit": 7,
+    "retrieval_stack_topk": 7,
+    "returned_items_top_customers": 7,
     "rfm_segmentation": 3,
     "rolling_7d_active_users": 6,
     "rollup_sales": 3,
@@ -263,10 +273,10 @@ _DRIVER_VERIFIED = {
     "scalar_json": 4,
     "scalar_map_funcs": 4,
     "scalar_math_case": 4,
-    "scalar_regexp": 2,
-    "scalar_string_funcs": 2,
+    "scalar_regexp": 7,
+    "scalar_string_funcs": 7,
     "scalar_struct_explode": 4,
-    "scalar_subquery_fraction": 2,
+    "scalar_subquery_fraction": 7,
     "scalar_try_funcs": 4,
     "scan_filter_project": 3,
     "scd2_user_value": 4,
@@ -276,25 +286,25 @@ _DRIVER_VERIFIED = {
     "setop_intersect": 3,
     "setop_union_all_keys": 3,
     "share_of_priority_by_status": 4,
-    "shipping_priority": 2,
+    "shipping_priority": 7,
     "simhash_twin_audit": 5,
     "similarity_ann_audit": 6,
     "similarity_ann_srp": 3,
     "similarity_cosine_topk": 3,
     "similarity_ivf": 3,
     "similarity_ivf_audit": 6,
-    "similarity_ivfpq_audit": 6,
+    "similarity_ivfpq_audit": 7,
     "similarity_ivfpq_topk": 6,
     "similarity_matryoshka_topk": 6,
     "similarity_maxsim_topk": 6,
-    "similarity_pq_audit": 6,
+    "similarity_pq_audit": 7,
     "similarity_pq_topk": 6,
     "sketch_rollup_uniques": 3,
     "skyline_pareto_parts": 5,
     "small_quantity_revenue": 5,
-    "stats_aggregates": 2,
-    "stratified_sample_label": 4,
-    "subquery_cte_having": 2,
+    "stats_aggregates": 7,
+    "stratified_sample_label": 7,
+    "subquery_cte_having": 7,
     "systematic_sample": 5,
     "table_diff_orders": 6,
     "text_html_strip": 5,
@@ -308,7 +318,7 @@ _DRIVER_VERIFIED = {
     "topk_orders": 3,
     "topk_per_group": 3,
     "train_test_split": 4,
-    "udtf_chunk_documents": 2,
+    "udtf_chunk_documents": 7,
     "unpivot_order_measures": 3,
     "url_parse_stats": 5,
     "variant_props_stats": 4,
@@ -317,7 +327,7 @@ _DRIVER_VERIFIED = {
     "waiting_supplier_check": 5,
     "weighted_median_price": 6,
     "weighted_sample_aes": 4,
-    "window_distribution_funcs": 5,
+    "window_distribution_funcs": 7,
     "window_rank_lag": 3,
     "window_running_total": 3,
     "zipf_vocab_profile": 6,
@@ -329,23 +339,32 @@ _DRIVER_VERIFIED = {
 # CORRECTNESS row lands.  Add names here in the same commit that
 # rewrites a builder; remove them once regen picks up the new round.
 _EVICTED: frozenset[str] = frozenset({
-    # r7: forced-broadcast hint removed from the final anti-join (the
-    # round-6 scale weak); plan shape changed, oracle untouched.
-    "curation_stack",
-    # r7: grouped_rank/grouped_prefix_sum internal joins made null-safe
-    # (round-6 advisor: NULL group keys were silently dropped) — every
-    # registered consumer's plan changed, so their external rows
-    # verified the old plan.  Direct consumers:
-    "pack_sequences",
-    "stratified_sample_label",
-    "percentile_disc_price",
-    "percentile_cont_price",
-    "window_distribution_funcs",
-    # ... and via operators/pq.train_codebooks_exact:
-    "similarity_pq_audit",
-    "similarity_ivfpq_audit",
-    "retrieval_stack_audit",
-    "retrieval_stack_topk",
+    # r7 commit 2c769ab removed forced-broadcast hints from 23
+    # builders; 4 (curation_stack, customer_order_distribution,
+    # local_supplier_volume, pricing_summary) earned fresh r7 rows.
+    # The remaining 19 rotate to the front of the r8 window: their
+    # external rows attest to the old hinted plans (round-7 advisor
+    # finding -- the eviction policy applies to hint-only rewrites
+    # too, since the physical plan is exactly what changed).
+    "basket_brand_pairs",
+    "brand_quantity_revenue",
+    "constraint_check",
+    "important_part_volume",
+    "join_bloom_prefilter",
+    "join_range_ship_lag",
+    "large_volume_customers",
+    "min_cost_supplier",
+    "national_market_share",
+    "parts_supplier_relationship",
+    "product_type_profit",
+    "promo_part_suppliers",
+    "scan_filter_project",
+    "skyline_pareto_parts",
+    "small_quantity_revenue",
+    "tfidf_top_term",
+    "top_supplier",
+    "volume_shipping",
+    "waiting_supplier_check",
 })
 
 
