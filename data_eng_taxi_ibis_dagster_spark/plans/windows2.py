@@ -119,6 +119,7 @@ def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
     """,
     tags=("E5", "EXT"),
+    bench=True,
 )
 def cum_revenue_by_orderdate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global running revenue ordered by ORDER DATE — the tie-heavy
@@ -152,5 +153,59 @@ def cum_revenue_by_orderdate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "cum_revenue_cents")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "running_peak_price_by_orderdate",
+    oracle="""
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               CAST(MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    OVER (ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS peak_price_cents
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    tags=("E5", "EXT"),
+    bench=True,
+)
+def running_peak_price_by_orderdate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running PEAK order price ordered by ORDER DATE — the
+    tie-heavy prefix-MAX twin of ``cum_revenue_by_orderdate``, and the
+    registered strict consumer of the ``distributed_prefix_max``
+    ``tie_split`` decomposition (round-7 verdict ask #7: the max-side
+    path — per-date maxima, a distinct-DATE exclusive prefix max, a
+    within-date running max via ``grouped_prefix_max`` — had only
+    pytest + skew-harness evidence; this query gives it an external
+    hash-verified row). Every order placed the same day shares one
+    score value, so the date column is a lattice of point masses and
+    the plain affine bucketing would push whole days through single
+    tasks. The INCLUSIVE running peak is the NULL-skipping
+    ``greatest`` of the operator's exclusive prefix and the row's own
+    value, which also keeps the output NULL-free (an exclusive first
+    row is NULL, and a nullable BIGINT round-trips as float64 on the
+    DuckDB side — a dtype-skew class this repo's oracles avoid).
+    Prices quantized to integer cents per the repo float discipline."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        .alias("_cents"),
+        # injective monotone day index (midnight-granular fixture:
+        # index ties are exactly o_orderdate ties, per tie_split)
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("double").alias("_day"))
+    out = O.distributed_prefix_max(
+        o, F.col("_day"), F.col("_cents"),
+        F.col("o_orderkey"), name="_peak_excl",
+        tie_split=F.col("o_orderkey"))
+    return (
+        out.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.greatest("_peak_excl", "_cents").alias("peak_price_cents"))
         .orderBy("o_orderkey")
     )

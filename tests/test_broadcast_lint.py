@@ -130,16 +130,29 @@ BROADCAST_BOUNDS = {
 VALID_KINDS = {"fixed-dim", "scalar", "probe", "artifact", "grid"}
 
 
-def _broadcast_sites() -> dict[tuple[str, str], int]:
-    found: dict[tuple[str, str], int] = {}
-    for root, _, files in os.walk(PKG):
+def _broadcast_sites(pkg: str = PKG) -> tuple[
+        dict[tuple[str, str], int], dict[tuple[str, str], int]]:
+    """(call sites, alias references) per (module, enclosing function).
+
+    A *call site* is ``F.broadcast(...)`` / ``broadcast(...)``.  An
+    *alias reference* is any OTHER mention of a ``broadcast`` attribute
+    or name — ``hint = F.broadcast``, ``b = F.broadcast; b(df)``, a
+    broadcast passed as a callback — which detaches the hint from its
+    argument so the per-call-site census cannot see what it is applied
+    to (round-7 advisor: ``operators/order.py``'s conditional ``hint``
+    binding was invisible to the lint).  Alias references need their
+    own declared bound covering everything the alias is applied to."""
+    calls: dict[tuple[str, str], int] = {}
+    aliases: dict[tuple[str, str], int] = {}
+    for root, _, files in os.walk(pkg):
         for fn in sorted(files):
             if not fn.endswith(".py"):
                 continue
             path = os.path.join(root, fn)
-            rel = os.path.relpath(path, PKG)
+            rel = os.path.relpath(path, pkg)
             tree = ast.parse(open(path).read())
             stack: list[str] = []
+            call_funcs: set[int] = set()
 
             class V(ast.NodeVisitor):
                 def visit_FunctionDef(self, node):
@@ -154,16 +167,47 @@ def _broadcast_sites() -> dict[tuple[str, str], int]:
                     name = (f.attr if isinstance(f, ast.Attribute)
                             else getattr(f, "id", None))
                     if name == "broadcast":
+                        call_funcs.add(id(f))
                         key = (rel, ".".join(stack) or "<module>")
-                        found[key] = found.get(key, 0) + 1
+                        calls[key] = calls.get(key, 0) + 1
+                    self.generic_visit(node)
+
+                def _ref(self, node, name):
+                    if name == "broadcast" and id(node) not in call_funcs:
+                        key = (rel, ".".join(stack) or "<module>")
+                        aliases[key] = aliases.get(key, 0) + 1
+
+                def visit_Attribute(self, node):
+                    self._ref(node, node.attr)
+                    self.generic_visit(node)
+
+                def visit_Name(self, node):
+                    self._ref(node, node.id)
                     self.generic_visit(node)
 
             V().visit(tree)
-    return found
+    return calls, aliases
+
+
+#: (module, enclosing function) -> (n_alias_refs, justification) for
+#: every non-call reference to ``broadcast`` (see ``_broadcast_sites``).
+#: The justification must bound EVERYTHING the alias is ever applied
+#: to, since the census cannot.
+BROADCAST_ALIASES = {
+    ("operators/order.py", "grouped_rank"):
+        (1, "conditional hint on the per-group (min,max) scalar and "
+            "<=buckets+1-row offsets relations; group-DOMAIN-sized, so "
+            "callers with corpus-scaling group counts must pass "
+            "broadcast_joins=False (the tie_split paths do)"),
+    ("operators/order.py", "grouped_prefix_sum"):
+        (1, "same conditional hint / same bound as grouped_rank"),
+    ("operators/order.py", "grouped_prefix_max"):
+        (1, "same conditional hint / same bound as grouped_rank"),
+}
 
 
 def test_every_broadcast_hint_is_bounded():
-    found = _broadcast_sites()
+    found, _ = _broadcast_sites()
     missing = {k: n for k, n in found.items() if k not in BROADCAST_BOUNDS}
     assert not missing, (
         f"F.broadcast hints without a declared bound: {missing} — a "
@@ -181,6 +225,44 @@ def test_every_broadcast_hint_is_bounded():
     bad_kinds = {k: v[1] for k, v in BROADCAST_BOUNDS.items()
                  if v[1] not in VALID_KINDS}
     assert not bad_kinds, f"unknown bound kinds: {bad_kinds}"
+
+
+def test_every_broadcast_alias_is_bounded():
+    """Aliased hints (``hint = F.broadcast``) detach the hint from its
+    arguments, so each alias reference needs its own declared bound —
+    without this, ``b = F.broadcast; b(corpus_df)`` would bypass the
+    census entirely (round-7 advisor finding)."""
+    _, aliases = _broadcast_sites()
+    missing = {k: n for k, n in aliases.items()
+               if k not in BROADCAST_ALIASES}
+    assert not missing, (
+        f"non-call broadcast references without a declared bound: "
+        f"{missing} — an alias hides what the hint is applied to; add "
+        f"a BROADCAST_ALIASES entry bounding every relation the alias "
+        f"can touch, or inline the F.broadcast call")
+    stale = {k for k in BROADCAST_ALIASES if k not in aliases}
+    assert not stale, f"BROADCAST_ALIASES entries with no ref: {stale}"
+    drift = {k: (aliases[k], BROADCAST_ALIASES[k][0])
+             for k in aliases if aliases[k] != BROADCAST_ALIASES[k][0]}
+    assert not drift, (
+        f"broadcast alias-ref drift (found, declared): {drift}")
+
+
+def test_alias_census_mechanism(tmp_path):
+    """The census itself: an aliased broadcast in a synthetic module
+    must surface as an alias reference (NOT a call site), and the
+    direct call must surface as a call site (NOT an alias)."""
+    (tmp_path / "m.py").write_text(
+        "from pyspark.sql import functions as F\n"
+        "def g(df):\n"
+        "    b = F.broadcast\n"          # alias ref
+        "    return b(df)\n"             # call of the ALIAS (unseen name)
+        "def h(df):\n"
+        "    return F.broadcast(df)\n"   # plain call site
+    )
+    calls, aliases = _broadcast_sites(str(tmp_path))
+    assert calls == {("m.py", "h"): 1}
+    assert aliases == {("m.py", "g"): 1}
 
 
 def test_no_broadcast_of_raw_sf_scaling_tables():

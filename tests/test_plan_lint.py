@@ -46,6 +46,8 @@ BNLJ_ALLOWED = {
     "weighted_median_price",       # distributed_prefix_sum 1-row (min,max) join
     "cum_revenue_by_orderdate",    # tie_split recursion: 1-row (min,max) join
                                    # on the distinct-date offsets pass
+    "running_peak_price_by_orderdate",  # same tie_split recursion shape
+                                        # (prefix-MAX variant)
     "skyline_pareto_parts",        # distributed_prefix_max 1-row (min,max) join
     "bpe_merge_audit",             # 1-row vocab-stats scalar join onto the merge table
     "similarity_pq_audit",         # brute-force scoring stage, probe broadcast
@@ -147,7 +149,12 @@ _BOUNDED_OFFSET_PREFIXES = ("_dr_bucket", "_dp_bucket", "_pm_bucket",
                             # offsets windows carry it as their ORDER
                             # key — both bounded by construction at
                             # ANY scale.
-                            "_gr_bucket", "_gp_bucket")
+                            "_gr_bucket", "_gp_bucket",
+                            # grouped_prefix_max (round-7 advisor: add
+                            # in the same change that registers the
+                            # first distributed_prefix_max(tie_split)
+                            # consumer)
+                            "_gm_bucket")
 
 
 def _unpartitioned_window_orders(plan: str) -> list[str]:
@@ -320,24 +327,38 @@ def test_registry_analyzes_at_every_sf_dir(spark):
     against every generated sf dir. Mostly schema resolution, but
     builders of iterative/driver-seeded queries (k-means seeds,
     PageRank vertex counts, CC convergence loops) legitimately run
-    bounded Spark jobs at build time, so this test costs a few
-    minutes — the price of catching drift like round 2's events `ts`
-    type change in-repo instead of in the driver."""
+    bounded Spark jobs at build time — the dominant cost of this test,
+    so the (name, dir) sweep runs through a thread pool (round-7
+    verdict ask #8: the serial sweep had grown to a large share of the
+    suite's wall clock). Spark plan analysis and job submission are
+    thread-safe on one session; eager build-time jobs from different
+    builders simply interleave on local[32], and the one
+    tempdir-writing builder isolates each build under a unique path
+    (test_persisted_index_concurrent_builders). Same coverage — the
+    price of catching drift like round 2's events `ts` type change
+    in-repo instead of in the driver, at a fraction of the wall."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     root = os.path.dirname(os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/"))
     sf_dirs = [os.path.join(root, d) for d in sorted(os.listdir(root))
                if d.startswith("sf")]
     assert sf_dirs, root
-    failures = []
-    for d in sf_dirs:
-        for name, spec in all_specs().items():
-            try:
-                spec.builder(spark, d).schema
-            except Exception as e:  # noqa: BLE001 — collecting all breakage
-                failures.append(f"{name} @ {os.path.basename(d)}: "
-                                f"{type(e).__name__}: {str(e)[:120]}")
+    specs = all_specs()
+
+    def analyze(args):
+        name, d = args
+        try:
+            specs[name].builder(spark, d).schema
+            return None
+        except Exception as e:  # noqa: BLE001 — collecting all breakage
+            return (f"{name} @ {os.path.basename(d)}: "
+                    f"{type(e).__name__}: {str(e)[:120]}")
+
+    work = [(n, d) for d in sf_dirs for n in specs]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        failures = [f for f in pool.map(analyze, work) if f]
     assert not failures, "\n".join(failures)
 
 
