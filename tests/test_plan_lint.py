@@ -328,15 +328,23 @@ def test_registry_analyzes_at_every_sf_dir(spark):
     builders of iterative/driver-seeded queries (k-means seeds,
     PageRank vertex counts, CC convergence loops) legitimately run
     bounded Spark jobs at build time — the dominant cost of this test,
-    so the (name, dir) sweep runs through a thread pool (round-7
-    verdict ask #8: the serial sweep had grown to a large share of the
-    suite's wall clock). Spark plan analysis and job submission are
-    thread-safe on one session; eager build-time jobs from different
-    builders simply interleave on local[32], and the one
-    tempdir-writing builder isolates each build under a unique path
-    (test_persisted_index_concurrent_builders). Same coverage — the
-    price of catching drift like round 2's events `ts` type change
-    in-repo instead of in the driver, at a fraction of the wall."""
+    so the sweep runs through a thread pool (round-7 verdict ask #8:
+    the serial sweep had grown to a large share of the suite's wall
+    clock). Spark plan analysis and job submission are thread-safe on
+    one session; eager build-time jobs from different builders simply
+    interleave on local[32], and the one tempdir-writing builder
+    isolates each build under a unique path
+    (test_persisted_index_concurrent_builders). Parallelism is WITHIN
+    one sf dir at a time — never across dirs: the SQL-path builders
+    register session-global temp views named after the fixture tables,
+    so cross-dir concurrency would let a builder's spark.sql analyze
+    against a view a concurrent builder just pointed at ANOTHER dir —
+    masking (or falsely surfacing) exactly the per-dir schema drift
+    this test exists to catch. Within one dir every racing
+    registration points at the same parquet, so the race is benign.
+    Same coverage — the price of catching drift like round 2's events
+    `ts` type change in-repo instead of in the driver, at a fraction
+    of the wall."""
     import os
     from concurrent.futures import ThreadPoolExecutor
 
@@ -346,19 +354,18 @@ def test_registry_analyzes_at_every_sf_dir(spark):
                if d.startswith("sf")]
     assert sf_dirs, root
     specs = all_specs()
+    failures = []
+    for d in sf_dirs:
+        def analyze(name, d=d):
+            try:
+                specs[name].builder(spark, d).schema
+                return None
+            except Exception as e:  # noqa: BLE001 — collecting all breakage
+                return (f"{name} @ {os.path.basename(d)}: "
+                        f"{type(e).__name__}: {str(e)[:120]}")
 
-    def analyze(args):
-        name, d = args
-        try:
-            specs[name].builder(spark, d).schema
-            return None
-        except Exception as e:  # noqa: BLE001 — collecting all breakage
-            return (f"{name} @ {os.path.basename(d)}: "
-                    f"{type(e).__name__}: {str(e)[:120]}")
-
-    work = [(n, d) for d in sf_dirs for n in specs]
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        failures = [f for f in pool.map(analyze, work) if f]
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            failures += [f for f in pool.map(analyze, specs) if f]
     assert not failures, "\n".join(failures)
 
 
