@@ -257,3 +257,58 @@ def test_distributed_rank_property(_spark, vals):
     want = {r["id"]: r["pos"] for r in sdf.withColumn(
         "pos", F.row_number().over(Window.orderBy("v", "id"))).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# tie_split prefix decompositions: property-based equivalence with the
+# global window (point-mass-prone score pools, NULL scores included)
+# ---------------------------------------------------------------------------
+
+tie_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(),
+                  st.sampled_from([-3.0, 0.0, 0.0, 0.0, 7.5, 7.5, 1e9])),
+        st.integers(min_value=-1000, max_value=1000),
+    ),
+    min_size=1, max_size=50,
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=tie_rows)
+def test_tie_split_prefix_ops_property(_spark, rows):
+    """``distributed_prefix_sum/_max(tie_split=...)`` must equal the
+    naive global window bit-for-bit on ANY distribution drawn from a
+    point-mass-prone score pool (most draws collide on 0.0/7.5) with
+    NULL scores mixed in — the decomposition's exactness argument
+    (order-insensitive SUM within a tie group; idempotent MAX) fuzzed
+    beyond the hand-picked cases in test_order_rank."""
+    from pyspark.sql.window import Window
+
+    from data_eng_taxi_ibis_dagster_spark.operators.order import (
+        distributed_prefix_max,
+        distributed_prefix_sum,
+    )
+
+    sdf = _spark.createDataFrame(
+        [(i, s, v) for i, (s, v) in enumerate(rows)],
+        "id long, s double, v long")
+    w_inc = (Window.orderBy(F.col("s").asc_nulls_first(), "id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_exc = (Window.orderBy(F.col("s").asc_nulls_first(), "id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+
+    got_sum = {r["id"]: r["cum"] for r in distributed_prefix_sum(
+        sdf, F.col("s"), F.col("v"), buckets=4, name="cum",
+        tie_split=F.col("id")).collect()}
+    want_sum = {r["id"]: r["cum"] for r in sdf.withColumn(
+        "cum", F.sum("v").over(w_inc)).collect()}
+    assert got_sum == want_sum
+
+    got_max = {r["id"]: r["pm"] for r in distributed_prefix_max(
+        sdf, F.col("s"), F.col("v"), buckets=4, name="pm",
+        tie_split=F.col("id")).collect()}
+    want_max = {r["id"]: r["pm"] for r in sdf.withColumn(
+        "pm", F.max("v").over(w_exc)).collect()}
+    assert got_max == want_max
