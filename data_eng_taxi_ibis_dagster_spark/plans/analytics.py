@@ -197,3 +197,106 @@ def histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("bin_max"),
         )
     )
+
+
+@query(
+    "quantile_sketch_rollup",
+    oracle="""
+        WITH bins AS (
+            SELECT CAST(floor(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) / 10000) AS BIGINT) AS bin,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1
+        ),
+        c AS (
+            SELECT bin,
+                   SUM(n) OVER (ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                   SUM(n) OVER () AS total
+            FROM bins
+        )
+        SELECT CAST(p.pct AS BIGINT) AS pct,
+               CAST(MIN(CASE WHEN cum * 100 >= p.pct * total
+                             THEN bin END) * 10000 AS BIGINT)
+                   AS est_lo_cents,
+               CAST(MAX(total) AS BIGINT) AS n_rows
+        FROM c CROSS JOIN (VALUES (25), (50), (75), (95)) AS p(pct)
+        GROUP BY p.pct
+        ORDER BY pct
+    """,
+    tags=("E8", "EXT"),
+    bench=True,
+)
+def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-histogram rollup (``operators/qsketch``) —
+    the percentile companion of ``sketch_rollup_uniques``: per-MONTH
+    fixed-grid histograms of order totals ($100 bins over integer
+    cents) merged by count addition into the all-time grid, then
+    p25/p50/p75/p95 read off the merged sketch as lower-bound
+    PERCENTILE_DISC bins (pure-integer rank test ``100·cum ≥ pct·n``).
+
+    The STRICT oracle is the mergeability proof: Spark takes the
+    two-level path (month sketches → additive merge → quantiles),
+    DuckDB bins the raw table ONCE — identical results by count
+    additivity, hash-checked. At 100 TB the month sketches are
+    persisted columns (like the HLL rollup): any later slice rollup
+    is an aggregate over ≤ range/width-row grids, never a re-scan."""
+    from data_eng_taxi_ibis_dagster_spark.operators import qsketch as Q
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+         .alias("cents"))
+    monthly = Q.histogram_sketch(o, F.col("cents"), width=10000,
+                                 group_cols=["month"])
+    merged = Q.merge_sketches(monthly)
+    return (
+        Q.sketch_quantiles(merged, [25, 50, 75, 95], width=10000,
+                           est_name="est_lo_cents")
+        .orderBy("pct")
+    )
+
+
+@query(
+    "quantile_sketch_exact_audit",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_quantity) AS rn,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+            FROM lineitem
+        )
+        SELECT l_returnflag, CAST(p.pct AS BIGINT) AS pct,
+               CAST(MIN(CASE WHEN rn * 100 >= p.pct * cnt
+                             THEN v END) AS BIGINT) AS est_lo,
+               CAST(MAX(cnt) AS BIGINT) AS n_rows
+        FROM ranked CROSS JOIN (VALUES (25), (50), (75), (95)) AS p(pct)
+        GROUP BY l_returnflag, p.pct
+        ORDER BY l_returnflag, pct
+    """,
+    tags=("E8", "EXT"),
+)
+def quantile_sketch_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch's EXACT REGIME, audited against true PERCENTILE_DISC
+    computed a completely different way: l_quantity is an integer grid,
+    so a width-1 sketch's bin lower bound IS the discrete percentile —
+    and the DuckDB twin derives it by rank selection over the RAW rows
+    (row_number vs ``100·rn ≥ pct·cnt``), sharing no intermediate with
+    the histogram path. Per-l_returnflag p25/50/75/95 hash-matching
+    proves the sketch read-out implements the quantile function, the
+    same exact-regime-pins-the-approx-machinery pattern as
+    ``approx_exact_regime_audit`` / ``similarity_pq_audit``."""
+    from data_eng_taxi_ibis_dagster_spark.operators import qsketch as Q
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"))
+    sk = Q.histogram_sketch(li, F.col("qty"), width=1,
+                            group_cols=["l_returnflag"])
+    return (
+        Q.sketch_quantiles(sk, [25, 50, 75, 95], width=1,
+                           group_cols=["l_returnflag"])
+        .orderBy("l_returnflag", "pct")
+    )

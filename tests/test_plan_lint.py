@@ -122,6 +122,9 @@ WINDOW_KEY_BOUNDS = {
                          "rank-limited per (domain, input partition)"),
     ("o_orderstatus",): ("bounded", "post-aggregate |status|x|priority| "
                          "grid (share_of_priority_by_status)"),
+    ("l_returnflag",): ("bounded", "per-flag TOTAL over the quantile-"
+                        "sketch grid: ≤ range/width rows per flag "
+                        "(quantile_sketch_exact_audit)"),
     ("from_type",): ("bounded", "post-aggregate |event_type|^2 transition "
                      "grid"),
 }
@@ -154,7 +157,12 @@ _BOUNDED_OFFSET_PREFIXES = ("_dr_bucket", "_dp_bucket", "_pm_bucket",
                             # in the same change that registers the
                             # first distributed_prefix_max(tie_split)
                             # consumer)
-                            "_gm_bucket")
+                            "_gm_bucket",
+                            # operators/qsketch: a quantile-histogram
+                            # sketch grid is ≤ value_range/width rows
+                            # per group — a sketch PARAMETER bound
+                            # (like HLL lgK), not corpus-scaling.
+                            "_qs_bin")
 
 
 def _unpartitioned_window_orders(plan: str) -> list[str]:
