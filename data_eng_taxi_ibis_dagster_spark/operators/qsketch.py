@@ -94,8 +94,12 @@ def sketch_quantiles(sk: DataFrame, pcts: list[int], *, width: int,
                      F.col("_qs_bin"))).alias(f"_qs_p{p}")
         for p in pcts
     ]
-    row = c.groupBy(*group_cols).agg(*aggs,
-                                     F.max("_qs_total").alias("_qs_nr"))
+    row = (c.groupBy(*group_cols)
+           .agg(*aggs, F.max("_qs_total").alias("_qs_nr"))
+           # Global read over an EMPTY sketch: groupBy().agg() still
+           # emits one all-NULL row — drop it so the empty corpus reads
+           # as an empty result, consistent with the grouped path.
+           .filter(F.col("_qs_nr").isNotNull()))
     stack = ", ".join(f"{p}, _qs_p{p}" for p in pcts)
     return (
         row.select(

@@ -312,3 +312,42 @@ def test_tie_split_prefix_ops_property(_spark, rows):
     want_max = {r["id"]: r["pm"] for r in sdf.withColumn(
         "pm", F.max("v").over(w_exc)).collect()}
     assert got_max == want_max
+
+
+# ---------------------------------------------------------------------------
+# Quantile-histogram sketch: property-based equivalence with exact
+# discrete percentiles computed in plain Python
+# ---------------------------------------------------------------------------
+
+qs_rows = st.lists(st.integers(min_value=-500, max_value=500),
+                   min_size=1, max_size=40)
+qs_width = st.sampled_from([1, 3, 10, 250])
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=qs_rows, width=qs_width)
+def test_quantile_sketch_property(_spark, vals, width):
+    """For ANY integer corpus and grid width: the sketch estimate is
+    exactly floor(true_disc_percentile / width) · width — i.e. the
+    true PERCENTILE_DISC value's own bin lower bound (⇒ the estimate
+    equals the truth whenever width divides the data's grid, and
+    brackets it within width always)."""
+    import math
+
+    from data_eng_taxi_ibis_dagster_spark.operators.qsketch import (
+        histogram_sketch,
+        sketch_quantiles,
+    )
+
+    sdf = _spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = histogram_sketch(sdf, F.col("v"), width=width)
+    est = {r["pct"]: (r["est_lo"], r["n_rows"])
+           for r in sketch_quantiles(sk, [25, 50, 75, 95],
+                                     width=width).collect()}
+    svals = sorted(vals)
+    n = len(svals)
+    for pct in (25, 50, 75, 95):
+        true = svals[math.ceil(pct * n / 100) - 1]
+        want = math.floor(true / width) * width
+        assert est[pct] == (want, n), (pct, est[pct], want, n)

@@ -76,3 +76,11 @@ def test_sketch_drops_nulls_and_counts_rest(spark):
     assert _rows(sk) == {(1, 1), (2, 2)}
     out = sketch_quantiles(sk, [50], width=1).collect()
     assert out[0]["n_rows"] == 3 and out[0]["est_lo"] == 2
+
+
+def test_sketch_quantiles_empty_input_is_empty(spark):
+    """A global read over an empty sketch must emit NO rows (not a
+    single all-NULL aggregate row), matching the grouped path."""
+    df = spark.createDataFrame([], "v long")
+    sk = histogram_sketch(df, F.col("v"), width=1)
+    assert sketch_quantiles(sk, [50], width=1).count() == 0
