@@ -77,13 +77,23 @@ def sketch_quantiles(sk: DataFrame, pcts: list[int], *, width: int,
 
     Emits ``(*group_cols, pct, est_lo, n_rows)``. Every window here
     runs over the SKETCH grid — ≤ range/width rows per group by the
-    sketch parameter contract (``_qs_bin`` is in the plan lint's
-    generic bounded-offsets whitelist on those grounds), never over
-    corpus rows."""
+    sketch parameter contract — never over corpus rows. The windows
+    partition by ``_qs_g_<i>`` RENAMES of the caller's group columns
+    (restored on output): the plan lint whitelists the ``_qs_``
+    namespace generically as grid-bounded, and keying the bound to
+    operator-owned names means a caller's own window over raw corpus
+    rows partitioned by the same business column is still flagged
+    (a bare ``(l_returnflag,)`` whitelist entry would have laundered
+    it)."""
     group_cols = group_cols or []
-    w_cum = (Window.partitionBy(*group_cols).orderBy("_qs_bin")
+    gmap = {g: f"_qs_g_{i}" for i, g in enumerate(group_cols)}
+    sk = sk.select(
+        *[F.col(g).alias(gmap[g]) for g in group_cols],
+        "_qs_bin", "_qs_n")
+    grp = list(gmap.values())
+    w_cum = (Window.partitionBy(*grp).orderBy("_qs_bin")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    w_tot = (Window.partitionBy(*group_cols)
+    w_tot = (Window.partitionBy(*grp)
              .rowsBetween(Window.unboundedPreceding,
                           Window.unboundedFollowing))
     c = (sk.withColumn("_qs_cum", F.sum("_qs_n").over(w_cum))
@@ -94,7 +104,7 @@ def sketch_quantiles(sk: DataFrame, pcts: list[int], *, width: int,
                      F.col("_qs_bin"))).alias(f"_qs_p{p}")
         for p in pcts
     ]
-    row = (c.groupBy(*group_cols)
+    row = (c.groupBy(*grp)
            .agg(*aggs, F.max("_qs_total").alias("_qs_nr"))
            # Global read over an EMPTY sketch: groupBy().agg() still
            # emits one all-NULL row — drop it so the empty corpus reads
@@ -103,12 +113,12 @@ def sketch_quantiles(sk: DataFrame, pcts: list[int], *, width: int,
     stack = ", ".join(f"{p}, _qs_p{p}" for p in pcts)
     return (
         row.select(
-            *group_cols,
+            *grp,
             F.expr(f"stack({len(pcts)}, {stack}) AS (pct, _qs_bin)"),
             F.col("_qs_nr"),
         )
         .select(
-            *group_cols,
+            *[F.col(gmap[g]).alias(g) for g in group_cols],
             F.col("pct").cast("long").alias("pct"),
             (F.col("_qs_bin") * F.lit(width)).cast("long").alias(est_name),
             F.col("_qs_nr").cast("long").alias(n_name),

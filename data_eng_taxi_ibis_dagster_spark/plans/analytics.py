@@ -206,7 +206,9 @@ def histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT CAST(floor(CAST(floor(o_totalprice * 100 + 0.5)
                                    AS BIGINT) / 10000) AS BIGINT) AS bin,
                    COUNT(*) AS n
-            FROM orders GROUP BY 1
+            FROM orders
+            WHERE o_totalprice IS NOT NULL  -- sketch drops NULLs
+            GROUP BY 1
         ),
         c AS (
             SELECT bin,
@@ -267,6 +269,7 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ORDER BY l_quantity) AS rn,
                    COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
             FROM lineitem
+            WHERE l_quantity IS NOT NULL  -- sketch drops NULLs
         )
         SELECT l_returnflag, CAST(p.pct AS BIGINT) AS pct,
                CAST(MIN(CASE WHEN rn * 100 >= p.pct * cnt

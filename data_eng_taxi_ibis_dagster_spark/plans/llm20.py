@@ -498,10 +498,18 @@ def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (tests/test_dedup.py::test_persisted_index_concurrent_builders);
     # the production loop instead owns ONE stable index location with
     # atomic-rename swaps — per-build isolation is the correct shape
-    # for a fixture query that many harnesses build at will.
+    # for a fixture query that many harnesses build at will.  The dir
+    # must outlive THIS build's lazily-read plan, so it is reclaimed
+    # at interpreter exit (atexit), not eagerly — without that, the
+    # per-build dirs accumulate in tempdir across bench passes /
+    # pytest sweeps / driver rounds unboundedly.
+    import atexit
+    import shutil
+
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(),
                         f"sg_lsh_index_{tag}_{uuid.uuid4().hex[:12]}")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     D.lsh_band_index(corpus).write.mode("overwrite") \
         .partitionBy("band").parquet(path)
     p1 = D.incremental_near_dup_pairs(

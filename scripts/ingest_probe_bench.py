@@ -57,24 +57,34 @@ def main() -> None:
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     sizes: dict[str, int] = {}
     probes: dict[str, object] = {}
-    for label, corpus in (("small", small), ("large", large)):
-        corpus = corpus.localCheckpoint()
-        sizes[label] = corpus.count()
-        path = os.path.join(tempfile.gettempdir(),
-                            f"sg_probe_bench_{label}_{uuid.uuid4().hex[:8]}")
-        D.lsh_band_index(corpus).write.mode("overwrite") \
-            .partitionBy("band").parquet(path)
-        probes[label] = D.incremental_near_dup_pairs(
-            batch, corpus, threshold=0.6,
-            index=spark.read.parquet(path))
+    paths: list[str] = []
+    try:
+        for label, corpus in (("small", small), ("large", large)):
+            corpus = corpus.localCheckpoint()
+            sizes[label] = corpus.count()
+            path = os.path.join(
+                tempfile.gettempdir(),
+                f"sg_probe_bench_{label}_{uuid.uuid4().hex[:8]}")
+            paths.append(path)
+            D.lsh_band_index(corpus).write.mode("overwrite") \
+                .partitionBy("band").parquet(path)
+            probes[label] = D.incremental_near_dup_pairs(
+                batch, corpus, threshold=0.6,
+                index=spark.read.parquet(path))
 
-    n_batch = batch.count()
-    best = {"small": float("inf"), "large": float("inf")}
-    for _ in range(passes):  # separated passes, min per probe
-        for label in ("small", "large"):
-            start = time.perf_counter()
-            probes[label].write.mode("overwrite").format("noop").save()
-            best[label] = min(best[label], time.perf_counter() - start)
+        n_batch = batch.count()
+        best = {"small": float("inf"), "large": float("inf")}
+        for _ in range(passes):  # separated passes, min per probe
+            for label in ("small", "large"):
+                start = time.perf_counter()
+                probes[label].write.mode("overwrite").format("noop").save()
+                best[label] = min(best[label],
+                                  time.perf_counter() - start)
+    finally:
+        import shutil
+
+        for path in paths:  # the probes are done — reclaim the indexes
+            shutil.rmtree(path, ignore_errors=True)
 
     print(json.dumps({
         "batch": n_batch,

@@ -185,6 +185,17 @@ def _broadcast_sites(pkg: str = PKG) -> tuple[
                     self._ref(node, node.id)
                     self.generic_visit(node)
 
+                def visit_ImportFrom(self, node):
+                    # ``from pyspark.sql.functions import broadcast
+                    # as bc`` detaches the hint from the F.broadcast
+                    # spelling entirely — census the import itself as
+                    # an alias reference so the rebinding needs a
+                    # declared bound too.
+                    for a in node.names:
+                        if a.name == "broadcast":
+                            self._ref(node, "broadcast")
+                    self.generic_visit(node)
+
             V().visit(tree)
     return calls, aliases
 
@@ -260,9 +271,16 @@ def test_alias_census_mechanism(tmp_path):
         "def h(df):\n"
         "    return F.broadcast(df)\n"   # plain call site
     )
+    (tmp_path / "n.py").write_text(
+        # import-renaming detaches the hint from the 'broadcast'
+        # spelling before any call — must census as an alias ref
+        "from pyspark.sql.functions import broadcast as bc\n"
+        "def g(df):\n"
+        "    return bc(df)\n"
+    )
     calls, aliases = _broadcast_sites(str(tmp_path))
     assert calls == {("m.py", "h"): 1}
-    assert aliases == {("m.py", "g"): 1}
+    assert aliases == {("m.py", "g"): 1, ("n.py", "<module>"): 1}
 
 
 def test_no_broadcast_of_raw_sf_scaling_tables():

@@ -122,9 +122,6 @@ WINDOW_KEY_BOUNDS = {
                          "rank-limited per (domain, input partition)"),
     ("o_orderstatus",): ("bounded", "post-aggregate |status|x|priority| "
                          "grid (share_of_priority_by_status)"),
-    ("l_returnflag",): ("bounded", "per-flag TOTAL over the quantile-"
-                        "sketch grid: ≤ range/width rows per flag "
-                        "(quantile_sketch_exact_audit)"),
     ("from_type",): ("bounded", "post-aggregate |event_type|^2 transition "
                      "grid"),
 }
@@ -158,11 +155,16 @@ _BOUNDED_OFFSET_PREFIXES = ("_dr_bucket", "_dp_bucket", "_pm_bucket",
                             # first distributed_prefix_max(tie_split)
                             # consumer)
                             "_gm_bucket",
-                            # operators/qsketch: a quantile-histogram
-                            # sketch grid is ≤ value_range/width rows
-                            # per group — a sketch PARAMETER bound
-                            # (like HLL lgK), not corpus-scaling.
-                            "_qs_bin")
+                            # operators/qsketch: every _qs_-named
+                            # column (bin, counts, the _qs_g_<i> group
+                            # renames) lives on the quantile-sketch
+                            # GRID — ≤ value_range/width rows per
+                            # group, a sketch PARAMETER bound (like
+                            # HLL lgK), not corpus-scaling. The
+                            # operator renames caller group columns
+                            # into this namespace so the bound never
+                            # whitelists a business column on raw rows.
+                            "_qs_")
 
 
 def _unpartitioned_window_orders(plan: str) -> list[str]:
