@@ -454,12 +454,15 @@ def phash_twin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming join) pinned strictly: pHash's internal 32×32 resample is
     the SAME pure-indexing function ``resize_media`` uses and grayscale
     conversion commutes with it, so every original must meet its
-    resized/re-encoded twin at hamming EXACTLY 0 — and on the fixture
-    no two distinct images collide — making the pair relation the
-    SQL-expressible id map (every image doc_id paired with doc_id+1M,
-    nothing else). Same code path as ``multimodal_phash_dedup``; drift
-    in any codec, the resampler, the DCT, median thresholding, or the
-    banding breaks the hash."""
+    resized/re-encoded twin at hamming EXACTLY 0 — and on the GATE
+    corpora no two distinct images collide (pinned by
+    ``tests/test_audit_fixture_bounds.py``; at sf0.1 the generator's
+    same-multiplier brightness-offset pairs DO collide, correct
+    perceptual-hash behavior but outside this closed form) — making
+    the pair relation the SQL-expressible id map (every image doc_id
+    paired with doc_id+1M, nothing else). Same code path as
+    ``multimodal_phash_dedup``; drift in any codec, the resampler,
+    the DCT, median thresholding, or the banding breaks the hash."""
     docs = load_table(spark, sf_dir, "documents")
     media = M.synthetic_media(docs)
     twins = (

@@ -182,10 +182,13 @@ def approx_exact_regime_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     external row:
 
     * ``hll_sketch_agg`` (DataSketches HLL, lgK=12) stays in its
-      coupon LIST/SET representation below ~3/4·2^lgK distinct items —
-      in that mode the sketch stores exact hashes and the estimate IS
-      the exact distinct count (24 hours; ≤ a few hundred users at
-      audit scale), for any partitioning/merge order.
+      coupon LIST/SET representation below ~2^lgK/4 ≈ 1024 distinct
+      items — in that mode the sketch stores exact hashes and the
+      estimate IS the exact distinct count (24 hours; 150 users/type
+      at the sf0.01 gate), for any partitioning/merge order. Measured
+      boundary: at sf0.1's 1,500 users/type the estimate reads 1480 —
+      the regime is pinned on every gate corpus by
+      ``tests/test_audit_fixture_bounds.py``.
     * ``approx_count_distinct`` (HLL++, rsd=0.005 → dense high-p
       registers) is deterministic given the merged registers and
       empirically exact at 24-distinct scale — pinned on the bounded
