@@ -62,6 +62,7 @@ def scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EDIT_K = 10
+_EDIT_SALTS = 16
 
 
 @query(
@@ -89,18 +90,40 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic blow-up exactly like pairwise_jaccard; at corpus scale
     the block key comes from LSH buckets or the fingerprint index
     instead of metadata. Levenshtein runs in codegen on the JVM —
-    no Python in the pair loop."""
+    no Python in the pair loop.
+
+    SALTED pair generation (round 8): this join's OUTPUT is quadratic
+    in the block size while its shuffle INPUT is one corpus row per
+    side — and AQE sizes post-shuffle partitions by input bytes, so
+    with a low-cardinality block key it coalesced every block's pair
+    work into ONE task (measured: the sf0.1 strict sweep ground a
+    single-task Levenshtein stage for ~10 min; sf0.1's hottest block
+    is 250 docs ⇒ ~31k verifications per block, all serial). The left
+    side carries ``_salt = doc_a % 16`` and the right side replicates
+    row-locally across all 16 salts (explode — no join), so each
+    block's pair work spreads over 16 tasks; the explicit
+    ``repartition(n, _blk, _salt)`` (user-specified partition count —
+    exempt from AQE coalescing, n = the session's shuffle
+    parallelism) keeps it spread. Same (doc_a, doc_b) pair set: a's
+    salt is a function of doc_a, and b matches at exactly that salt.
+    ``test_scale_plans.test_edit_distance_pair_stage_is_salted``
+    pins the shape."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text", F.length("text").alias("n"))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     a = d.select(F.col("source").alias("_blk"),
                  F.col("doc_id").alias("doc_a"),
-                 F.col("text").alias("ta"), F.col("n").alias("na"))
+                 F.col("text").alias("ta"), F.col("n").alias("na"),
+                 F.pmod(F.col("doc_id"), F.lit(_EDIT_SALTS))
+                 .alias("_salt")).repartition(n_part, "_blk", "_salt")
     b = d.select(F.col("source").alias("_blk"),
                  F.col("doc_id").alias("doc_b"),
-                 F.col("text").alias("tb"), F.col("n").alias("nb"))
+                 F.col("text").alias("tb"), F.col("n").alias("nb"),
+                 F.explode(F.array(*[F.lit(i) for i in range(_EDIT_SALTS)]))
+                 .alias("_salt")).repartition(n_part, "_blk", "_salt")
     pairs = a.join(
         b,
-        [a["_blk"] == b["_blk"],
+        [a["_blk"] == b["_blk"], a["_salt"] == b["_salt"],
          F.col("doc_a") < F.col("doc_b"),
          F.abs(F.col("na") - F.col("nb")) <= _EDIT_K],
     )

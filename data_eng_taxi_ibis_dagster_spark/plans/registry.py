@@ -339,6 +339,11 @@ _DRIVER_VERIFIED = {
 # CORRECTNESS row lands.  Add names here in the same commit that
 # rewrites a builder; remove them once regen picks up the new round.
 _EVICTED: frozenset[str] = frozenset({
+    # r8: pair-generation join salted (quadratic-output stage was
+    # AQE-coalesced into one task; see test_edit_distance_pair_stage_
+    # is_salted) -- plan changed, oracle untouched, r4 row attests
+    # the old plan.
+    "dedup_edit_distance",
     # r7 commit 2c769ab removed forced-broadcast hints from 23
     # builders; 4 (curation_stack, customer_order_distribution,
     # local_supplier_volume, pricing_summary) earned fresh r7 rows.

@@ -173,3 +173,26 @@ def test_cbo_table_stats_via_analyze(spark, sf_dir, tmp_path):
         assert "rows" in stats_row["data_type"].iloc[0]
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_stats_test")
+
+
+def test_edit_distance_pair_stage_is_salted(spark, sf_dir):
+    """dedup_edit_distance's pair join has quadratic OUTPUT on a
+    constant-byte shuffle INPUT, so AQE's input-sized coalescing packed
+    every block's Levenshtein work into one task (measured ~10 min
+    single-task at sf0.1 before the round-8 salting; 61 s after). The
+    left side must carry the doc_id-derived salt and reach the join
+    through an explicit REPARTITION_BY_NUM exchange on (_blk, _salt) —
+    the user-specified partition count is exactly what exempts the
+    spread from AQE coalescing."""
+    from data_eng_taxi_ibis_dagster_spark.plans.registry import get
+
+    plan = (get("dedup_edit_distance").builder(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+
+    assert re.search(r"hashpartitioning\(_blk#\d+, _salt#\d+L?, \d+\), "
+                     r"REPARTITION_BY_NUM", plan), (
+        "pair join lost its explicit (_blk, _salt) repartition — AQE "
+        "will re-coalesce the quadratic-output stage into one task:\n"
+        + plan[:1500])
+    assert "pmod" in plan or "explode" in plan  # salt derivation survives
