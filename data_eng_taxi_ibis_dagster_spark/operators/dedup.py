@@ -88,14 +88,24 @@ def jaccard(a: Column, b: Column) -> Column:
 
 def pairwise_jaccard(df: DataFrame, *, id_col: str = "doc_id",
                      text_col: str = "text", block_col: str | None = None,
-                     n: int = 3, threshold: float = 0.5) -> DataFrame:
+                     n: int = 3, threshold: float = 0.5,
+                     salts: int = 1) -> DataFrame:
     """All-pairs n-gram Jaccard within blocks (E10's exact baseline).
 
     ``block_col`` bounds the quadratic blow-up (same-source blocking
     here; at 100 TB the block key comes from LSH instead — see
     :func:`minhash_near_dup_pairs`, which reuses the same verifier).
     Emits (doc_a, doc_b, jaccard_sim) with doc_a < doc_b.
-    """
+
+    ``salts`` > 1 spreads each block's QUADRATIC pair output over that
+    many tasks (round 8, the dedup_edit_distance lesson: AQE sizes
+    post-shuffle partitions by input bytes, so a low-cardinality block
+    key funnels a block's whole pair loop through one task). The left
+    side is salted by ``doc_a % salts``, the right side replicates
+    row-locally across the salts, and both reach the join through an
+    explicit AQE-coalescing-exempt repartition — the pair set is
+    unchanged (a's salt is a function of doc_a; b matches at exactly
+    that salt)."""
     sh = df.select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
@@ -110,6 +120,17 @@ def pairwise_jaccard(df: DataFrame, *, id_col: str = "doc_id",
     on = [left.doc_a < right.doc_b]
     if block_col:
         on.insert(0, left["_blk"] == right["_blk"])
+    if salts > 1 and block_col:
+        spark = df.sparkSession
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        left = left.withColumn(
+            "_salt", F.pmod(F.col("doc_a"), F.lit(salts))
+        ).repartition(n_part, "_blk", "_salt")
+        right = right.withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(i) for i in range(salts)])),
+        ).repartition(n_part, "_blk", "_salt")
+        on.insert(1, left["_salt"] == right["_salt"])
     pairs = left.join(right, reduce(lambda x, y: x & y, on))
     sim = jaccard(F.col("sh_a"), F.col("sh_b"))
     return (

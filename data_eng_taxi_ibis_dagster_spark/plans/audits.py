@@ -259,7 +259,7 @@ def dedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.select((F.col("doc_id") + off).alias("doc_id"),
                      "source", "text"))
     pairs = D.pairwise_jaccard(corpus, block_col="source", n=3,
-                               threshold=0.5)
+                               threshold=0.5, salts=16)
     return D.dedup_clusters(pairs.select("doc_a", "doc_b"))
 
 

@@ -180,7 +180,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle-checked verifier that MinHash candidates are tested
     against. Fixture plants true near-dups (J up to ~0.99)."""
     d = load_table(spark, sf_dir, "documents")
-    return D.pairwise_jaccard(d, block_col="source", n=3, threshold=0.5)
+    return D.pairwise_jaccard(d, block_col="source", n=3, threshold=0.5,
+                              salts=16)
 
 
 @query(

@@ -339,11 +339,13 @@ _DRIVER_VERIFIED = {
 # CORRECTNESS row lands.  Add names here in the same commit that
 # rewrites a builder; remove them once regen picks up the new round.
 _EVICTED: frozenset[str] = frozenset({
-    # r8: pair-generation join salted (quadratic-output stage was
-    # AQE-coalesced into one task; see test_edit_distance_pair_stage_
-    # is_salted) -- plan changed, oracle untouched, r4 row attests
-    # the old plan.
+    # r8: pair-generation joins salted (quadratic-output stages were
+    # AQE-coalesced into one task; see test_scale_plans.test_pair_
+    # stage_is_salted) -- plans changed, oracles untouched; the old
+    # rows attest the old plans.
     "dedup_edit_distance",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_audit",
     # r7 commit 2c769ab removed forced-broadcast hints from 23
     # builders; 4 (curation_stack, customer_order_distribution,
     # local_supplier_volume, pricing_summary) earned fresh r7 rows.

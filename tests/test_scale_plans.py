@@ -175,24 +175,33 @@ def test_cbo_table_stats_via_analyze(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS nation_stats_test")
 
 
-def test_edit_distance_pair_stage_is_salted(spark, sf_dir):
-    """dedup_edit_distance's pair join has quadratic OUTPUT on a
-    constant-byte shuffle INPUT, so AQE's input-sized coalescing packed
-    every block's Levenshtein work into one task (measured ~10 min
-    single-task at sf0.1 before the round-8 salting; 61 s after). The
+@pytest.mark.parametrize("name", [
+    "dedup_edit_distance",   # ~10 min single-task at sf0.1 → 61 s salted
+    "dedup_ngram_jaccard",   # 34.8 s single-task at sf0.1 → 3.8 s salted
+    # dedup_cluster_audit shares pairwise_jaccard(salts=16) but its CC
+    # loop runs EAGERLY at plan build — the returned plan is a
+    # localCheckpoint scan, so the salted exchange (which already
+    # executed) cannot appear in the plan string; the shared core is
+    # pinned through dedup_ngram_jaccard above.
+])
+def test_pair_stage_is_salted(spark, sf_dir, name):
+    """Blocked all-pairs joins have quadratic OUTPUT on a constant-byte
+    shuffle INPUT, so AQE's input-sized coalescing packed every block's
+    verification work into one task (measured at sf0.1, see the
+    parametrize list — the round-8 10×-scale sweep's finding). The
     left side must carry the doc_id-derived salt and reach the join
     through an explicit REPARTITION_BY_NUM exchange on (_blk, _salt) —
     the user-specified partition count is exactly what exempts the
     spread from AQE coalescing."""
-    from data_eng_taxi_ibis_dagster_spark.plans.registry import get
-
-    plan = (get("dedup_edit_distance").builder(spark, sf_dir)
-            ._jdf.queryExecution().executedPlan().toString())
     import re
 
+    from data_eng_taxi_ibis_dagster_spark.plans.registry import get
+
+    plan = (get(name).builder(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
     assert re.search(r"hashpartitioning\(_blk#\d+, _salt#\d+L?, \d+\), "
                      r"REPARTITION_BY_NUM", plan), (
-        "pair join lost its explicit (_blk, _salt) repartition — AQE "
-        "will re-coalesce the quadratic-output stage into one task:\n"
-        + plan[:1500])
+        f"{name}: pair join lost its explicit (_blk, _salt) repartition "
+        f"— AQE will re-coalesce the quadratic-output stage into one "
+        f"task:\n" + plan[:1500])
     assert "pmod" in plan or "explode" in plan  # salt derivation survives
