@@ -113,7 +113,7 @@ def _load_all() -> None:
 # than this round -- the driver writes CORRECTNESS_r{N+1}.json after
 # the final commit of round N+1, so a judged tree can never list it;
 # any discrepancy AT or BELOW the watermark still fails hard.
-_DRIVER_VERIFIED_AS_OF = 7
+_DRIVER_VERIFIED_AS_OF = 8
 _DRIVER_VERIFIED = {
     "abc_pareto_customers": 6,
     "abtest_two_proportion": 6,
@@ -130,16 +130,16 @@ _DRIVER_VERIFIED = {
     "approx_exact_regime_audit": 6,
     "arrow_python_udf": 7,
     "audio_twin_audit": 5,
-    "basket_brand_pairs": 4,
+    "basket_brand_pairs": 8,
     "bpe_encode_audit": 5,
     "bpe_encode_corpus": 6,
     "bpe_learn_merges": 6,
     "bpe_merge_audit": 6,
-    "brand_quantity_revenue": 5,
+    "brand_quantity_revenue": 8,
     "chi2_type_by_hour": 5,
     "cluster_balanced_sample": 6,
     "collect_sorted_list": 5,
-    "constraint_check": 4,
+    "constraint_check": 8,
     "contrastive_pair_mining": 5,
     "cooccurrence_edges_audit": 5,
     "correlated_scalar_subquery": 4,
@@ -153,10 +153,10 @@ _DRIVER_VERIFIED = {
     "data_mixture_resample": 4,
     "decontaminate_ngram": 4,
     "dedup_cdc_chunks": 5,
-    "dedup_cluster_audit": 6,
+    "dedup_cluster_audit": 8,
     "dedup_cluster_pick": 7,
     "dedup_containment": 6,
-    "dedup_edit_distance": 4,
+    "dedup_edit_distance": 8,
     "dedup_embedding_cosine": 7,
     "dedup_exact": 7,
     "dedup_incremental": 4,
@@ -164,7 +164,7 @@ _DRIVER_VERIFIED = {
     "dedup_incremental_persisted": 7,
     "dedup_minhash_audit": 6,
     "dedup_minhash_lsh": 7,
-    "dedup_ngram_jaccard": 7,
+    "dedup_ngram_jaccard": 8,
     "dedup_simhash": 7,
     "dedup_span_removal": 5,
     "dedup_span_windows": 5,
@@ -176,23 +176,23 @@ _DRIVER_VERIFIED = {
     "embedding_pca_project": 6,
     "embedding_quantize_int8": 4,
     "events_activity_streaks": 4,
-    "events_asof_purchase_click": 3,
-    "events_click_purchase_interval": 3,
-    "events_dedup_ids": 3,
+    "events_asof_purchase_click": 8,
+    "events_click_purchase_interval": 8,
+    "events_dedup_ids": 8,
     "events_funnel_conversion": 4,
-    "events_hourly_by_type": 3,
+    "events_hourly_by_type": 8,
     "events_hourly_dense": 4,
     "events_locf_value": 5,
     "events_new_users_daily": 4,
-    "events_retention_cohorts": 3,
-    "events_sessionize": 3,
-    "events_sliding_value": 3,
+    "events_retention_cohorts": 8,
+    "events_sessionize": 8,
+    "events_sliding_value": 8,
     "events_trailing_24h_spend": 6,
-    "exact_count_distinct": 3,
+    "exact_count_distinct": 8,
     "explode_tokens": 7,
     "fingerprint_winnowing": 5,
-    "flagship_avg_price": 7,
-    "flagship_sql_path": 3,
+    "flagship_avg_price": 8,
+    "flagship_sql_path": 8,
     "forecast_revenue": 5,
     "forecast_seasonal_naive": 6,
     "gini_customer_revenue": 6,
@@ -203,39 +203,39 @@ _DRIVER_VERIFIED = {
     "heavy_hitter_tokens": 4,
     "hierarchy_pointer_doubling": 5,
     "histogram_equidepth_price": 6,
-    "histogram_price": 3,
-    "important_part_volume": 5,
+    "histogram_price": 8,
+    "important_part_volume": 8,
     "incremental_agg_merge": 6,
-    "join_anti_customers_without_orders": 3,
-    "join_band_acctbal": 3,
-    "join_band_bucketized": 3,
-    "join_bloom_prefilter": 5,
+    "join_anti_customers_without_orders": 8,
+    "join_band_acctbal": 8,
+    "join_band_bucketized": 8,
+    "join_bloom_prefilter": 8,
     "join_full_outer_nation_presence": 4,
-    "join_left_order_counts": 3,
+    "join_left_order_counts": 8,
     "join_null_safe_priority": 4,
-    "join_range_ship_lag": 3,
-    "join_sales_by_region": 3,
+    "join_range_ship_lag": 8,
+    "join_sales_by_region": 8,
     "join_salted_skew": 5,
-    "join_semi_customers_with_orders": 3,
+    "join_semi_customers_with_orders": 8,
     "json_schema_parse": 5,
     "kmeans_estep_audit": 6,
     "kmeans_lloyd": 6,
     "kmeans_two_iter_audit": 5,
-    "large_volume_customers": 5,
+    "large_volume_customers": 8,
     "late_shipment_priority": 5,
     "lateral_topn_per_customer": 4,
     "lm_bigram_familiarity": 5,
     "local_supplier_volume": 7,
     "map_in_arrow_stats": 6,
     "markov_event_transitions": 6,
-    "min_cost_supplier": 5,
+    "min_cost_supplier": 8,
     "mode_event_type_per_user": 4,
     "multimodal_audio_dedup": 6,
-    "multimodal_decode_stats": 3,
-    "multimodal_features": 3,
+    "multimodal_decode_stats": 8,
+    "multimodal_features": 8,
     "multimodal_phash_dedup": 6,
     "multimodal_video_frames": 6,
-    "national_market_share": 5,
+    "national_market_share": 8,
     "ngram_bigram_counts": 4,
     "ngram_novelty": 5,
     "null_semantics": 5,
@@ -245,28 +245,31 @@ _DRIVER_VERIFIED = {
     "pagerank_iter1_audit": 6,
     "pandas_udf_grouped": 7,
     "pandas_udf_scalar": 7,
-    "parts_supplier_relationship": 5,
+    "parts_supplier_relationship": 8,
     "percentile_cont_price": 7,
     "percentile_disc_price": 7,
     "phash_twin_audit": 6,
     "pii_redact_digits": 4,
     "pivot_status_by_priority": 7,
     "pricing_summary": 7,
-    "product_type_profit": 5,
+    "product_type_profit": 8,
     "profile_orders": 7,
-    "promo_part_suppliers": 5,
+    "promo_part_suppliers": 8,
     "promo_revenue_share": 7,
     "pysource_telemetry_rollup": 5,
     "quality_classifier_linear": 5,
     "quality_gopher_rules": 4,
     "quality_repetition": 4,
+    "quantile_sketch_exact_audit": 8,
+    "quantile_sketch_rollup": 8,
     "retrieval_bm25_topk": 6,
     "retrieval_stack_audit": 7,
     "retrieval_stack_topk": 7,
     "returned_items_top_customers": 7,
-    "rfm_segmentation": 3,
+    "rfm_segmentation": 8,
     "rolling_7d_active_users": 6,
-    "rollup_sales": 3,
+    "rollup_sales": 8,
+    "running_peak_price_by_orderdate": 8,
     "scalar_array_funcs": 4,
     "scalar_date_funcs": 4,
     "scalar_hash_encode": 4,
@@ -278,18 +281,18 @@ _DRIVER_VERIFIED = {
     "scalar_struct_explode": 4,
     "scalar_subquery_fraction": 7,
     "scalar_try_funcs": 4,
-    "scan_filter_project": 3,
+    "scan_filter_project": 8,
     "scd2_user_value": 4,
     "semdedup_audit": 6,
     "semdedup_prune": 6,
-    "setop_except": 3,
-    "setop_intersect": 3,
-    "setop_union_all_keys": 3,
+    "setop_except": 8,
+    "setop_intersect": 8,
+    "setop_union_all_keys": 8,
     "share_of_priority_by_status": 4,
     "shipping_priority": 7,
     "simhash_twin_audit": 5,
     "similarity_ann_audit": 6,
-    "similarity_ann_srp": 3,
+    "similarity_ann_srp": 8,
     "similarity_cosine_topk": 3,
     "similarity_ivf": 3,
     "similarity_ivf_audit": 6,
@@ -300,8 +303,8 @@ _DRIVER_VERIFIED = {
     "similarity_pq_audit": 7,
     "similarity_pq_topk": 6,
     "sketch_rollup_uniques": 3,
-    "skyline_pareto_parts": 5,
-    "small_quantity_revenue": 5,
+    "skyline_pareto_parts": 8,
+    "small_quantity_revenue": 8,
     "stats_aggregates": 7,
     "stratified_sample_label": 7,
     "subquery_cte_having": 7,
@@ -313,8 +316,8 @@ _DRIVER_VERIFIED = {
     "text_shingle_fingerprint": 3,
     "text_stats": 3,
     "textrank_keywords": 6,
-    "tfidf_top_term": 4,
-    "top_supplier": 5,
+    "tfidf_top_term": 8,
+    "top_supplier": 8,
     "topk_orders": 3,
     "topk_per_group": 3,
     "train_test_split": 4,
@@ -323,8 +326,8 @@ _DRIVER_VERIFIED = {
     "url_parse_stats": 5,
     "variant_props_stats": 4,
     "video_frames_audit": 5,
-    "volume_shipping": 5,
-    "waiting_supplier_check": 5,
+    "volume_shipping": 8,
+    "waiting_supplier_check": 8,
     "weighted_median_price": 6,
     "weighted_sample_aes": 4,
     "window_distribution_funcs": 7,
@@ -339,39 +342,14 @@ _DRIVER_VERIFIED = {
 # CORRECTNESS row lands.  Add names here in the same commit that
 # rewrites a builder; remove them once regen picks up the new round.
 _EVICTED: frozenset[str] = frozenset({
-    # r8: pair-generation joins salted (quadratic-output stages were
-    # AQE-coalesced into one task; see test_scale_plans.test_pair_
-    # stage_is_salted) -- plans changed, oracles untouched; the old
-    # rows attest the old plans.
+    # r9: the exact pair verifiers re-blocked from `source` (linear-
+    # with-corpus block size => quadratic pair generation; the r8 salt
+    # fixed placement, not the asymptote) onto the df-capped winnowing
+    # fingerprint -- plans AND oracles both restricted to the identical
+    # candidate set (operators/dedup.winnow_candidate_pairs).
     "dedup_edit_distance",
     "dedup_ngram_jaccard",
     "dedup_cluster_audit",
-    # r7 commit 2c769ab removed forced-broadcast hints from 23
-    # builders; 4 (curation_stack, customer_order_distribution,
-    # local_supplier_volume, pricing_summary) earned fresh r7 rows.
-    # The remaining 19 rotate to the front of the r8 window: their
-    # external rows attest to the old hinted plans (round-7 advisor
-    # finding -- the eviction policy applies to hint-only rewrites
-    # too, since the physical plan is exactly what changed).
-    "basket_brand_pairs",
-    "brand_quantity_revenue",
-    "constraint_check",
-    "important_part_volume",
-    "join_bloom_prefilter",
-    "join_range_ship_lag",
-    "large_volume_customers",
-    "min_cost_supplier",
-    "national_market_share",
-    "parts_supplier_relationship",
-    "product_type_profit",
-    "promo_part_suppliers",
-    "scan_filter_project",
-    "skyline_pareto_parts",
-    "small_quantity_revenue",
-    "tfidf_top_term",
-    "top_supplier",
-    "volume_shipping",
-    "waiting_supplier_check",
 })
 
 
