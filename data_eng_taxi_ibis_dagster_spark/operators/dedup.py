@@ -106,6 +106,12 @@ def pairwise_jaccard(df: DataFrame, *, id_col: str = "doc_id",
     explicit AQE-coalescing-exempt repartition — the pair set is
     unchanged (a's salt is a function of doc_a; b matches at exactly
     that salt)."""
+    if salts > 1 and block_col is None:
+        raise ValueError(
+            "salts > 1 requires block_col: the salt spreads a BLOCK's "
+            "quadratic pair output across tasks, so without a block key "
+            "there is nothing to spread and the caller would silently "
+            "get the unsalted single-stage join")
     sh = df.select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
@@ -136,6 +142,149 @@ def pairwise_jaccard(df: DataFrame, *, id_col: str = "doc_id",
     return (
         pairs.select("doc_a", "doc_b", sim.alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing-fingerprint blocking — the bounded-by-construction block key
+# for the EXACT pair verifiers (round-9: replaces `source` blocking,
+# whose block size grew linearly with corpus ⇒ O(n²/|sources|) pairs)
+# ---------------------------------------------------------------------------
+
+#: Hot-fingerprint document-frequency cap: fingerprints shared by more
+#: than this many documents are dropped from candidate generation (the
+#: same degenerate-key policy as ``lsh_candidate_pairs``' max_bucket —
+#: such grams are boilerplate, and their members are exact-dup/
+#: containment territory).  This makes the candidate join's output
+#: bounded BY CONSTRUCTION: ≤ max_df·(max_df−1)/2 pairs per
+#: fingerprint, with fingerprint cardinality ∝ corpus tokens — the
+#: pair relation grows LINEARLY with the corpus, never quadratically.
+WINNOW_MAX_DF = 64
+
+
+def winnow_fingerprints(df: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """``(id, f)`` — the document's DISTINCT winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken, the MOSS scheme): md5 every k-token
+    gram, slide a w-window over the gram-hash sequence, keep each
+    window's minimum.  Guarantees any shared token run of
+    ≥ w+k−1 tokens contributes at least one SHARED fingerprint — the
+    recall contract near-dup blocking relies on.  Engine-portable
+    (md5 over space-joined token slices; lexicographic hex order), so
+    oracles can reproduce the selection literally — unlike the
+    xxhash64 LSH bands.  Same selection as
+    ``plans/llm13.fingerprint_winnowing`` (k=8, w=4 defaults).
+
+    Scale shape: gram hashes explode to (doc, pos, hash) rows ONCE and
+    the window minimum is a real per-doc sliding frame — each hash is
+    computed exactly once (the array-formulation inlined the md5
+    transform into every window slice: O(m²) hashing; see llm13's
+    docstring).  Documents shorter than k tokens emit no fingerprints
+    (nothing to gram)."""
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda x: x != F.lit(""))
+    n = F.size(toks)
+    gram_structs = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice(toks, i, k), " "))
+                .alias("gh"))),
+    ).otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
+    g = (_right_size(df)
+         .select(F.col(id_col), F.explode(gram_structs).alias("e"))
+         .select(id_col, "e.pos", "e.gh"))
+    frame = (Window.partitionBy(id_col).orderBy("pos")
+             .rowsBetween(Window.currentRow, w - 1))
+    whole = Window.partitionBy(id_col)
+    sliding = g.select(
+        id_col, "pos",
+        F.min("gh").over(frame).alias("wmin"),
+        F.max("pos").over(whole).alias("mx"))
+    return (sliding
+            .filter(F.col("pos")
+                    <= F.greatest(F.col("mx") - (w - 1), F.lit(1)))
+            .select(id_col, F.col("wmin").alias("f"))
+            .distinct())
+
+
+def winnow_candidate_pairs(fps: DataFrame, *, id_col: str = "doc_id",
+                           max_df: int = WINNOW_MAX_DF) -> DataFrame:
+    """DISTINCT ``(doc_a, doc_b)`` candidate pairs sharing at least one
+    winnowing fingerprint whose document frequency is ≤ ``max_df``.
+
+    The fingerprint is a high-cardinality content hash, so — unlike a
+    metadata block key — per-key pair output is capped at
+    max_df·(max_df−1)/2 by the df filter and the join needs NO salt:
+    AQE's input-byte coalescing is safe when every key's output is
+    bounded and keys are hash-spread (the round-8 salting lesson
+    applied at the ROOT: fix the key, not the task placement)."""
+    sized = fps.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("f")),
+    ).filter(F.col("_df") <= max_df).drop("_df")
+    a = sized.select("f", F.col(id_col).alias("doc_a"))
+    b = sized.select("f", F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "f")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(cands: DataFrame, docs: DataFrame, *,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over an explicit candidate-pair relation —
+    the verification half of every blocked near-dup pipeline, factored
+    so candidate GENERATION (winnowing / LSH / fingerprint index) and
+    verification compose freely.  Shingles only documents that appear
+    in a candidate pair (semi-join pre-thin — verification work is
+    pair-bounded, never corpus-bounded).  Emits
+    ``(doc_a, doc_b, jaccard_sim ≥ threshold)``."""
+    touched = (cands.select(F.col("doc_a").alias(id_col))
+               .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+               .distinct())
+    sh = (_right_size(docs.join(touched, id_col, "left_semi"))
+          .select(F.col(id_col),
+                  shingles(tokens(text_col), n).alias("sh")))
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b",
+                jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def levenshtein_verify(cands: DataFrame, docs: DataFrame, *,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       max_dist: int = 10) -> DataFrame:
+    """Exact Levenshtein over an explicit candidate-pair relation, with
+    the free length lower bound (|len(a)−len(b)| ≤ lev(a,b)) pruning
+    BEFORE the O(n·m) distance.  Levenshtein runs in codegen on the
+    JVM — no Python in the pair loop.  Emits
+    ``(doc_a, doc_b, edit_dist ≤ max_dist)``."""
+    touched = (cands.select(F.col("doc_a").alias(id_col))
+               .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+               .distinct())
+    t = (docs.join(touched, id_col, "left_semi")
+         .select(F.col(id_col), F.col(text_col).alias("_t"),
+                 F.length(text_col).alias("_n")))
+    a = t.select(F.col(id_col).alias("doc_a"),
+                 F.col("_t").alias("ta"), F.col("_n").alias("na"))
+    b = t.select(F.col(id_col).alias("doc_b"),
+                 F.col("_t").alias("tb"), F.col("_n").alias("nb"))
+    return (
+        cands.join(a, "doc_a").join(b, "doc_b")
+        .filter(F.abs(F.col("na") - F.col("nb")) <= max_dist)
+        .select("doc_a", "doc_b",
+                F.levenshtein("ta", "tb").cast("long").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= max_dist)
     )
 
 

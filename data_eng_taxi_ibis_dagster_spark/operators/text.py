@@ -98,6 +98,58 @@ def sql_shingle_fingerprint(toks_expr: str, n: int = 5) -> str:
     return f"list_min(list_transform({sql_shingles(toks_expr, n)}, s -> md5(s)))"
 
 
+def sql_winnow_sel(src: str = "documents", *, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 8, w: int = 4) -> str:
+    """CTE chain (``toks``/``g``/``w``/``sel``) mirroring
+    ``operators.dedup.winnow_fingerprints`` literally: ``sel`` is the
+    distinct ``(doc_id, f)`` winnowing-fingerprint relation.  md5 over
+    space-joined token slices and lexicographic hex MIN are identical
+    in both engines, so the selection — and therefore any blocking
+    built on it — reproduces exactly.  Compose as
+    ``WITH {sql_winnow_sel(...)}{sql_winnow_cands(...)} SELECT ...``."""
+    return f"""
+        toks AS (
+            SELECT {id_col} AS doc_id,
+                   list_filter(string_split({text_col}, ' '),
+                               x -> x <> '') AS t
+            FROM {src}
+        ),
+        g AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(t[i:i+{k - 1}], ' ')) AS gh
+            FROM toks,
+                 unnest(generate_series(1, len(t) - {k} + 1)) AS u(i)
+        ),
+        w AS (
+            SELECT doc_id, pos,
+                   MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW
+                                 AND {w - 1} FOLLOWING) AS wmin,
+                   MAX(pos) OVER (PARTITION BY doc_id) AS mx
+            FROM g
+        ),
+        sel AS (
+            SELECT DISTINCT doc_id, wmin AS f
+            FROM w WHERE pos <= GREATEST(mx - {w - 1}, 1)
+        )"""
+
+
+def sql_winnow_cands(max_df: int) -> str:
+    """CTE chain (``cnt``/``keep``/``cand``) mirroring
+    ``operators.dedup.winnow_candidate_pairs`` over a preceding ``sel``
+    CTE (:func:`sql_winnow_sel`): distinct candidate pairs sharing a
+    fingerprint with document frequency ≤ ``max_df``."""
+    return f""",
+        cnt AS (SELECT f, COUNT(*) AS c FROM sel GROUP BY f),
+        keep AS (SELECT f FROM cnt WHERE c <= {max_df}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sel a
+            JOIN keep k ON k.f = a.f
+            JOIN sel b ON b.f = a.f AND a.doc_id < b.doc_id
+        )"""
+
+
 # -- language ID ------------------------------------------------------------
 
 #: Tiny per-language stopword lists (public, frequency-ranked heads).

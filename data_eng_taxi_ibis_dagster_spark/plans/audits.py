@@ -211,19 +211,21 @@ def similarity_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_audit",
     oracle=f"""
         WITH RECURSIVE corpus AS (
-            SELECT doc_id, source, text FROM documents
+            SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 1000000 AS doc_id, source, text FROM documents
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 2000000 AS doc_id, source, text FROM documents
-        ), sh AS (
-            SELECT doc_id, source,
+            SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        ), {T.sql_winnow_sel("corpus")}{T.sql_winnow_cands(D.WINNOW_MAX_DF)},
+        sh AS (
+            SELECT doc_id,
                    {T.sql_shingles("string_split(text, ' ')", 3)} AS s
             FROM corpus
         ), pairs AS (
-            SELECT a.doc_id AS da, b.doc_id AS db
-            FROM sh a JOIN sh b
-              ON a.source = b.source AND a.doc_id < b.doc_id
+            SELECT doc_a AS da, doc_b AS db
+            FROM cand
+            JOIN sh a ON a.doc_id = doc_a
+            JOIN sh b ON b.doc_id = doc_b
             WHERE {_JACCARD_SQL} >= 0.5
         ), edges AS (
             SELECT da AS s, db AS d FROM pairs
@@ -246,20 +248,23 @@ def dedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The iterative connected-components cluster-pick
     (operators/dedup.dedup_clusters — min-label propagation, the SAME
     function ``dedup_cluster_pick`` runs on MinHash pairs) pinned to a
-    strict oracle: the pair set is the EXACT Jaccard relation (already
-    strictly checked by ``dedup_ngram_jaccard``), and DuckDB computes
-    the ground-truth components by WITH RECURSIVE transitive closure +
+    strict oracle: the pair set is the EXACT Jaccard relation over
+    winnowing-blocked candidates (the relation strictly checked by
+    ``dedup_ngram_jaccard``, here over a 3×-replicated corpus so every
+    cluster has non-trivial size), and DuckDB computes the
+    ground-truth components by WITH RECURSIVE transitive closure +
     min-reachable-label. A drift in edge symmetrization, label
-    propagation, convergence, or canonical selection breaks the hash."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text")
+    propagation, convergence, or canonical selection breaks the hash.
+    (Re-blocked from `source` to the df-capped winnowing fingerprint
+    in round 9, with the oracle restricted identically — see
+    ``dedup_edit_distance`` for the asymptote argument.)"""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d
     for off in (1_000_000, 2_000_000):
         corpus = corpus.unionByName(
-            d.select((F.col("doc_id") + off).alias("doc_id"),
-                     "source", "text"))
-    pairs = D.pairwise_jaccard(corpus, block_col="source", n=3,
-                               threshold=0.5, salts=16)
+            d.select((F.col("doc_id") + off).alias("doc_id"), "text"))
+    cands = D.winnow_candidate_pairs(D.winnow_fingerprints(corpus))
+    pairs = D.jaccard_verify(cands, corpus, n=3, threshold=0.5)
     return D.dedup_clusters(pairs.select("doc_a", "doc_b"))
 
 

@@ -158,30 +158,47 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-        WITH sh AS (
-            SELECT doc_id, source,
+        WITH {T.sql_winnow_sel("documents")}{T.sql_winnow_cands(D.WINNOW_MAX_DF)},
+        sh AS (
+            SELECT doc_id,
                    {T.sql_shingles("string_split(text, ' ')", 3)} AS s
             FROM documents
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        SELECT doc_a, doc_b,
                CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
                    / CAST(len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
                    AS jaccard_sim
-        FROM sh a JOIN sh b
-          ON a.source = b.source AND a.doc_id < b.doc_id
+        FROM cand
+        JOIN sh a ON a.doc_id = doc_a
+        JOIN sh b ON b.doc_id = doc_b
         WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
                   / CAST(len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
               >= 0.5
     """,
     tags=("E10",),
+    bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle Jaccard near-dup pairs, blocked by source —
-    the oracle-checked verifier that MinHash candidates are tested
-    against. Fixture plants true near-dups (J up to ~0.99)."""
-    d = load_table(spark, sf_dir, "documents")
-    return D.pairwise_jaccard(d, block_col="source", n=3, threshold=0.5,
-                              salts=16)
+    """Exact 3-gram-shingle Jaccard near-dup pairs over WINNOWING-
+    FINGERPRINT-blocked candidates — the oracle-checked verifier that
+    MinHash candidates are tested against. Fixture plants true
+    near-dups (J up to ~0.99); the winnow block recovers ALL of them
+    (100% recall vs the global all-pairs truth at both gate SFs,
+    pinned by ``test_winnow_block_recall``) including CROSS-source
+    pairs the former same-source blocking missed (25 vs 1 at sf0.01).
+
+    Re-blocked in round 9: the `source` block key had FIXED
+    cardinality, so block size grew linearly with corpus and pair
+    generation as O(n²/|sources|) — the salting fix (r8) spread the
+    work but not the asymptote. The winnowing fingerprint is a
+    content hash whose per-key df is capped (WINNOW_MAX_DF), so
+    the candidate relation grows LINEARLY with the corpus; the
+    comparison set is engine-portable (md5 grams — unlike xxhash64
+    LSH bands) and the oracle restricts to the IDENTICAL allowed
+    set, so the check stays strict with no fixture-recall argument."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = D.winnow_candidate_pairs(D.winnow_fingerprints(d))
+    return D.jaccard_verify(cands, d, n=3, threshold=0.5)
 
 
 @query(

@@ -628,35 +628,19 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     111 s at sf0.1); the exploded frame computes each hash exactly
     once (1.3 s). Hash ORDER is lexicographic over md5 hex —
     identical in both engines, so selection mirrors exactly; only the
-    ~2/(w+1) selected sample reaches the cross-doc shuffle."""
-    from pyspark.sql.window import Window
+    ~2/(w+1) selected sample reaches the cross-doc shuffle.
+
+    The selection itself lives in
+    ``operators/dedup.winnow_fingerprints`` (round 9 — it doubles as
+    the bounded block key of the exact pair verifiers; plan verified
+    identical to the former inline formulation, so the r5 external
+    row still attests this plan)."""
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    t = _toks()
-    n = F.size(t)
-    gram_structs = F.when(
-        n >= _WIN_K,
-        F.transform(
-            F.sequence(F.lit(1), n - _WIN_K + 1),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(F.array_join(F.slice(t, i, _WIN_K), " "))
-                .alias("gh"))),
-    ).otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
-    g = (_right_size(d)
-         .select("doc_id", F.explode(gram_structs).alias("e"))
-         .select("doc_id", "e.pos", "e.gh"))
-    frame = (Window.partitionBy("doc_id").orderBy("pos")
-             .rowsBetween(Window.currentRow, _WIN_W - 1))
-    whole = Window.partitionBy("doc_id")
-    w = g.select(
-        "doc_id", "pos",
-        F.min("gh").over(frame).alias("wmin"),
-        F.max("pos").over(whole).alias("mx"))
-    sel = (w.filter(F.col("pos")
-                    <= F.greatest(F.col("mx") - (_WIN_W - 1), F.lit(1)))
-           .select("doc_id", F.col("wmin").alias("f"))
-           .distinct())
+    sel = winnow_fingerprints(d, k=_WIN_K, w=_WIN_W)
     cnt = sel.groupBy("f").agg(F.count(F.lit(1)).alias("c"))
     return (
         sel.join(cnt, "f")

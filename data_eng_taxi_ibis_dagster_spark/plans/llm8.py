@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_eng_taxi_ibis_dagster_spark.operators import dedup as D
+from data_eng_taxi_ibis_dagster_spark.operators import text as T
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 
@@ -62,74 +64,44 @@ def scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EDIT_K = 10
-_EDIT_SALTS = 16
 
 
 @query(
     "dedup_edit_distance",
     oracle=f"""
-        WITH d AS (
-            SELECT doc_id, source, text, length(text) AS n
-            FROM documents
-        )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        WITH {T.sql_winnow_sel("documents")}{T.sql_winnow_cands(D.WINNOW_MAX_DF)}
+        SELECT doc_a, doc_b,
                CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
-        FROM d a JOIN d b
-          ON a.source = b.source
-         AND a.doc_id < b.doc_id
-         AND abs(a.n - b.n) <= {_EDIT_K}
-        WHERE levenshtein(a.text, b.text) <= {_EDIT_K}
+        FROM cand
+        JOIN documents a ON a.doc_id = doc_a
+        JOIN documents b ON b.doc_id = doc_b
+        WHERE abs(length(a.text) - length(b.text)) <= {_EDIT_K}
+          AND levenshtein(a.text, b.text) <= {_EDIT_K}
     """,
     tags=("E10", "E2", "EXT"),
+    bench=True,
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked all-pairs Levenshtein near-dup: pairs within the same
-    source block whose lengths differ by ≤ k (a free lower bound on
-    edit distance — |len(a)−len(b)| ≤ lev(a,b) — pruning BEFORE the
-    O(n·m) distance), verified at lev ≤ k. Block key bounds the
-    quadratic blow-up exactly like pairwise_jaccard; at corpus scale
-    the block key comes from LSH buckets or the fingerprint index
-    instead of metadata. Levenshtein runs in codegen on the JVM —
-    no Python in the pair loop.
+    """Levenshtein near-dup over WINNOWING-FINGERPRINT-blocked
+    candidates: pairs sharing a content fingerprint whose lengths
+    differ by ≤ k (a free lower bound on edit distance —
+    |len(a)−len(b)| ≤ lev(a,b) — pruning BEFORE the O(n·m) distance),
+    verified at lev ≤ k. Levenshtein runs in codegen on the JVM — no
+    Python in the pair loop.
 
-    SALTED pair generation (round 8): this join's OUTPUT is quadratic
-    in the block size while its shuffle INPUT is one corpus row per
-    side — and AQE sizes post-shuffle partitions by input bytes, so
-    with a low-cardinality block key it coalesced every block's pair
-    work into ONE task (measured: the sf0.1 strict sweep ground a
-    single-task Levenshtein stage for ~10 min; sf0.1's hottest block
-    is 250 docs ⇒ ~31k verifications per block, all serial). The left
-    side carries ``_salt = doc_a % 16`` and the right side replicates
-    row-locally across all 16 salts (explode — no join), so each
-    block's pair work spreads over 16 tasks; the explicit
-    ``repartition(n, _blk, _salt)`` (user-specified partition count —
-    exempt from AQE coalescing, n = the session's shuffle
-    parallelism) keeps it spread. Same (doc_a, doc_b) pair set: a's
-    salt is a function of doc_a, and b matches at exactly that salt.
-    ``test_scale_plans.test_edit_distance_pair_stage_is_salted``
-    pins the shape."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text", F.length("text").alias("n"))
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = d.select(F.col("source").alias("_blk"),
-                 F.col("doc_id").alias("doc_a"),
-                 F.col("text").alias("ta"), F.col("n").alias("na"),
-                 F.pmod(F.col("doc_id"), F.lit(_EDIT_SALTS))
-                 .alias("_salt")).repartition(n_part, "_blk", "_salt")
-    b = d.select(F.col("source").alias("_blk"),
-                 F.col("doc_id").alias("doc_b"),
-                 F.col("text").alias("tb"), F.col("n").alias("nb"),
-                 F.explode(F.array(*[F.lit(i) for i in range(_EDIT_SALTS)]))
-                 .alias("_salt")).repartition(n_part, "_blk", "_salt")
-    pairs = a.join(
-        b,
-        [a["_blk"] == b["_blk"], a["_salt"] == b["_salt"],
-         F.col("doc_a") < F.col("doc_b"),
-         F.abs(F.col("na") - F.col("nb")) <= _EDIT_K],
-    )
-    return (
-        pairs.select(
-            "doc_a", "doc_b",
-            F.levenshtein("ta", "tb").cast("long").alias("edit_dist"))
-        .filter(F.col("edit_dist") <= _EDIT_K)
-    )
+    Re-blocked in round 9 (was `source`, salted): the metadata block
+    key's size grew linearly with corpus, so pair generation was
+    O(n²/|sources|) — the r8 salt fixed task PLACEMENT (10 min → 61 s
+    at sf0.1) but not the asymptote. The winnowing fingerprint
+    (operators/dedup.winnow_fingerprints, k=8 w=4: any shared run of
+    ≥ 11 tokens shares a fingerprint — documents within lev ≤ 10 of
+    each other share many) is df-capped (WINNOW_MAX_DF), so candidate
+    output is bounded per key and LINEAR in corpus; no salt needed —
+    the key is a high-entropy hash. The oracle reproduces the md5
+    selection literally (engine-portable, unlike xxhash64 bands), so
+    the comparison set is IDENTICAL by construction and the check
+    stays strict. Bonus: cross-source near-dups the old block missed
+    are now found (25 vs 1 rows at sf0.01)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = D.winnow_candidate_pairs(D.winnow_fingerprints(d))
+    return D.levenshtein_verify(cands, d, max_dist=_EDIT_K)

@@ -115,6 +115,12 @@ WINDOW_KEY_BOUNDS = {
     ("_k",): ("entity", "as-of join key = per-user event stream"),
     ("band", "bucket"): ("bounded", "LSH (band, bucket) groups, hot-bucket "
                          "skew cap in operators/dedup"),
+    ("f",): ("bounded", "winnowing-fingerprint df-sizing window "
+             "(operators/dedup.winnow_candidate_pairs): group size = the "
+             "key's document frequency — a high-entropy content hash; "
+             "the window feeds the <= WINNOW_MAX_DF cap that drops "
+             "degenerate keys before the pair self-join (same policy as "
+             "the LSH bucket sizing window above)"),
     ("source",): ("bounded", "domain cap: exact window runs AFTER the "
                   "(source, partition-id) map-side top-K pre-thin — "
                   "<= K*n_partitions rows per domain"),
@@ -155,16 +161,21 @@ _BOUNDED_OFFSET_PREFIXES = ("_dr_bucket", "_dp_bucket", "_pm_bucket",
                             # first distributed_prefix_max(tie_split)
                             # consumer)
                             "_gm_bucket",
-                            # operators/qsketch: every _qs_-named
-                            # column (bin, counts, the _qs_g_<i> group
-                            # renames) lives on the quantile-sketch
+                            # operators/qsketch: the concrete sketch
+                            # columns (bin, the _qs_g_<i> group
+                            # renames) live on the quantile-sketch
                             # GRID — ≤ value_range/width rows per
                             # group, a sketch PARAMETER bound (like
                             # HLL lgK), not corpus-scaling. The
                             # operator renames caller group columns
                             # into this namespace so the bound never
                             # whitelists a business column on raw rows.
-                            "_qs_")
+                            # Concrete names, not the bare "_qs_"
+                            # namespace (round-8 advisor: a future
+                            # plan minting an unrelated _qs_* column
+                            # over raw corpus rows must NOT inherit
+                            # the exemption).
+                            "_qs_bin", "_qs_g_")
 
 
 def _unpartitioned_window_orders(plan: str) -> list[str]:

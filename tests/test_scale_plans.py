@@ -175,33 +175,120 @@ def test_cbo_table_stats_via_analyze(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS nation_stats_test")
 
 
-@pytest.mark.parametrize("name", [
-    "dedup_edit_distance",   # ~10 min single-task at sf0.1 → 61 s salted
-    "dedup_ngram_jaccard",   # 34.8 s single-task at sf0.1 → 3.8 s salted
-    # dedup_cluster_audit shares pairwise_jaccard(salts=16) but its CC
-    # loop runs EAGERLY at plan build — the returned plan is a
-    # localCheckpoint scan, so the salted exchange (which already
-    # executed) cannot appear in the plan string; the shared core is
-    # pinned through dedup_ngram_jaccard above.
-])
-def test_pair_stage_is_salted(spark, sf_dir, name):
-    """Blocked all-pairs joins have quadratic OUTPUT on a constant-byte
-    shuffle INPUT, so AQE's input-sized coalescing packed every block's
-    verification work into one task (measured at sf0.1, see the
-    parametrize list — the round-8 10×-scale sweep's finding). The
-    left side must carry the doc_id-derived salt and reach the join
-    through an explicit REPARTITION_BY_NUM exchange on (_blk, _salt) —
-    the user-specified partition count is exactly what exempts the
-    spread from AQE coalescing."""
+def test_pairwise_jaccard_salt_stage(spark, sf_dir):
+    """The pairwise_jaccard operator's salt machinery (round 8: AQE's
+    input-sized coalescing packed a low-cardinality block key's whole
+    quadratic pair output into one task): with salts>1 the left side
+    must carry the doc_id-derived salt and reach the join through an
+    explicit REPARTITION_BY_NUM exchange on (_blk, _salt) — the
+    user-specified partition count is exactly what exempts the spread
+    from AQE coalescing. (The registry's exact pair verifiers moved to
+    winnowing-fingerprint blocking in round 9 — see the test below —
+    so the salted metadata-block path is pinned at the operator.)"""
     import re
 
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        pairwise_jaccard,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = _plan(pairwise_jaccard(d, block_col="source", threshold=0.5,
+                                  salts=16))
+    assert re.search(r"hashpartitioning\(_blk#\d+, _salt#\d+L?, \d+\), "
+                     r"REPARTITION_BY_NUM", plan), (
+        "pairwise_jaccard(salts=16) lost its explicit (_blk, _salt) "
+        "repartition — AQE will re-coalesce the quadratic-output stage "
+        "into one task:\n" + plan[:1500])
+    assert "pmod" in plan or "explode" in plan  # salt derivation survives
+
+    with pytest.raises(ValueError):
+        pairwise_jaccard(d, threshold=0.5, salts=16)  # salt w/o block
+
+
+@pytest.mark.parametrize("name", [
+    "dedup_edit_distance",
+    "dedup_ngram_jaccard",
+    # dedup_cluster_audit shares winnow_candidate_pairs but its CC loop
+    # runs EAGERLY at plan build — the returned plan is a
+    # localCheckpoint scan, so the capped candidate stage (which
+    # already executed) cannot appear in the plan string; the shared
+    # core is pinned through the two names above.
+])
+def test_pair_stage_is_winnow_blocked(spark, sf_dir, name):
+    """Round 9: the exact pair verifiers block on the df-capped
+    winnowing fingerprint, never on corpus metadata. Two plan
+    invariants make the pair stage bounded BY CONSTRUCTION:
+
+    1. the candidate join keys on the fingerprint column ``f`` (a
+       high-entropy content hash — per-key output is capped, so AQE
+       coalescing is safe without a salt), and
+    2. the df-cap window filter (count per f ≤ WINNOW_MAX_DF) sits
+       between fingerprinting and the self-join, so no key can emit
+       more than max_df·(max_df−1)/2 pairs no matter how the corpus
+       grows — the former `source` key's block size grew linearly
+       with corpus and its pair output quadratically."""
+    import re
+
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        WINNOW_MAX_DF,
+    )
     from data_eng_taxi_ibis_dagster_spark.plans.registry import get
 
     plan = (get(name).builder(spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
-    assert re.search(r"hashpartitioning\(_blk#\d+, _salt#\d+L?, \d+\), "
-                     r"REPARTITION_BY_NUM", plan), (
-        f"{name}: pair join lost its explicit (_blk, _salt) repartition "
-        f"— AQE will re-coalesce the quadratic-output stage into one "
-        f"task:\n" + plan[:1500])
-    assert "pmod" in plan or "explode" in plan  # salt derivation survives
+    # the self-join keys on the fingerprint, not on metadata
+    assert re.search(r"hashpartitioning\(f#\d+", plan), (
+        f"{name}: pair join no longer keyed on the winnowing "
+        f"fingerprint:\n" + plan[:1500])
+    assert "source" not in plan.lower().replace("datasource", ""), (
+        f"{name}: metadata block key leaked back into the pair plan")
+    # the df-cap filter bounds every block before the join
+    assert re.search(rf"_df#\d+L? <= {WINNOW_MAX_DF}\)", plan), (
+        f"{name}: hot-fingerprint df-cap filter missing — block size "
+        f"is unbounded:\n" + plan[:1500])
+
+
+def test_winnow_block_recall(spark, sf_dir):
+    """The winnowing block's recall contract on the gate fixture: the
+    fingerprint-blocked exact-Jaccard pair set EQUALS the global
+    all-pairs truth at the query threshold (any shared run of
+    ≥ w+k−1 = 11 tokens shares a fingerprint; fixture near-dups share
+    long runs). Candidate generation may safely prune — it must never
+    lose a true pair."""
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        jaccard_verify,
+        pairwise_jaccard,
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = winnow_candidate_pairs(winnow_fingerprints(d))
+    blocked = jaccard_verify(cands, d, threshold=0.5).toPandas()
+    # global truth: unblocked all-pairs (fixture-sized corpora only)
+    truth = pairwise_jaccard(d, threshold=0.5).toPandas()
+    b = set(zip(blocked["doc_a"], blocked["doc_b"]))
+    t = set(zip(truth["doc_a"], truth["doc_b"]))
+    assert b == t, (f"winnow-blocked pairs diverge from global truth: "
+                    f"missing={t - b}, extra={b - t}")
+
+
+def test_winnow_fingerprint_df_bounded(spark, sf_dir):
+    """Empirical companion to the plan pin: on the gate fixture the
+    winnowing-fingerprint document frequency stays far below the cap
+    (max df 3-4 at sf0.01/sf0.1 — planted near-dup cluster size), so
+    the df-cap drops NO fixture fingerprints (recall unaffected) while
+    bounding adversarial/boilerplate keys at scale."""
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        WINNOW_MAX_DF,
+        winnow_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = winnow_fingerprints(d)
+    max_df = (fps.groupBy("f").count().agg(F.max("count").alias("m"))
+              .collect()[0]["m"])
+    assert max_df <= WINNOW_MAX_DF // 4, (
+        f"fixture max fingerprint df {max_df} is within 4x of the cap "
+        f"{WINNOW_MAX_DF} — the cap would start costing recall; "
+        f"re-derive the regime")
