@@ -41,12 +41,20 @@ def histogram_sketch(df: DataFrame, value: Column, *, width: int,
     per-group counts over the fixed grid ``bin = floor(value/width)``.
     NULL values are dropped (standard SQL aggregate semantics —
     ``percentile_disc`` ignores NULLs). One map-side-combined
-    aggregate; emit is ≤ groups × (range/width) rows."""
+    aggregate; emit is ≤ groups × (range/width) rows.
+
+    The grid width is stamped into ``_qs_bin``'s column METADATA
+    (``{"qs_width": width}``) so downstream reads can resolve it from
+    the relation itself instead of trusting the caller to repeat the
+    literal (a mismatched width silently rescales every quantile).
+    Metadata rides the schema through aggregation and parquet
+    round-trips, and costs nothing physical."""
     group_cols = group_cols or []
     return (
         df.filter(value.isNotNull())
         .groupBy(*group_cols,
-                 F.floor(value / F.lit(width)).cast("long").alias("_qs_bin"))
+                 F.floor(value / F.lit(width)).cast("long")
+                 .alias("_qs_bin", metadata={"qs_width": width}))
         .agg(F.count(F.lit(1)).alias("_qs_n"))
     )
 
@@ -64,7 +72,8 @@ def merge_sketches(sk: DataFrame,
             .agg(F.sum("_qs_n").alias("_qs_n")))
 
 
-def sketch_quantiles(sk: DataFrame, pcts: list[int], *, width: int,
+def sketch_quantiles(sk: DataFrame, pcts: list[int], *,
+                     width: int | None = None,
                      group_cols: list[str] | None = None,
                      est_name: str = "est_lo",
                      n_name: str = "n_rows") -> DataFrame:
@@ -84,7 +93,27 @@ def sketch_quantiles(sk: DataFrame, pcts: list[int], *, width: int,
     operator-owned names means a caller's own window over raw corpus
     rows partitioned by the same business column is still flagged
     (a bare ``(l_returnflag,)`` whitelist entry would have laundered
-    it)."""
+    it).
+
+    ``width`` resolves from the sketch's own ``_qs_bin`` metadata
+    (stamped by :func:`histogram_sketch`, preserved by merges and
+    parquet round-trips); passing it explicitly is allowed but must
+    AGREE with the stamp — a silent mismatch would rescale every
+    quantile by the wrong factor (round-8 advisor finding)."""
+    meta = sk.schema["_qs_bin"].metadata or {}
+    stamped = meta.get("qs_width")
+    if width is None:
+        if stamped is None:
+            raise ValueError(
+                "sketch_quantiles: no width given and the sketch "
+                "carries no qs_width metadata on _qs_bin — rebuild it "
+                "with histogram_sketch or pass width explicitly")
+        width = int(stamped)
+    elif stamped is not None and int(stamped) != width:
+        raise ValueError(
+            f"sketch_quantiles: width={width} contradicts the sketch's "
+            f"own grid (qs_width={int(stamped)}) — quantiles would be "
+            f"rescaled by the wrong factor")
     group_cols = group_cols or []
     gmap = {g: f"_qs_g_{i}" for i, g in enumerate(group_cols)}
     sk = sk.select(

@@ -84,3 +84,32 @@ def test_sketch_quantiles_empty_input_is_empty(spark):
     df = spark.createDataFrame([], "v long")
     sk = histogram_sketch(df, F.col("v"), width=1)
     assert sketch_quantiles(sk, [50], width=1).count() == 0
+
+
+def test_sketch_width_rides_the_relation(spark, tmp_path):
+    """The grid width stamped by histogram_sketch must survive merges
+    AND a parquet round-trip, resolve implicitly in sketch_quantiles,
+    and contradict a wrong explicit width loudly (round-8 advisor: a
+    silently mismatched width rescales every quantile)."""
+    import pytest
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    sk = merge_sketches(histogram_sketch(df, F.col("v"), width=10))
+    path = str(tmp_path / "sk")
+    sk.write.parquet(path)
+    back = spark.read.parquet(path)
+    # implicit resolution from the stamp, through merge + parquet
+    est = {r["pct"]: r["est_lo"]
+           for r in sketch_quantiles(back, [50]).collect()}
+    assert est[50] == 40  # bin floor(49/10)*10: the p50 bin lower bound
+    # matching explicit width is allowed
+    assert sketch_quantiles(back, [50], width=10).count() == 1
+    # contradicting width fails at plan build, not silently
+    with pytest.raises(ValueError):
+        sketch_quantiles(back, [50], width=100)
+    # an unstamped relation with no width is refused
+    bare = back.select(F.col("_qs_bin").alias("_qs_bin"), "_qs_n")
+    stripped = spark.createDataFrame(bare.collect(),
+                                     "_qs_bin long, _qs_n long")
+    with pytest.raises(ValueError):
+        sketch_quantiles(stripped, [50])
