@@ -161,10 +161,16 @@ def ann_topk_srp(queries: DataFrame, corpus: DataFrame, k: int = 10, *,
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+#: Target expected rows per centroid block when ``n_blocks`` is
+#: derived from the corpus (n_blocks ≈ n / this): bounds per-block
+#: pair work at ~TARGET²/2 comparisons independent of corpus size.
+COSINE_BLOCK_TARGET_ROWS = 256
+
+
 def cosine_threshold_pairs_blocked(df: DataFrame, threshold: float, *,
                                    id_col: str = "vec_id",
                                    vec_col: str = "embedding",
-                                   n_blocks: int = 8) -> DataFrame:
+                                   n_blocks: int | None = None) -> DataFrame:
     """EXACT cosine threshold self-join (all pairs with cosine ≥
     ``threshold``) without broadcasting or cross-joining the corpus.
 
@@ -187,7 +193,25 @@ def cosine_threshold_pairs_blocked(df: DataFrame, threshold: float, *,
     Worst case (one giant block) degenerates to distributed all-pairs —
     still an equi-join, not a broadcast. Emits (vec_a, vec_b,
     cosine_sim) with ``vec_a < vec_b``.
+
+    The K-SCALING CONTRACT (round-9 verdict #3): raising ``n_blocks``
+    IS this operator's salt — expected block size is n/n_blocks, so k
+    must grow WITH the corpus or the blocked join quietly degenerates
+    to O(n²). When ``n_blocks`` is None (the default, and what the
+    registered query uses) it is derived at plan build from the corpus
+    count: ``max(8, ceil(n / COSINE_BLOCK_TARGET_ROWS))`` — one
+    O(1)-result count() action at build (the Lloyd-training precedent:
+    quantizer sizing is the offline half), after which expected
+    per-block pair work is a CONSTANT ~TARGET²/2 regardless of corpus
+    size and total pair work grows linearly with surviving block
+    pairs. ``tests/test_order_rank.py::test_cosine_block_k_scaling``
+    pins the derivation and the non-degeneracy on a 10×-gate corpus.
+    Passing an explicit ``n_blocks`` (tests, tuned deployments)
+    bypasses the count.
     """
+    if n_blocks is None:
+        import math
+        n_blocks = max(8, math.ceil(df.count() / COSINE_BLOCK_TARGET_ROWS))
     theta_max = F.acos(F.lit(float(threshold)))  # qualifying angular cap
     clamp = lambda c: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), c))
 

@@ -32,9 +32,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning + equi-join candidates. Zero false negatives, so the result
     is bit-identical to the all-pairs oracle — but the corpus is never
     broadcast and per-task memory is bounded by block size, not corpus
-    size."""
+    size. n_blocks derives from the corpus count at plan build
+    (round 9 — the k-scaling contract; see the operator docstring):
+    at every fixture SF the derived value is 8, the former literal, so
+    the executed plan is unchanged."""
     e = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_threshold_pairs_blocked(e, 0.4, n_blocks=8)
+    return S.cosine_threshold_pairs_blocked(e, 0.4)
 
 
 def ivf_topk(e: DataFrame, *, n_centroids: int = 8, nprobe: int = 2,

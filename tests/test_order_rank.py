@@ -116,6 +116,50 @@ def test_blocked_cosine_agrees_with_topk_operator(spark):
             r["cosine_sim"], abs=1e-12)
 
 
+def test_cosine_block_k_scaling(spark, sf_dir):
+    """The k-scaling contract (round-9 verdict #3): with n_blocks
+    unset, the operator derives n_blocks = max(8, ceil(n/TARGET)) from
+    the corpus count at plan build, so expected block size stays
+    ~TARGET as the corpus grows — on a 10×-gate corpus the centroid
+    limit in the plan must have GROWN past the old literal 8, or the
+    blocking has quietly degenerated to O((n/8)²)-per-block work."""
+    import math
+    import re
+
+    from data_eng_taxi_ibis_dagster_spark.operators.similarity import (
+        COSINE_BLOCK_TARGET_ROWS,
+        cosine_threshold_pairs_blocked,
+    )
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n1 = e.count()
+    big = e
+    for rep in range(1, 10):  # 10× the gate corpus, distinct ids
+        big = big.unionByName(
+            e.select((F.col("vec_id") + rep * 1_000_000).alias("vec_id"),
+                     "embedding"))
+    pairs = cosine_threshold_pairs_blocked(big, 0.999)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    want_k = max(8, math.ceil(10 * n1 / COSINE_BLOCK_TARGET_ROWS))
+    limits = [int(m) for m in
+              re.findall(r"TakeOrderedAndProject\(limit=(\d+)", plan)]
+    assert want_k > 8, "fixture too small to exercise the derivation"
+    assert want_k in limits, (
+        f"derived centroid count {want_k} not in plan limits {limits} — "
+        f"n_blocks is not scaling with the corpus")
+    # correctness under derived blocking: the 10 id-shifted replicas of
+    # each vector are exact duplicates (cos = 1 ≥ 0.999) and the
+    # triangle prune must not lose ANY of the C(10,2) replica pairs
+    found = (pairs
+             .filter(F.pmod(F.col("vec_a"), F.lit(1_000_000))
+                     == F.pmod(F.col("vec_b"), F.lit(1_000_000)))
+             .count())
+    assert found >= 45 * n1, (
+        f"only {found} of the {45 * n1} planted replica pairs survived "
+        f"derived blocking — recall lost")
+
+
 @pytest.mark.parametrize("vals", [
     [5, 1, 3, 2, 4, 0, 6],
     [1] * 9,                    # total skew: one bucket holds all
