@@ -303,3 +303,81 @@ def quantile_sketch_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                            group_cols=["l_returnflag"])
         .orderBy("l_returnflag", "pct")
     )
+
+
+@query(
+    "quantile_sketch_incremental",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_quantity) AS rn,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL  -- sketch drops NULLs
+        )
+        SELECT l_returnflag, CAST(p.pct AS BIGINT) AS pct,
+               CAST(MIN(CASE WHEN rn * 100 >= p.pct * cnt
+                             THEN v END) AS BIGINT) AS est_lo,
+               CAST(MAX(cnt) AS BIGINT) AS n_rows
+        FROM ranked CROSS JOIN (VALUES (25), (50), (75), (95)) AS p(pct)
+        GROUP BY l_returnflag, p.pct
+        ORDER BY l_returnflag, pct
+    """,
+    tags=("E8", "E14", "EXT"),
+    bench=True,
+)
+def quantile_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental percentiles WITHOUT RESCAN — the production reason
+    mergeable sketches exist (round-9 verdict #5), composed with the
+    persisted-state ingest shape of ``dedup_incremental_persisted``:
+
+    * ingest cycle 1 (even order keys) sketches ITS rows (width-1
+      grid per l_returnflag) and persists the sketch relation as a
+      parquet table partitioned by group;
+    * ingest cycle 2 (odd order keys) sketches ITS rows and APPENDS
+      them — history is never re-read, never re-aggregated at write;
+    * the returned plan reads ONLY the persisted sketch table, merges
+      by count addition (``merge_sketches``) and reads p25/50/75/95
+      off the merged grid (``sketch_quantiles``).
+
+    The STRICT oracle computes true PERCENTILE_DISC over the FULL raw
+    table by rank selection (the ``quantile_sketch_exact_audit``
+    width-1-regime trick), sharing no intermediate with the sketch
+    path — hash-matching proves merge-across-append exactness end to
+    end: sketch(A) ⊎ sketch(B) ≡ quantiles(A ∪ B). At 100 TB each
+    ingest writes ≤ groups × range/width sketch rows; a percentile
+    read costs a grid scan, never a corpus scan. Sketch writes run at
+    plan build (the offline ingest half, same convention as the
+    persisted LSH index); the timed plan is the grid-only read —
+    bench.py tracks exactly the without-rescan claim."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from data_eng_taxi_ibis_dagster_spark.operators import qsketch as Q
+    from data_eng_taxi_ibis_dagster_spark.sources.sinks import (
+        track_temp_dir,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"))
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(),
+                        f"sg_qsk_rollup_{tag}_{uuid.uuid4().hex[:12]}")
+    track_temp_dir(path)
+    for cycle, keep in enumerate((0, 1)):
+        batch = li.filter(F.pmod(F.col("l_orderkey"), F.lit(2)) == keep)
+        sk = Q.histogram_sketch(batch, F.col("qty"), width=1,
+                                group_cols=["l_returnflag"])
+        (sk.write.mode("overwrite" if cycle == 0 else "append")
+         .partitionBy("l_returnflag").parquet(path))
+    persisted = spark.read.parquet(path)
+    merged = Q.merge_sketches(persisted, group_cols=["l_returnflag"])
+    return (
+        Q.sketch_quantiles(merged, [25, 50, 75, 95], width=1,
+                           group_cols=["l_returnflag"])
+        .orderBy("l_returnflag", "pct")
+    )

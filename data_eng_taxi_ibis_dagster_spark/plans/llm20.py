@@ -34,6 +34,7 @@ from data_eng_taxi_ibis_dagster_spark.operators import pq as PQ
 from data_eng_taxi_ibis_dagster_spark.operators import similarity as S
 from data_eng_taxi_ibis_dagster_spark.operators import text as T
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
+from data_eng_taxi_ibis_dagster_spark.sources.sinks import track_temp_dir
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 
 
@@ -505,14 +506,16 @@ def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must outlive THIS build's lazily-read plan, so it is reclaimed
     # at interpreter exit (atexit), not eagerly — without that, the
     # per-build dirs accumulate in tempdir across bench passes /
-    # pytest sweeps / driver rounds unboundedly.
-    import atexit
-    import shutil
-
+    # pytest sweeps / driver rounds unboundedly.  In addition, a small
+    # per-process LRU (round-8 advisor) bounds IN-SESSION growth: a
+    # long-lived interpreter that rebuilds the plan repeatedly
+    # (notebook, server, parametrized sweeps) evicts the oldest index
+    # dirs once more than _INDEX_DIR_LRU_CAP are live — dirs old
+    # enough to be evicted belong to superseded plan builds.
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(),
                         f"sg_lsh_index_{tag}_{uuid.uuid4().hex[:12]}")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    track_temp_dir(path)
     D.lsh_band_index(corpus).write.mode("overwrite") \
         .partitionBy("band").parquet(path)
     p1 = D.incremental_near_dup_pairs(

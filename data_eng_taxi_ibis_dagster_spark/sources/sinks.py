@@ -39,6 +39,30 @@ def _tree_bytes(path: str) -> int:
     )
 
 
+#: Max live per-build scratch dirs (persisted fixture indexes/rollups)
+#: in one interpreter; oldest beyond this are rmtree'd on the next
+#: registration (plus the atexit sweep for whatever is live at exit).
+TEMP_DIR_LRU_CAP = 8
+_TEMP_DIRS: list[str] = []
+
+
+def track_temp_dir(path: str) -> None:
+    """Register a per-plan-build scratch dir (a persisted LSH index, an
+    incremental sketch rollup, ...): atexit reclamation + a small
+    per-process LRU so a long-lived interpreter rebuilding such plans
+    repeatedly (notebook, server, parametrized sweeps) cannot grow
+    tempdir unboundedly within one session (round-8 advisor). Evicted
+    dirs belong to superseded builds — any still-unexecuted plan
+    holding one would have to be > TEMP_DIR_LRU_CAP builds stale."""
+    import atexit
+    import shutil
+
+    _TEMP_DIRS.append(path)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    while len(_TEMP_DIRS) > TEMP_DIR_LRU_CAP:
+        shutil.rmtree(_TEMP_DIRS.pop(0), ignore_errors=True)
+
+
 def materialize_table(df: DataFrame, name: str, mode: str = "overwrite") -> int:
     """K1 — idempotent full-refresh materialization into the session
     catalog (parquet-backed managed table). Equivalent of the reference's

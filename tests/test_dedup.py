@@ -319,3 +319,29 @@ def test_lsh_fixture_bucket_bounds(spark):
             f"{sf}: hottest LSH bucket has {mx} members — within 2x of "
             f"the max_bucket=1000 drop cap; the strict incremental-dedup "
             f"oracles assume NO bucket is ever dropped on the fixtures")
+
+
+def test_index_dir_lru_bounds_session_growth(tmp_path):
+    """Round-8 advisor: per-build index dirs were reclaimed only at
+    atexit, so a long-lived interpreter rebuilding the plan repeatedly
+    accumulated tempdir disk for the whole session. The per-process
+    LRU must rmtree the oldest dirs once the cap is exceeded."""
+    import os
+
+    from data_eng_taxi_ibis_dagster_spark.sources import sinks
+
+    made = []
+    try:
+        for i in range(sinks.TEMP_DIR_LRU_CAP + 3):
+            p = str(tmp_path / f"idx{i}")
+            os.makedirs(p)
+            sinks.track_temp_dir(p)
+            made.append(p)
+        live = [p for p in made if os.path.isdir(p)]
+        assert len(live) == sinks.TEMP_DIR_LRU_CAP
+        assert live == made[-sinks.TEMP_DIR_LRU_CAP:], (
+            "LRU must evict OLDEST dirs first")
+    finally:
+        for p in made:
+            if p in sinks._TEMP_DIRS:
+                sinks._TEMP_DIRS.remove(p)
