@@ -184,3 +184,52 @@ def events_click_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFram
     clicks = events.filter(F.col("event_type") == "click")
     purchases = events.filter(F.col("event_type") == "purchase")
     return click_purchase_pairs(clicks, purchases)
+
+
+@query(
+    "events_value_quantiles_hourly",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS v,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY FLOOR(value)) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS cnt
+            FROM events
+            WHERE value IS NOT NULL  -- sketch drops NULLs
+        )
+        SELECT event_type, CAST(p.pct AS BIGINT) AS pct,
+               CAST(MIN(CASE WHEN rn * 100 >= p.pct * cnt
+                             THEN v END) AS BIGINT) AS est_lo,
+               CAST(MAX(cnt) AS BIGINT) AS n_rows
+        FROM ranked CROSS JOIN (VALUES (50), (95)) AS p(pct)
+        GROUP BY event_type, p.pct
+        ORDER BY event_type, pct
+    """,
+    tags=("E8", "E14", "EXT"),
+)
+def events_value_quantiles_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value percentiles read off MERGED per-hour quantile
+    sketches (streaming/events.hourly_value_sketch — the SAME builder
+    the maintained-table pipeline ``hourly_value_sketch_incremental``
+    runs): hourly (window, type, bin) grid rows merge by count
+    addition across every event-time slice, then p50/p95 come off the
+    merged grid. The strict oracle derives true width-1-grid
+    PERCENTILE_DISC by rank selection over the RAW rows — hash-match
+    proves the event-time two-level path (slice → additive merge →
+    quantile read) exact, the streaming-shaped companion of
+    ``quantile_sketch_rollup``'s month slices. At 100 TB the hourly
+    grids are the maintained rollup table; this read never touches raw
+    events."""
+    from data_eng_taxi_ibis_dagster_spark.operators import qsketch as Q
+    from data_eng_taxi_ibis_dagster_spark.streaming.events import (
+        hourly_value_sketch,
+    )
+
+    hourly = hourly_value_sketch(load_table(spark, sf_dir, "events"),
+                                 width=1)
+    merged = Q.merge_sketches(hourly, group_cols=["event_type"])
+    return (
+        Q.sketch_quantiles(merged, [50, 95], width=1,
+                           group_cols=["event_type"])
+        .orderBy("event_type", "pct")
+    )

