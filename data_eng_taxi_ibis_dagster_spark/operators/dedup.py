@@ -241,14 +241,16 @@ def jaccard_verify(cands: DataFrame, docs: DataFrame, *,
     """Exact n-gram Jaccard over an explicit candidate-pair relation —
     the verification half of every blocked near-dup pipeline, factored
     so candidate GENERATION (winnowing / LSH / fingerprint index) and
-    verification compose freely.  Shingles only documents that appear
-    in a candidate pair (semi-join pre-thin — verification work is
-    pair-bounded, never corpus-bounded).  Emits
-    ``(doc_a, doc_b, jaccard_sim ≥ threshold)``."""
-    touched = (cands.select(F.col("doc_a").alias(id_col))
-               .unionByName(cands.select(F.col("doc_b").alias(id_col)))
-               .distinct())
-    sh = (_right_size(docs.join(touched, id_col, "left_semi"))
+    verification compose freely.  The candidate relation is referenced
+    exactly ONCE (deliberately no candidates-derived semi-join pre-thin
+    of the text side: each extra reference to ``cands`` re-executes the
+    whole generation subtree — a 3× winnowing cost measured at sf0.1 —
+    while shingling is row-local map work the scan pipeline absorbs;
+    when the corpus side dwarfs the candidates AND is expensive to
+    prepare, materialize the candidates first, as
+    ``incremental_near_dup_pairs`` does with its persisted index).
+    Emits ``(doc_a, doc_b, jaccard_sim ≥ threshold)``."""
+    sh = (_right_size(docs)
           .select(F.col(id_col),
                   shingles(tokens(text_col), n).alias("sh")))
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -267,14 +269,13 @@ def levenshtein_verify(cands: DataFrame, docs: DataFrame, *,
     """Exact Levenshtein over an explicit candidate-pair relation, with
     the free length lower bound (|len(a)−len(b)| ≤ lev(a,b)) pruning
     BEFORE the O(n·m) distance.  Levenshtein runs in codegen on the
-    JVM — no Python in the pair loop.  Emits
-    ``(doc_a, doc_b, edit_dist ≤ max_dist)``."""
-    touched = (cands.select(F.col("doc_a").alias(id_col))
-               .unionByName(cands.select(F.col("doc_b").alias(id_col)))
-               .distinct())
-    t = (docs.join(touched, id_col, "left_semi")
-         .select(F.col(id_col), F.col(text_col).alias("_t"),
-                 F.length(text_col).alias("_n")))
+    JVM — no Python in the pair loop.  Like :func:`jaccard_verify`,
+    ``cands`` is referenced exactly once and the text side joins raw
+    (a pre-thin would re-execute candidate generation per reference
+    for zero savings — the text side has NO per-row prep here).
+    Emits ``(doc_a, doc_b, edit_dist ≤ max_dist)``."""
+    t = docs.select(F.col(id_col), F.col(text_col).alias("_t"),
+                    F.length(text_col).alias("_n"))
     a = t.select(F.col(id_col).alias("doc_a"),
                  F.col("_t").alias("ta"), F.col("_n").alias("na"))
     b = t.select(F.col(id_col).alias("doc_b"),
