@@ -268,8 +268,13 @@ def levenshtein_verify(cands: DataFrame, docs: DataFrame, *,
                        max_dist: int = 10) -> DataFrame:
     """Exact Levenshtein over an explicit candidate-pair relation, with
     the free length lower bound (|len(a)−len(b)| ≤ lev(a,b)) pruning
-    BEFORE the O(n·m) distance.  Levenshtein runs in codegen on the
-    JVM — no Python in the pair loop.  Like :func:`jaccard_verify`,
+    BEFORE the distance, and the distance itself computed in the
+    THRESHOLD-BANDED form — ``levenshtein(a, b, k)`` runs the banded
+    DP (O(len·k) cells with early exit, -1 past the threshold) instead
+    of the full O(len²) matrix, a ~len/(2k+1) work cut per pair (the
+    verification kernel dominates this operator at scale: ~300-char
+    docs at k=10 → ~14× fewer cells).  Runs in codegen on the JVM —
+    no Python in the pair loop.  Like :func:`jaccard_verify`,
     ``cands`` is referenced exactly once and the text side joins raw
     (a pre-thin would re-execute candidate generation per reference
     for zero savings — the text side has NO per-row prep here).
@@ -284,8 +289,12 @@ def levenshtein_verify(cands: DataFrame, docs: DataFrame, *,
         cands.join(a, "doc_a").join(b, "doc_b")
         .filter(F.abs(F.col("na") - F.col("nb")) <= max_dist)
         .select("doc_a", "doc_b",
-                F.levenshtein("ta", "tb").cast("long").alias("edit_dist"))
-        .filter(F.col("edit_dist") <= max_dist)
+                F.levenshtein("ta", "tb", max_dist).cast("long")
+                .alias("edit_dist"))
+        # banded DP returns -1 past the threshold: one predicate keeps
+        # exactly the ≤ max_dist band (and documents the sentinel)
+        .filter((F.col("edit_dist") >= 0)
+                & (F.col("edit_dist") <= max_dist))
     )
 
 
