@@ -385,7 +385,7 @@ def test_registry_analyzes_at_every_sf_dir(spark):
                 return (f"{name} @ {os.path.basename(d)}: "
                         f"{type(e).__name__}: {str(e)[:120]}")
 
-        with ThreadPoolExecutor(max_workers=8) as pool:
+        with ThreadPoolExecutor(max_workers=16) as pool:
             failures += [f for f in pool.map(analyze, specs) if f]
     assert not failures, "\n".join(failures)
 
