@@ -345,3 +345,61 @@ def test_index_dir_lru_bounds_session_growth(tmp_path):
         for p in made:
             if p in sinks._TEMP_DIRS:
                 sinks._TEMP_DIRS.remove(p)
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """The MOSS recall contract the pair-verifier blocking rests on:
+    any two documents sharing a contiguous run of >= w + k - 1 = 11
+    tokens MUST share at least one selected fingerprint — regardless
+    of where the run sits (prefix / middle / suffix) or what surrounds
+    it. (Shorter overlaps carry no guarantee, so no absence assert.)"""
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(11))  # w + k - 1 tokens
+    fill_a = " ".join(f"lefta{i}" for i in range(20))
+    fill_b = " ".join(f"rightb{i}" for i in range(20))
+    docs = from_rows(
+        spark,
+        [
+            (1, f"{run} {fill_a}"),            # run at prefix
+            (2, f"{fill_b} {run}"),            # run at suffix
+            (3, f"{fill_a} {run} {fill_b}"),   # run mid-document
+            (4, " ".join(f"solo{i}" for i in range(20))),  # no shared run
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             winnow_candidate_pairs(
+                 winnow_fingerprints(docs)).collect()}
+    for want in ((1, 2), (1, 3), (2, 3)):
+        assert want in pairs, (
+            f"{want} share an 11-token run but no fingerprint — the "
+            f"winnow recall guarantee is broken")
+    assert not any(4 in p for p in pairs), (
+        "doc 4 shares no content but entered a candidate pair")
+
+
+def test_winnow_short_docs_emit_no_fingerprints(spark):
+    """Documents shorter than k tokens have no k-gram to hash: they
+    emit NO fingerprints and therefore never enter candidate pairs —
+    mirrored exactly by the oracle CTEs (generate_series(1, len-k+1)
+    is empty for len < k in DuckDB too), so the edge cannot drift
+    between engines."""
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = from_rows(
+        spark,
+        [(1, "only seven tokens here not eight yet"),
+         (2, "only seven tokens here not eight yet"),   # exact dup, still < k
+         (3, "now this document has eight tokens exactly ok")],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs).toPandas()
+    assert set(fps["doc_id"]) == {3}, (
+        "sub-k documents must emit no fingerprints (they are exact-dedup "
+        "territory, not near-dup blocking territory)")
