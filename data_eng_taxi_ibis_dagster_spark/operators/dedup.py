@@ -221,14 +221,21 @@ def winnow_candidate_pairs(fps: DataFrame, *, id_col: str = "doc_id",
     max_df·(max_df−1)/2 by the df filter and the join needs NO salt:
     AQE's input-byte coalescing is safe when every key's output is
     bounded and keys are hash-spread (the round-8 salting lesson
-    applied at the ROOT: fix the key, not the task placement)."""
-    sized = fps.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("f")),
-    ).filter(F.col("_df") <= max_df).drop("_df")
-    a = sized.select("f", F.col(id_col).alias("doc_a"))
-    b = sized.select("f", F.col(id_col).alias("doc_b"))
+    applied at the ROOT: fix the key, not the task placement).
+
+    Internally the fingerprint is renamed to the operator-owned
+    ``_wf`` before the sizing window, so the plan lint's bound is keyed
+    to a name only this operator mints — a caller's own window
+    partitioned by a column that happens to be called ``f`` stays
+    flagged (the ``_qs_``-namespace precedent)."""
+    sized = (fps.select(F.col("f").alias("_wf"), F.col(id_col))
+             .withColumn(
+                 "_df", F.count(F.lit(1)).over(Window.partitionBy("_wf")))
+             .filter(F.col("_df") <= max_df).drop("_df"))
+    a = sized.select("_wf", F.col(id_col).alias("doc_a"))
+    b = sized.select("_wf", F.col(id_col).alias("doc_b"))
     return (
-        a.join(b, "f")
+        a.join(b, "_wf")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

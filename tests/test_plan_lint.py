@@ -115,12 +115,13 @@ WINDOW_KEY_BOUNDS = {
     ("_k",): ("entity", "as-of join key = per-user event stream"),
     ("band", "bucket"): ("bounded", "LSH (band, bucket) groups, hot-bucket "
                          "skew cap in operators/dedup"),
-    ("f",): ("bounded", "winnowing-fingerprint df-sizing window "
-             "(operators/dedup.winnow_candidate_pairs): group size = the "
-             "key's document frequency — a high-entropy content hash; "
-             "the window feeds the <= WINNOW_MAX_DF cap that drops "
-             "degenerate keys before the pair self-join (same policy as "
-             "the LSH bucket sizing window above)"),
+    ("_wf",): ("bounded", "winnowing-fingerprint df-sizing window "
+               "(operators/dedup.winnow_candidate_pairs, which alone "
+               "mints _wf): group size = the key's document frequency — "
+               "a high-entropy content hash; the window feeds the "
+               "<= WINNOW_MAX_DF cap that drops degenerate keys before "
+               "the pair self-join (same policy as the LSH bucket "
+               "sizing window above)"),
     ("source",): ("bounded", "domain cap: exact window runs AFTER the "
                   "(source, partition-id) map-side top-K pre-thin — "
                   "<= K*n_partitions rows per domain"),

@@ -237,7 +237,7 @@ def test_pair_stage_is_winnow_blocked(spark, sf_dir, name):
     plan = (get(name).builder(spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
     # the self-join keys on the fingerprint, not on metadata
-    assert re.search(r"hashpartitioning\(f#\d+", plan), (
+    assert re.search(r"hashpartitioning\(_wf#\d+", plan), (
         f"{name}: pair join no longer keyed on the winnowing "
         f"fingerprint:\n" + plan[:1500])
     assert "source" not in plan.lower().replace("datasource", ""), (
