@@ -1,0 +1,126 @@
+"""LLM-data-pipeline queries, round 9: the KMV distinct sketch — the
+third member of the mergeable-sketch-column family (HLL for
+union-only uniques, the quantile histogram for percentiles, KMV for
+set OPERATIONS), registered through the same portable-pair contract
+as every module (Spark DataFrame plan + DuckDB oracle over the same
+parquet; ``/root/reference/taxi_pipeline.py:89-147`` is the 387-line
+pattern this generalizes).
+
+Engine-parity notes:
+
+* Both queries run the REAL estimator expressions
+  (operators/kmv.kmv_estimate / kmv_intersect_estimate), which
+  degenerate bit-for-bit to exact counts in the sketch's exact regime
+  (per-slice distinct < k — the fixtures sit far inside it, pinned by
+  ``tests/test_audit_fixture_bounds``): drift in the hash selection,
+  the bottom-k merge, or the estimator's pooling/threshold logic
+  breaks the strict hash match, the ``approx_exact_regime_audit``
+  philosophy.
+* The hash is md5 hex (lexicographic = numeric 128-bit order, DuckDB
+  renders identically), so each oracle reproduces the sketch's
+  selection literally — the winnowing-fingerprint portability
+  argument, not a recall bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_eng_taxi_ibis_dagster_spark.operators import kmv as K
+from data_eng_taxi_ibis_dagster_spark.plans.registry import query
+from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+
+#: Sketch size. Exact-regime headroom: per-day distinct users are
+#: ~15/~140/~1,350 at sf0.001/0.01/0.1 (pinned in
+#: test_audit_fixture_bounds) — at production scale the same k gives
+#: ~1/sqrt(k) ≈ 1.6% error on counts, unions, and intersections.
+_KMV_K = 4096
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+_DU_SQL = """
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           md5(CAST(user_id AS VARCHAR)) AS h
+    FROM events WHERE user_id IS NOT NULL
+"""
+
+
+@query(
+    "kmv_returning_users_daily",
+    oracle=f"""
+        WITH du AS ({_DU_SQL})
+        SELECT a.day AS day,
+               CAST(COUNT(DISTINCT a.h) AS BIGINT) AS active_users,
+               CAST(COUNT(DISTINCT b.h) AS BIGINT) AS returning_users
+        FROM du a
+        LEFT JOIN du b ON b.day + INTERVAL 1 DAY = a.day AND b.h = a.h
+        GROUP BY 1
+    """,
+    tags=("E8", "E14", "EXT"),
+    bench=True,
+)
+def kmv_returning_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day returning uniques from persisted sketches — the
+    intersection read no union-only sketch (HLL) can serve: per-day
+    KMV sketches of active user_ids, each day's sketch intersected
+    with the previous day's (Beyer et al. 2007 pooled-bottom-k
+    estimator, exact in the fixtures' regime). At 100 TB the daily
+    sketch is ≤ k hashes persisted WITH the day partition; the
+    overlap table is a self-join of a days-long, k-wide relation —
+    raw events are scanned once, ever. Oracle: the same md5 hash
+    sets intersected exactly via a self-join of distinct (day, hash)
+    rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = K.kmv_sketch(
+        e.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id"),
+        F.col("user_id"), k=_KMV_K, group_cols=["day"])
+    prev = daily.select(
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("_kmv").alias("_kmv_prev"))
+    return daily.join(prev, "day", "left").select(
+        "day",
+        K.kmv_estimate(F.col("_kmv"), k=_KMV_K)
+            .cast("long").alias("active_users"),
+        F.coalesce(
+            K.kmv_intersect_estimate(
+                F.col("_kmv"), F.col("_kmv_prev"), k=_KMV_K),
+            F.lit(0.0)).cast("long").alias("returning_users"),
+    )
+
+
+@query(
+    "kmv_rollup_uniques",
+    oracle=f"""
+        WITH du AS ({_DU_SQL})
+        SELECT epoch_us(day) // {_WEEK_US} AS week,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS est_weekly_users,
+               CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+        FROM du
+        GROUP BY 1
+    """,
+    tags=("E8", "E14", "EXT"),
+)
+def kmv_rollup_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strict twin of the rows-only HLL rollup
+    (``sketch_rollup_uniques``): per-day KMV sketches merged to
+    per-week distinct-user counts by pooling arrays and re-selecting
+    the bottom k — ``merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B)``
+    exactly, any order, so the rolled-up read hash-matches a direct
+    COUNT(DISTINCT) in the exact regime. The merge consumes
+    |days|·k array elements, never raw rows — the incremental-rollup
+    contract (persist daily sketch columns, re-aggregate forever)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = K.kmv_sketch(
+        e.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id"),
+        F.col("user_id"), k=_KMV_K, group_cols=["day"])
+    week = (F.unix_micros(F.col("day")) / F.lit(_WEEK_US)).cast("long")
+    weekly = K.merge_kmv(daily.select(week.alias("week"), "_kmv"), ["week"])
+    n_days = daily.groupBy(week.alias("week")).agg(
+        F.count(F.lit(1)).alias("n_days"))
+    return weekly.join(n_days, "week").select(
+        "week",
+        K.kmv_estimate(F.col("_kmv"), k=_KMV_K)
+            .cast("long").alias("est_weekly_users"),
+        "n_days",
+    )

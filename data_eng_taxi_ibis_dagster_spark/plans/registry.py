@@ -95,6 +95,7 @@ def _load_all() -> None:
         llm18,
         llm19,
         llm20,
+        llm21,
     )
 
 

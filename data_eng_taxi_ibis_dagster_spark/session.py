@@ -33,6 +33,13 @@ SESSION_CONF: dict[str, str] = {
     # in tests/test_scale_plans.py.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # InferWindowGroupLimit only rewrites rank-limit windows whose k is
+    # at or below this threshold (default 1000). The KMV sketch's
+    # bottom-k selection (operators/kmv, k=4096) depends on the rewrite
+    # for its map-side pre-thin; 8192 keeps the per-partition top-k
+    # heap bounded (~8k 32-char hashes ≈ 256 KB per group in flight)
+    # while covering every rank limit the registry uses.
+    "spark.sql.optimizer.windowGroupLimitThreshold": "8192",
     "spark.sql.session.timeZone": "UTC",
     # The events fixture carries parquet TIMESTAMP(NANOS) which Spark
     # refuses by default; read it as raw nanos and normalize ourselves

@@ -107,6 +107,12 @@ WINDOW_KEY_BOUNDS = {
     ("_id",): ("wgl", "threshold-join dedup: top-k per probe row"),
     ("cluster_id",): ("wgl", "per-cluster cap: rank <= cap"),
     ("o_orderpriority",): ("wgl", "top-k per group demo: rank <= k"),
+    ("_kmv_g_0",): ("wgl", "KMV bottom-k hash selection "
+                    "(operators/kmv._collect_bottom_k, which alone "
+                    "mints _kmv_g_ renames of caller group columns): "
+                    "row_number <= k over distinct hashes — "
+                    "WindowGroupLimit pre-thins each map partition "
+                    "to k rows/group before the shuffle"),
     ("doc_id",): ("entity", "per-document token/shingle rows <= doc length"),
     ("user_id",): ("entity", "per-user event history (time-bounded stream)"),
     ("o_custkey",): ("entity", "per-customer orders"),
