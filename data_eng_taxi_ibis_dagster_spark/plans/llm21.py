@@ -27,7 +27,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_eng_taxi_ibis_dagster_spark.operators import cms as C
 from data_eng_taxi_ibis_dagster_spark.operators import kmv as K
+from data_eng_taxi_ibis_dagster_spark.operators import text as T
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 
@@ -124,3 +126,60 @@ def kmv_rollup_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("est_weekly_users"),
         "n_days",
     )
+
+
+@query(
+    "cms_heavy_hitter_estimate",
+    oracle="""
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+        seeds AS (SELECT seed
+                  FROM (VALUES ('s0'), ('s1'), ('s2'), ('s3')) s(seed)),
+        grid AS (
+            SELECT seed, substr(md5(seed || ':' || tok), 1, 3) AS bin,
+                   SUM(n) AS cnt
+            FROM vocab CROSS JOIN seeds GROUP BY 1, 2
+        ),
+        exact AS (SELECT tok, n AS exact_n FROM vocab
+                  ORDER BY n DESC, tok ASC LIMIT 20),
+        probe AS (
+            SELECT e.tok, e.exact_n, s.seed,
+                   substr(md5(s.seed || ':' || e.tok), 1, 3) AS bin
+            FROM exact e CROSS JOIN seeds s
+        )
+        SELECT p.tok AS token,
+               CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS est_count,
+               CAST(MAX(p.exact_n) AS BIGINT) AS exact_count
+        FROM probe p
+        LEFT JOIN grid g ON g.seed = p.seed AND g.bin = p.bin
+        GROUP BY 1
+    """,
+    tags=("E8", "E12", "EXT"),
+)
+def cms_heavy_hitter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frequency-sketch half `heavy_hitter_tokens`' docstring
+    foreshadows: per-SOURCE count-min sketches of token occurrences
+    (operators/cms — depth 4 × width 4096 md5-hex-prefix grid) merged
+    by counter addition into the corpus sketch, then point-queried for
+    the exact top-20 tokens, estimates side-by-side with true counts
+    (est ≥ exact always; ≤ exact + εN w.h.p., ε e/width — pinned in
+    test_cms). STRICT with no exact-regime caveat: the bins are
+    portable md5 prefixes, so the oracle rebuilds the IDENTICAL grid
+    (global one-pass — hash-matching the Spark per-source-then-merge
+    path proves counter additivity) and reads the same minima. At
+    100 TB the per-slice sketch is ≤ depth·width counter rows
+    regardless of vocabulary; the probe side is |probes|·depth."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(T.tokens("text")).alias("tok"))
+    merged = C.merge_cms(C.cms_sketch(d, F.col("tok"),
+                                      group_cols=["source"]))
+    exact = (d.groupBy("tok")
+             .agg(F.count(F.lit(1)).alias("exact_count"))
+             .orderBy(F.col("exact_count").desc(), F.col("tok").asc())
+             .limit(20))
+    return (C.cms_lookup(merged, exact, "tok")
+            .select(F.col("tok").alias("token"), "est_count",
+                    "exact_count"))
