@@ -87,6 +87,36 @@ def _plane_component(plane: int, dim: int) -> Column:
     return (h.cast("double") / F.lit(float(2 ** 63)))
 
 
+#: plane index → evaluated [component]*dim, memoized per process.
+_PLANE_CACHE: dict[tuple[int, int], list[float]] = {}
+
+
+def _plane_array(plane: int, dim: int) -> Column:
+    """The full hyperplane as ONE array literal. The components are
+    constants (xxhash64 of two literals), but leaving them as 64
+    expression subtrees per plane made Catalyst ANALYSIS the dominant
+    cost of every SRP plan — ~25 s/side at 8 tables × 4 planes, paid
+    again by every test that re-builds the query (round-9 suite
+    profile). Evaluating the family once per process through a 1-row
+    job and inlining ``F.lit(values)`` collapses each plane to a
+    single Literal node — IDENTICAL values (same xxhash64, same
+    scaling, evaluated by the same engine), so signatures, buckets,
+    and results are bit-for-bit unchanged; only analysis cost moves.
+    Falls back to the expression form when no session is active."""
+    key = (plane, dim)
+    if key not in _PLANE_CACHE:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return F.array(*[_plane_component(plane, d)
+                             for d in range(dim)])
+        row = spark.range(1).select(*[
+            _plane_component(plane, d).alias(f"c{d}")
+            for d in range(dim)]).collect()[0]
+        _PLANE_CACHE[key] = [row[f"c{d}"] for d in range(dim)]
+    return F.lit(_PLANE_CACHE[key])
+
+
 def srp_signature(vec: Column, *, num_planes: int, dim: int,
                   table: int = 0) -> Column:
     """Sign-random-projection bucket id: one bit per hyperplane
@@ -99,7 +129,7 @@ def srp_signature(vec: Column, *, num_planes: int, dim: int,
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[_plane_component(plane, d) for d in range(dim)]),
+                _plane_array(plane, dim),
                 lambda x, y: x * y,
             ),
             F.lit(0.0),

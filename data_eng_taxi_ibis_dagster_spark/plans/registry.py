@@ -351,6 +351,13 @@ _EVICTED: frozenset[str] = frozenset({
     "dedup_edit_distance",
     "dedup_ngram_jaccard",
     "dedup_cluster_audit",
+    # r9 cont.: the SRP plane family inlined as evaluated array
+    # literals (operators/similarity._plane_array) — values and
+    # results bit-identical (verified against captured hashes at
+    # sf0.001 AND sf0.01), but the PLAN changed, so the external
+    # evidence rotates fresh per policy.
+    "similarity_ann_srp",
+    "similarity_ann_audit",
 })
 
 
