@@ -144,3 +144,20 @@ def test_semdedup_threshold_monotone(spark, sf_dir):
     tight_dups = set(tight[tight["is_dup"]]["vec_id"])
     loose_dups = set(loose[loose["is_dup"]]["vec_id"])
     assert tight_dups <= loose_dups
+
+
+def test_srp_plane_literal_matches_expression(spark):
+    """The SRP plane family is inlined as evaluated array literals for
+    analysis speed (operators/similarity._plane_array); the inlining
+    is only sound if the cached values equal the original
+    xxhash64-expression components exactly — pin that equivalence for
+    a sample of planes, including ones the registered configs use."""
+    from data_eng_taxi_ibis_dagster_spark.operators import similarity as S
+
+    for plane in (0, 7, 31):
+        lit_vals = spark.range(1).select(
+            S._plane_array(plane, 64).alias("a")).collect()[0]["a"]
+        expr_vals = spark.range(1).select(
+            F.array(*[S._plane_component(plane, d) for d in range(64)])
+            .alias("a")).collect()[0]["a"]
+        assert lit_vals == expr_vals
