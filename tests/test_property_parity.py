@@ -351,3 +351,49 @@ def test_quantile_sketch_property(_spark, vals, width):
         true = svals[math.ceil(pct * n / 100) - 1]
         want = math.floor(true / width) * width
         assert est[pct] == (want, n), (pct, est[pct], want, n)
+
+
+# ---------------------------------------------------------------------------
+# Sketch merge-invariance fuzz (KMV + CMS)
+# ---------------------------------------------------------------------------
+
+sketch_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),     # arbitrary slice id
+        st.integers(min_value=0, max_value=60),    # value (collisions!)
+    ),
+    min_size=1, max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=sketch_rows)
+def test_sketch_merge_invariant_under_slicing(_spark, rows):
+    """For ANY assignment of rows to slices — empty slices, one mega
+    slice, duplicated values across slices — merging per-slice
+    sketches must equal the one-pass global sketch: KMV by ARRAY
+    equality (bottom-k of a union is inside the union of bottom-ks),
+    CMS by full grid equality (counter addition). This is the
+    contract that makes persisted per-slice sketch columns safe to
+    re-aggregate in any order at 100 TB."""
+    from data_eng_taxi_ibis_dagster_spark.operators import cms as C
+    from data_eng_taxi_ibis_dagster_spark.operators import kmv as K
+
+    pdf = pd.DataFrame(rows, columns=["slice", "v"])
+    sdf = _spark.createDataFrame(pdf).select(
+        "slice", F.col("v").cast("string").alias("v"))
+
+    k_merged = K.merge_kmv(
+        K.kmv_sketch(sdf, F.col("v"), k=8, group_cols=["slice"]))
+    k_direct = K.kmv_sketch(sdf, F.col("v"), k=8)
+    assert k_merged.collect()[0]["_kmv"] == k_direct.collect()[0]["_kmv"]
+
+    c_merged = {(r["_cms_seed"], r["_cms_bin"]): r["_cms_n"]
+                for r in C.merge_cms(
+                    C.cms_sketch(sdf, F.col("v"), depth=2, hex_digits=2,
+                                 group_cols=["slice"])).collect()}
+    c_direct = {(r["_cms_seed"], r["_cms_bin"]): r["_cms_n"]
+                for r in C.cms_sketch(sdf, F.col("v"), depth=2,
+                                      hex_digits=2).collect()}
+    assert c_merged == c_direct
