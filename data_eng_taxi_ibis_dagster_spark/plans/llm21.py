@@ -129,6 +129,73 @@ def kmv_rollup_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_incremental_uniques",
+    oracle=f"""
+        WITH du AS ({_DU_SQL})
+        SELECT epoch_us(day) // {_WEEK_US} AS week,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS est_weekly_users
+        FROM du
+        GROUP BY 1
+    """,
+    tags=("E8", "E14", "EXT"),
+)
+def kmv_incremental_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct counts across an APPEND without rescanning history —
+    the KMV leg of the persisted-sketch-state story
+    (``quantile_sketch_incremental``'s composition, with the KMV
+    bottom-k arrays as the persisted columns):
+
+    * ingest cycle 1 (even event_ids) sketches ITS rows per day and
+      persists ``(day, _kmv)`` to a parquet sketch table;
+    * ingest cycle 2 (odd event_ids) sketches ITS rows and APPENDS —
+      history is never re-read;
+    * the registered plan reads ONLY the persisted arrays (two ≤k-hash
+      rows per day), pools them per week (``merge_kmv`` — the bottom-k
+      of a union is inside the union of bottom-ks, so the two-cycle
+      split loses nothing) and reads weekly uniques.
+
+    The strict oracle counts distinct md5 hashes over the FULL raw
+    table, sharing no intermediate — the hash match proves
+    sketch(A) ⊎ sketch(B) ≡ uniques(A ∪ B) across the append, in the
+    exact regime the fixtures sit in (`test_kmv` pins it). At 100 TB
+    each ingest writes ≤ days·k hashes; a rollup reads sketch rows,
+    never events. Sketch writes run at plan build (the offline ingest
+    half, the persisted-LSH-index convention); the timed plan is the
+    array-only read."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from data_eng_taxi_ibis_dagster_spark.sources.sinks import (
+        track_temp_dir,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(),
+                        f"sg_kmv_inc_{tag}_{uuid.uuid4().hex[:12]}")
+    track_temp_dir(path)
+    for cycle, keep in enumerate((0, 1)):
+        batch = e.filter(F.pmod(F.col("event_id"), F.lit(2)) == keep)
+        sk = K.kmv_sketch(batch, F.col("user_id"), k=_KMV_K,
+                          group_cols=["day"])
+        (sk.write.mode("overwrite" if cycle == 0 else "append")
+         .parquet(path))
+    persisted = spark.read.parquet(path)
+    week = (F.unix_micros(F.col("day")) / F.lit(_WEEK_US)).cast("long")
+    weekly = K.merge_kmv(persisted.select(week.alias("week"), "_kmv"),
+                         ["week"], k=_KMV_K)
+    return weekly.select(
+        "week",
+        K.kmv_estimate(F.col("_kmv"), k=_KMV_K)
+            .cast("long").alias("est_weekly_users"),
+    )
+
+
+@query(
     "cms_heavy_hitter_estimate",
     oracle="""
         WITH toks AS (
