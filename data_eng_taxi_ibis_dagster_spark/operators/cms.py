@@ -143,7 +143,21 @@ def cms_lookup(sk: DataFrame, probes: DataFrame, probe_col: str, *,
     possible for keys the sketch never saw). Output: the probe
     relation plus ``est_name``. The probe side is |probes|·depth rows
     — driver/broadcast-scale by contract (top-k lists, watchlists),
-    never the corpus."""
+    never the corpus.
+
+    The sketch must be UNGROUPED (exactly ``(_cms_seed, _cms_bin,
+    _cms_n)``) — enforced, not just documented: a sketch still
+    carrying group columns would left-join one row PER GROUP and the
+    min would pick the smallest single group's counter, silently
+    UNDERCOUNTING (the one direction CMS guarantees never happens);
+    merge with :func:`merge_cms` first (round-9 review finding)."""
+    extra = set(sk.columns) - {"_cms_seed", "_cms_bin", "_cms_n"}
+    if extra:
+        raise ValueError(
+            f"cms_lookup: sketch still carries group columns "
+            f"{sorted(extra)} — the per-group left join would take a "
+            f"min over per-group counters and UNDERCOUNT; roll up "
+            f"with merge_cms(sk) before the lookup")
     depth, hex_digits = _resolve_params(sk, depth, hex_digits)
     e = probes.select(
         "*",

@@ -39,28 +39,54 @@ def _tree_bytes(path: str) -> int:
     )
 
 
-#: Max live per-build scratch dirs (persisted fixture indexes/rollups)
-#: in one interpreter; oldest beyond this are rmtree'd on the next
-#: registration (plus the atexit sweep for whatever is live at exit).
-TEMP_DIR_LRU_CAP = 8
-_TEMP_DIRS: list[str] = []
+#: Max live scratch dirs PER BUILDER KEY (one key ≈ one query × one
+#: sf_dir); older same-key dirs are rmtree'd on the next registration,
+#: and one process-wide atexit sweep reclaims whatever is live at exit.
+TEMP_DIR_LRU_CAP = 2
+_TEMP_DIRS: dict[str, list[str]] = {}
+_TEMP_DIRS_ATEXIT_ARMED = False
 
 
-def track_temp_dir(path: str) -> None:
-    """Register a per-plan-build scratch dir (a persisted LSH index, an
-    incremental sketch rollup, ...): atexit reclamation + a small
-    per-process LRU so a long-lived interpreter rebuilding such plans
-    repeatedly (notebook, server, parametrized sweeps) cannot grow
-    tempdir unboundedly within one session (round-8 advisor). Evicted
-    dirs belong to superseded builds — any still-unexecuted plan
-    holding one would have to be > TEMP_DIR_LRU_CAP builds stale."""
-    import atexit
+def _sweep_temp_dirs() -> None:
     import shutil
 
-    _TEMP_DIRS.append(path)
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    while len(_TEMP_DIRS) > TEMP_DIR_LRU_CAP:
-        shutil.rmtree(_TEMP_DIRS.pop(0), ignore_errors=True)
+    for dirs in _TEMP_DIRS.values():
+        for p in dirs:
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def track_temp_dir(path: str, key: str | None = None) -> None:
+    """Register a per-plan-build scratch dir (a persisted LSH index, an
+    incremental sketch rollup, ...): atexit reclamation + a per-KEY
+    LRU so a long-lived interpreter rebuilding such plans repeatedly
+    (notebook, server, parametrized sweeps) cannot grow tempdir
+    unboundedly within one session (round-8 advisor). ``key`` defaults
+    to the dir basename minus its trailing uniqueness segment (the
+    ``<name>_<tag>_<uuid>`` convention every caller uses), so eviction
+    only ever reclaims SUPERSEDED BUILDS OF THE SAME QUERY — a sweep
+    that builds many different queries before executing any of them
+    evicts nothing (the round-9 review's cross-query hazard: a global
+    count-based LRU deleted query A's still-unexecuted dir because
+    queries B..I registered after it). A holder of a plan more than
+    TEMP_DIR_LRU_CAP rebuilds stale of the SAME query sees a
+    missing-path read — the documented, narrow staleness window.
+    One process-wide atexit sweep replaces the per-call
+    ``atexit.register`` closures (which grew without bound in exactly
+    the long-lived-process scenario the LRU targets)."""
+    import atexit
+    import os
+    import shutil
+
+    global _TEMP_DIRS_ATEXIT_ARMED
+    if not _TEMP_DIRS_ATEXIT_ARMED:
+        atexit.register(_sweep_temp_dirs)
+        _TEMP_DIRS_ATEXIT_ARMED = True
+    if key is None:
+        key = os.path.basename(path.rstrip("/")).rsplit("_", 1)[0]
+    dirs = _TEMP_DIRS.setdefault(key, [])
+    dirs.append(path)
+    while len(dirs) > TEMP_DIR_LRU_CAP:
+        shutil.rmtree(dirs.pop(0), ignore_errors=True)
 
 
 def materialize_table(df: DataFrame, name: str, mode: str = "overwrite") -> int:

@@ -85,9 +85,17 @@ def hourly_value_sketch(events: DataFrame, *, width: int = 1) -> DataFrame:
     — exactly the state a streaming aggregation keeps per key, so the
     sketch column needs no custom stateful operator: it IS a grouped
     count with the bin in the key. Shared by the batch rendering and
-    ``hourly_value_sketch_incremental`` (the maintained-table path)."""
+    ``hourly_value_sketch_incremental`` (the maintained-table path).
+    NULL values are dropped BEFORE binning — the
+    ``operators/qsketch.histogram_sketch`` contract (and the
+    registered oracle's ``WHERE value IS NOT NULL``); without the
+    filter a NULL row would land in a NULL ``_qs_bin`` that inflates
+    ``n_rows`` and, under NULLS-FIRST ordering, shifts every
+    cumulative rank (round-9 review finding — latent until a fixture
+    regeneration introduces a NULL value)."""
     return (
-        events.groupBy(
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
             F.window("ts", "1 hour").alias("w"),
             "event_type",
             F.floor(F.col("value") / F.lit(width)).cast("long")

@@ -92,3 +92,15 @@ def test_cms_param_metadata_cross_check(spark):
     if not (bare.schema["_cms_bin"].metadata or {}).get("cms_depth"):
         with pytest.raises(ValueError, match="no depth"):
             C.cms_lookup(bare, d, "k")
+
+
+def test_cms_lookup_rejects_grouped_sketch(spark):
+    """A sketch still carrying group columns would silently UNDERCOUNT
+    through the per-group left join (min over per-group counters) —
+    cms_lookup must refuse it at plan build (round-9 review)."""
+    d = spark.range(20).select(
+        (F.col("id") % 2).alias("g"), F.col("id").cast("string").alias("k"))
+    grouped = C.cms_sketch(d, F.col("k"), group_cols=["g"])
+    with pytest.raises(ValueError, match="group columns"):
+        C.cms_lookup(grouped, d.select("k"), "k")
+    C.cms_lookup(C.merge_cms(grouped), d.select("k"), "k").collect()

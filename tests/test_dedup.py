@@ -324,27 +324,38 @@ def test_lsh_fixture_bucket_bounds(spark):
 def test_index_dir_lru_bounds_session_growth(tmp_path):
     """Round-8 advisor: per-build index dirs were reclaimed only at
     atexit, so a long-lived interpreter rebuilding the plan repeatedly
-    accumulated tempdir disk for the whole session. The per-process
-    LRU must rmtree the oldest dirs once the cap is exceeded."""
+    accumulated tempdir disk for the whole session. Round-9 review
+    hardening: the LRU is PER BUILDER KEY — rebuilding the SAME query
+    evicts its own superseded dirs, while registering many DIFFERENT
+    queries' dirs (a sweep building everything before executing
+    anything) evicts nothing across keys."""
     import os
 
     from data_eng_taxi_ibis_dagster_spark.sources import sinks
 
-    made = []
+    made, other = [], []
     try:
         for i in range(sinks.TEMP_DIR_LRU_CAP + 3):
-            p = str(tmp_path / f"idx{i}")
+            p = str(tmp_path / f"sg_same_query_{i}")
             os.makedirs(p)
             sinks.track_temp_dir(p)
             made.append(p)
+            q = str(tmp_path / f"sg_other_{i}_{i}")  # distinct keys
+            os.makedirs(q)
+            sinks.track_temp_dir(q)
+            other.append(q)
         live = [p for p in made if os.path.isdir(p)]
         assert len(live) == sinks.TEMP_DIR_LRU_CAP
         assert live == made[-sinks.TEMP_DIR_LRU_CAP:], (
-            "LRU must evict OLDEST dirs first")
+            "LRU must evict OLDEST same-key dirs first")
+        assert all(os.path.isdir(q) for q in other), (
+            "cross-key registrations must never evict another "
+            "query's still-live dir")
     finally:
-        for p in made:
-            if p in sinks._TEMP_DIRS:
-                sinks._TEMP_DIRS.remove(p)
+        for dirs in sinks._TEMP_DIRS.values():
+            for p in made + other:
+                if p in dirs:
+                    dirs.remove(p)
 
 
 def test_winnow_guarantee_shared_run(spark):

@@ -14,30 +14,51 @@ from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 
 
 def test_kmv_exact_regime_fixture_bounds():
-    """kmv_returning_users_daily / kmv_rollup_uniques are strict
-    because every fixture slice's distinct-user count sits inside the
-    sketch's exact regime (< k, where the sketch IS the full hash
-    set). Pin the bound at ALL gate SFs — including sf0.1, where the
-    10x strict sweep runs — so a fixture regeneration that leaves the
-    regime fails here with a clear message instead of as a hash
-    mismatch in the parity sweep. Weekly rollups pool ≤ 7 days, so
-    the weekly regime bound is 7x the daily headroom we assert."""
+    """The kmv_* strict queries hold because every hash POOL the
+    estimator expressions actually form stays inside the exact regime
+    (< k, where the pool IS the full hash set). Pin exactly those
+    pools, at ALL gate SFs including sf0.1 where the 10x sweep runs,
+    so a fixture regeneration that leaves a regime fails here with a
+    clear message instead of as a hash mismatch in the parity sweep:
+
+    * per EPOCH week (``epoch_us // WEEK_US`` — the queries' slicing;
+      NOT ISO date_trunc('week'), whose Monday-start boundaries could
+      hide an over-k epoch week across two ISO weeks): the pool
+      ``kmv_rollup_uniques``/``kmv_incremental_uniques`` merge;
+    * per ADJACENT-DAY UNION: ``kmv_returning_users_daily``'s
+      intersect estimator pools day d with day d−1 — each day can be
+      under k while their union is not (round-9 review finding)."""
+    week_us = 7 * 24 * 3600 * 1_000_000
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
                "/root/testdata/sf0.1"):
         con = duckdb.connect()
         rows = con.execute(
-            f"""SELECT date_trunc('week', ts) AS week,
-                       COUNT(DISTINCT user_id) AS nd
+            f"""SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+                           AS day,
+                       epoch_us(date_trunc('day', ts)) // {week_us}
+                           AS week,
+                       user_id
                 FROM read_parquet('{sf}/events.parquet')
-                WHERE user_id IS NOT NULL
-                GROUP BY 1"""
+                WHERE user_id IS NOT NULL"""
         ).fetchall()
         assert rows
-        for week, nd in rows:
-            assert nd < _KMV_K, (
-                f"{sf} week {week}: {nd} distinct users leaves the "
-                f"KMV k={_KMV_K} exact regime — the kmv_* strict "
-                f"oracles will stop matching")
+        by_day, by_week = {}, {}
+        for day, week, uid in rows:
+            by_day.setdefault(day, set()).add(uid)
+            by_week.setdefault(week, set()).add(uid)
+        for week, users in by_week.items():
+            assert len(users) < _KMV_K, (
+                f"{sf} epoch week {week}: {len(users)} distinct users "
+                f"leaves the KMV k={_KMV_K} exact regime — the weekly "
+                f"rollup oracles will stop matching")
+        days = sorted(by_day)
+        for prev, cur in zip(days, days[1:]):
+            pooled = len(by_day[prev] | by_day[cur])
+            assert pooled < _KMV_K, (
+                f"{sf} days {prev}+{cur}: pooled union {pooled} "
+                f"leaves the exact regime — kmv_returning_users_daily"
+                f"'s intersect estimator will take the approximate "
+                f"branch while its oracle stays exact")
 
 
 def test_kmv_merge_equals_direct(spark, sf_dir):
