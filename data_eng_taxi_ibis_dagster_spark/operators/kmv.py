@@ -163,6 +163,19 @@ def kmv_estimate(sketch: Column, *, k: int) -> Column:
         F.lit(float(k - 1)) / _hash_frac(kth))
 
 
+def estimate_from_hashes(hashes: list[str], *, k: int) -> float:
+    """Driver/Python-side twin of :func:`kmv_estimate` for a
+    materialized sorted bottom-k list (the stateful streaming
+    operator's per-key state, ``streaming/stateful.py``). One
+    definition of the fraction math (``_FRAC_HEX``/``_FRAC_DEN``)
+    shared with the Column form so the twins cannot drift: in the
+    exact regime both return the integer sketch size; beyond it both
+    read (k−1)/frac(kth smallest) off the same leading 52 bits."""
+    if len(hashes) < k:
+        return float(len(hashes))
+    return float(k - 1) / (int(hashes[k - 1][:_FRAC_HEX], 16) / _FRAC_DEN)
+
+
 def kmv_intersect_estimate(a: Column, b: Column, *, k: int) -> Column:
     """|A ∩ B| read off two same-k sketches (Beyer et al. 2007): pool
     both samples; if the pooled union holds fewer than k hashes the

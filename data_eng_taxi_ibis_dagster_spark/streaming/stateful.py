@@ -136,3 +136,72 @@ def running_user_spend_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful KMV: continuous approximate-distinct with CONSTANT per-key
+# state — the sketch family's custom-stateful-operator leg
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+KMV_OUTPUT_SCHEMA = "day timestamp, sketch_size long, est_users double"
+KMV_STATE_SCHEMA = "hashes array<string>"
+
+
+def _update_day_uniques(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Pool the day's stored bottom-k hash sample with the batch's
+    hashes, re-select the bottom k, emit the running distinct
+    estimate. State is ≤ KMV_K hashes per day BY CONSTRUCTION —
+    unlike a distinct-count accumulator (whose state grows with user
+    cardinality), the sketch makes continuous uniques safe at any
+    scale: merge(state, batch) ≡ sketch(everything seen), the
+    operators/kmv exactness argument applied incrementally."""
+    from data_eng_taxi_ibis_dagster_spark.operators.kmv import (
+        estimate_from_hashes,
+    )
+
+    (day,) = key
+    pooled = set(state.get[0]) if state.exists else set()
+    for pdf in batches:
+        pooled.update(pdf["h"])
+    bottom = sorted(pooled)[:KMV_K]
+    state.update((bottom,))
+    yield pd.DataFrame({
+        "day": [day],
+        "sketch_size": [len(bottom)],
+        "est_users": [estimate_from_hashes(bottom, k=KMV_K)],
+    })
+
+
+def running_daily_uniques(events: DataFrame) -> DataFrame:
+    """Continuous per-day distinct-user estimates via a stateful KMV
+    sketch. The hash runs JVM-side (``operators/kmv.kmv_hash`` — the
+    same md5 selection the batch sketch uses, so stream and batch see
+    the same sample); only the ≤k-element bottom-k maintenance crosses
+    into Python. Both emitted columns are monotone per day (the
+    sample only grows toward k; the kth minimum only falls), so the
+    last/update-mode-max emission per day IS the final state — the
+    batch-equivalence contract ``test_stateful`` pins against
+    ``kmv_sketch`` + ``kmv_estimate`` over the full backlog."""
+    from pyspark.sql import functions as F
+
+    from data_eng_taxi_ibis_dagster_spark.operators.kmv import kmv_hash
+
+    keyed = events.filter(F.col("user_id").isNotNull()).select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        kmv_hash(F.col("user_id")).alias("h"),
+    )
+    return (
+        keyed.groupBy("day")
+        .applyInPandasWithState(
+            _update_day_uniques,
+            outputStructType=KMV_OUTPUT_SCHEMA,
+            stateStructType=KMV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -138,3 +138,16 @@ def test_kmv_k_metadata_cross_check(spark):
             K.merge_kmv(bare)
     assert K.merge_kmv(sk).collect()[0]["_kmv"] == \
         sk.collect()[0]["_kmv"]
+
+
+def test_estimate_from_hashes_matches_column_twin(spark):
+    """The Python-side estimator (the stateful streaming operator's
+    read) must equal the Column form bit-for-bit, in AND beyond the
+    exact regime — both read the same leading 52 bits, which round to
+    doubles exactly."""
+    for n, k in ((40, 64), (5000, 64)):
+        sk = K.kmv_sketch(spark.range(n), F.col("id"), k=k)
+        row = sk.select(
+            "_kmv", K.kmv_estimate(F.col("_kmv"), k=k).alias("e")
+        ).collect()[0]
+        assert K.estimate_from_hashes(list(row["_kmv"]), k=k) == row["e"]

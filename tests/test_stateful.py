@@ -198,3 +198,54 @@ def test_stateful_tws_twin_matches_batch(spark, sf_dir):
     assert (got.index == want.index).all()
     assert (got["n_purchases"].values == want["n_purchases"].values).all()
     assert (got["total_spend"].values == want["total_spend"].values).all()
+
+
+def test_stateful_daily_uniques_matches_batch_sketch(spark, sf_dir):
+    """The stateful KMV's final per-day state must equal the batch
+    sketch over the same backlog: same md5 sample (kmv_hash runs
+    JVM-side in both paths), same bottom-k, same estimator read
+    (estimate_from_hashes is the Column twin's shared definition).
+    Both emitted columns are monotone per day, so update-mode max ==
+    final state. At fixture scale the sketch sits in its exact regime
+    and est_users equals the true distinct count exactly."""
+    from data_eng_taxi_ibis_dagster_spark.operators import kmv as K
+    from data_eng_taxi_ibis_dagster_spark.streaming.stateful import (
+        KMV_K,
+        running_daily_uniques,
+    )
+
+    stream = running_daily_uniques(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory").queryName("daily_uniques")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("daily_uniques")
+        .groupBy("day")
+        .agg(F.max("sketch_size").alias("sketch_size"),
+             F.max("est_users").alias("est_users"))
+        .toPandas().set_index("day").sort_index()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    sk = K.kmv_sketch(
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id"),
+        F.col("user_id"), k=KMV_K, group_cols=["day"])
+    want = (
+        sk.select("day", F.size("_kmv").alias("sketch_size"),
+                  K.kmv_estimate(F.col("_kmv"), k=KMV_K).alias("est_users"))
+        .toPandas().set_index("day").sort_index()
+    )
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .toPandas().set_index("day").sort_index()
+    )
+    assert (got.index == want.index).all()
+    assert (got["sketch_size"].values == want["sketch_size"].values).all()
+    assert (got["est_users"].values == want["est_users"].values).all()
+    # exact-regime sanity: the continuous estimate IS the true count
+    in_regime = exact["nd"].values < KMV_K
+    assert (got["est_users"].values[in_regime]
+            == exact["nd"].values[in_regime]).all()
