@@ -152,12 +152,18 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
     return report
 
 
-def check_query(spark, name: str, sf_dir: str) -> ParityReport:
-    """Run one registered query on both engines and compare."""
+def check_query(spark, name: str, sf_dir: str, df=None) -> ParityReport:
+    """Run one registered query on both engines and compare. ``df``
+    optionally supplies an already-built DataFrame for the query (the
+    suite's session-scoped plan cache — building some plans costs
+    seconds of analysis/eager jobs, and three registry-wide sweeps
+    would otherwise each rebuild all of them); it must be the result
+    of ``get(name).builder(spark, sf_dir)`` for the same arguments."""
     from data_eng_taxi_ibis_dagster_spark.plans.registry import get
 
     spec = get(name)
-    spark_pdf = spec.builder(spark, sf_dir).toPandas()
+    spark_pdf = (df if df is not None
+                 else spec.builder(spark, sf_dir)).toPandas()
     if spec.oracle is None:
         return ParityReport(name, len(spark_pdf) >= 0, len(spark_pdf), -1,
                             ["rows-only (no oracle)"])

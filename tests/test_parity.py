@@ -14,8 +14,8 @@ ALL = sorted(all_specs())
 
 
 @pytest.mark.parametrize("name", ALL)
-def test_query_matches_oracle(spark, sf_dir, name):
-    report = check_query(spark, name, sf_dir)
+def test_query_matches_oracle(spark, sf_dir, name, plan_cache):
+    report = check_query(spark, name, sf_dir, df=plan_cache(name))
     assert report.ok, str(report)
 
 
