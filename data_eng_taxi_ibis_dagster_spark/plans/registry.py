@@ -114,12 +114,12 @@ def _load_all() -> None:
 # than this round -- the driver writes CORRECTNESS_r{N+1}.json after
 # the final commit of round N+1, so a judged tree can never list it;
 # any discrepancy AT or BELOW the watermark still fails hard.
-_DRIVER_VERIFIED_AS_OF = 8
+_DRIVER_VERIFIED_AS_OF = 9
 _DRIVER_VERIFIED = {
     "abc_pareto_customers": 6,
     "abtest_two_proportion": 6,
     "agg_argminmax_median_bits": 7,
-    "agg_bitwise_flags": 4,
+    "agg_bitwise_flags": 9,
     "agg_conditional_bool": 7,
     "agg_exact_linear_stats": 7,
     "agg_salted_hot_key": 7,
@@ -139,11 +139,12 @@ _DRIVER_VERIFIED = {
     "brand_quantity_revenue": 8,
     "chi2_type_by_hour": 5,
     "cluster_balanced_sample": 6,
+    "cms_heavy_hitter_estimate": 9,
     "collect_sorted_list": 5,
     "constraint_check": 8,
     "contrastive_pair_mining": 5,
     "cooccurrence_edges_audit": 5,
-    "correlated_scalar_subquery": 4,
+    "correlated_scalar_subquery": 9,
     "count_lineitem": 7,
     "cube_sales": 7,
     "cum_revenue_by_orderdate": 7,
@@ -151,57 +152,58 @@ _DRIVER_VERIFIED = {
     "curation_pairs": 7,
     "curation_stack": 7,
     "customer_order_distribution": 7,
-    "data_mixture_resample": 4,
-    "decontaminate_ngram": 4,
+    "data_mixture_resample": 9,
+    "decontaminate_ngram": 9,
     "dedup_cdc_chunks": 5,
-    "dedup_cluster_audit": 8,
+    "dedup_cluster_audit": 9,
     "dedup_cluster_pick": 7,
     "dedup_containment": 6,
-    "dedup_edit_distance": 8,
+    "dedup_edit_distance": 9,
     "dedup_embedding_cosine": 7,
     "dedup_exact": 7,
-    "dedup_incremental": 4,
+    "dedup_incremental": 9,
     "dedup_incremental_batch": 6,
     "dedup_incremental_persisted": 7,
     "dedup_minhash_audit": 6,
     "dedup_minhash_lsh": 7,
-    "dedup_ngram_jaccard": 8,
+    "dedup_ngram_jaccard": 9,
     "dedup_simhash": 7,
     "dedup_span_removal": 5,
     "dedup_span_windows": 5,
     "distinct_segments": 7,
     "domain_cap_sample": 6,
     "dsir_importance_topk": 6,
-    "embedding_centroids": 4,
+    "embedding_centroids": 9,
     "embedding_covariance": 5,
     "embedding_pca_project": 6,
-    "embedding_quantize_int8": 4,
-    "events_activity_streaks": 4,
+    "embedding_quantize_int8": 9,
+    "events_activity_streaks": 9,
     "events_asof_purchase_click": 8,
     "events_click_purchase_interval": 8,
     "events_dedup_ids": 8,
-    "events_funnel_conversion": 4,
+    "events_funnel_conversion": 9,
     "events_hourly_by_type": 8,
-    "events_hourly_dense": 4,
+    "events_hourly_dense": 9,
     "events_locf_value": 5,
-    "events_new_users_daily": 4,
+    "events_new_users_daily": 9,
     "events_retention_cohorts": 8,
     "events_sessionize": 8,
     "events_sliding_value": 8,
     "events_trailing_24h_spend": 6,
+    "events_value_quantiles_hourly": 9,
     "exact_count_distinct": 8,
     "explode_tokens": 7,
     "fingerprint_winnowing": 5,
-    "flagship_avg_price": 8,
+    "flagship_avg_price": 9,
     "flagship_sql_path": 8,
     "forecast_revenue": 5,
     "forecast_seasonal_naive": 6,
     "gini_customer_revenue": 6,
     "global_sales_opportunity": 5,
-    "global_shuffle_order": 4,
+    "global_shuffle_order": 9,
     "graph_triangle_tokens": 5,
     "grouping_sets_sql": 7,
-    "heavy_hitter_tokens": 4,
+    "heavy_hitter_tokens": 9,
     "hierarchy_pointer_doubling": 5,
     "histogram_equidepth_price": 6,
     "histogram_price": 8,
@@ -211,9 +213,9 @@ _DRIVER_VERIFIED = {
     "join_band_acctbal": 8,
     "join_band_bucketized": 8,
     "join_bloom_prefilter": 8,
-    "join_full_outer_nation_presence": 4,
+    "join_full_outer_nation_presence": 9,
     "join_left_order_counts": 8,
-    "join_null_safe_priority": 4,
+    "join_null_safe_priority": 9,
     "join_range_ship_lag": 8,
     "join_sales_by_region": 8,
     "join_salted_skew": 5,
@@ -222,22 +224,25 @@ _DRIVER_VERIFIED = {
     "kmeans_estep_audit": 6,
     "kmeans_lloyd": 6,
     "kmeans_two_iter_audit": 5,
+    "kmv_incremental_uniques": 9,
+    "kmv_returning_users_daily": 9,
+    "kmv_rollup_uniques": 9,
     "large_volume_customers": 8,
     "late_shipment_priority": 5,
-    "lateral_topn_per_customer": 4,
+    "lateral_topn_per_customer": 9,
     "lm_bigram_familiarity": 5,
     "local_supplier_volume": 7,
     "map_in_arrow_stats": 6,
     "markov_event_transitions": 6,
     "min_cost_supplier": 8,
-    "mode_event_type_per_user": 4,
+    "mode_event_type_per_user": 9,
     "multimodal_audio_dedup": 6,
     "multimodal_decode_stats": 8,
     "multimodal_features": 8,
     "multimodal_phash_dedup": 6,
     "multimodal_video_frames": 6,
     "national_market_share": 8,
-    "ngram_bigram_counts": 4,
+    "ngram_bigram_counts": 9,
     "ngram_novelty": 5,
     "null_semantics": 5,
     "order_priority_check": 7,
@@ -250,7 +255,7 @@ _DRIVER_VERIFIED = {
     "percentile_cont_price": 7,
     "percentile_disc_price": 7,
     "phash_twin_audit": 6,
-    "pii_redact_digits": 4,
+    "pii_redact_digits": 9,
     "pivot_status_by_priority": 7,
     "pricing_summary": 7,
     "product_type_profit": 8,
@@ -259,9 +264,10 @@ _DRIVER_VERIFIED = {
     "promo_revenue_share": 7,
     "pysource_telemetry_rollup": 5,
     "quality_classifier_linear": 5,
-    "quality_gopher_rules": 4,
-    "quality_repetition": 4,
+    "quality_gopher_rules": 9,
+    "quality_repetition": 9,
     "quantile_sketch_exact_audit": 8,
+    "quantile_sketch_incremental": 9,
     "quantile_sketch_rollup": 8,
     "retrieval_bm25_topk": 6,
     "retrieval_stack_audit": 7,
@@ -271,11 +277,11 @@ _DRIVER_VERIFIED = {
     "rolling_7d_active_users": 6,
     "rollup_sales": 8,
     "running_peak_price_by_orderdate": 8,
-    "scalar_array_funcs": 4,
-    "scalar_date_funcs": 4,
-    "scalar_hash_encode": 4,
-    "scalar_json": 4,
-    "scalar_map_funcs": 4,
+    "scalar_array_funcs": 9,
+    "scalar_date_funcs": 9,
+    "scalar_hash_encode": 9,
+    "scalar_json": 9,
+    "scalar_map_funcs": 9,
     "scalar_math_case": 4,
     "scalar_regexp": 7,
     "scalar_string_funcs": 7,
@@ -292,10 +298,10 @@ _DRIVER_VERIFIED = {
     "share_of_priority_by_status": 4,
     "shipping_priority": 7,
     "simhash_twin_audit": 5,
-    "similarity_ann_audit": 6,
-    "similarity_ann_srp": 8,
-    "similarity_cosine_topk": 3,
-    "similarity_ivf": 3,
+    "similarity_ann_audit": 9,
+    "similarity_ann_srp": 9,
+    "similarity_cosine_topk": 9,
+    "similarity_ivf": 9,
     "similarity_ivf_audit": 6,
     "similarity_ivfpq_audit": 7,
     "similarity_ivfpq_topk": 6,
@@ -303,7 +309,7 @@ _DRIVER_VERIFIED = {
     "similarity_maxsim_topk": 6,
     "similarity_pq_audit": 7,
     "similarity_pq_topk": 6,
-    "sketch_rollup_uniques": 3,
+    "sketch_rollup_uniques": 9,
     "skyline_pareto_parts": 8,
     "small_quantity_revenue": 8,
     "stats_aggregates": 7,
@@ -312,18 +318,18 @@ _DRIVER_VERIFIED = {
     "systematic_sample": 5,
     "table_diff_orders": 6,
     "text_html_strip": 5,
-    "text_lang_id": 3,
-    "text_quality": 3,
-    "text_shingle_fingerprint": 3,
-    "text_stats": 3,
+    "text_lang_id": 9,
+    "text_quality": 9,
+    "text_shingle_fingerprint": 9,
+    "text_stats": 9,
     "textrank_keywords": 6,
     "tfidf_top_term": 8,
     "top_supplier": 8,
-    "topk_orders": 3,
-    "topk_per_group": 3,
+    "topk_orders": 9,
+    "topk_per_group": 9,
     "train_test_split": 4,
     "udtf_chunk_documents": 7,
-    "unpivot_order_measures": 3,
+    "unpivot_order_measures": 9,
     "url_parse_stats": 5,
     "variant_props_stats": 4,
     "video_frames_audit": 5,
@@ -332,8 +338,8 @@ _DRIVER_VERIFIED = {
     "weighted_median_price": 6,
     "weighted_sample_aes": 4,
     "window_distribution_funcs": 7,
-    "window_rank_lag": 3,
-    "window_running_total": 3,
+    "window_rank_lag": 9,
+    "window_running_total": 9,
     "zipf_vocab_profile": 6,
 }
 
@@ -343,21 +349,8 @@ _DRIVER_VERIFIED = {
 # CORRECTNESS row lands.  Add names here in the same commit that
 # rewrites a builder; remove them once regen picks up the new round.
 _EVICTED: frozenset[str] = frozenset({
-    # r9: the exact pair verifiers re-blocked from `source` (linear-
-    # with-corpus block size => quadratic pair generation; the r8 salt
-    # fixed placement, not the asymptote) onto the df-capped winnowing
-    # fingerprint -- plans AND oracles both restricted to the identical
-    # candidate set (operators/dedup.winnow_candidate_pairs).
-    "dedup_edit_distance",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_audit",
-    # r9 cont.: the SRP plane family inlined as evaluated array
-    # literals (operators/similarity._plane_array) — values and
-    # results bit-identical (verified against captured hashes at
-    # sf0.001 AND sf0.01), but the PLAN changed, so the external
-    # evidence rotates fresh per policy.
-    "similarity_ann_srp",
-    "similarity_ann_audit",
+    # (r10: all five r9 evictions got fresh green r9 rows -- cleared
+    # by the round-10 regen.  Add new names here when a plan changes.)
 })
 
 
