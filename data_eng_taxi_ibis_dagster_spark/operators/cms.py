@@ -145,6 +145,13 @@ def cms_lookup(sk: DataFrame, probes: DataFrame, probe_col: str, *,
     — driver/broadcast-scale by contract (top-k lists, watchlists),
     never the corpus.
 
+    Probes are treated as a SET of rows: the closing group-by is over
+    the full probe row, so duplicate probe rows collapse to one output
+    row (output cardinality = distinct probe rows, not len(probes)).
+    Callers that need input cardinality preserved must carry their own
+    distinct id column through ``probes`` (it rides along and keeps
+    rows apart) — round-9 advisor, documented as the contract.
+
     The sketch must be UNGROUPED (exactly ``(_cms_seed, _cms_bin,
     _cms_n)``) — enforced, not just documented: a sketch still
     carrying group columns would left-join one row PER GROUP and the

@@ -116,7 +116,11 @@ def kmv_rollup_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = K.kmv_sketch(
         e.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id"),
         F.col("user_id"), k=_KMV_K, group_cols=["day"])
-    week = (F.unix_micros(F.col("day")) / F.lit(_WEEK_US)).cast("long")
+    # Integral `div`, matching the oracle's `//` exactly (both truncate
+    # = floor on the non-negative post-epoch micros here); the earlier
+    # double-divide-then-cast was only safe by a float-precision
+    # argument (round-9 advisor).
+    week = F.expr(f"unix_micros(day) div {_WEEK_US}")
     weekly = K.merge_kmv(daily.select(week.alias("week"), "_kmv"), ["week"])
     n_days = daily.groupBy(week.alias("week")).agg(
         F.count(F.lit(1)).alias("n_days"))
@@ -185,7 +189,7 @@ def kmv_incremental_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sk.write.mode("overwrite" if cycle == 0 else "append")
          .parquet(path))
     persisted = spark.read.parquet(path)
-    week = (F.unix_micros(F.col("day")) / F.lit(_WEEK_US)).cast("long")
+    week = F.expr(f"unix_micros(day) div {_WEEK_US}")  # integral, = oracle `//`
     weekly = K.merge_kmv(persisted.select(week.alias("week"), "_kmv"),
                          ["week"], k=_KMV_K)
     return weekly.select(

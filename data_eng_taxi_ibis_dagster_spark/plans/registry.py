@@ -350,7 +350,13 @@ _DRIVER_VERIFIED = {
 # rewrites a builder; remove them once regen picks up the new round.
 _EVICTED: frozenset[str] = frozenset({
     # (r10: all five r9 evictions got fresh green r9 rows -- cleared
-    # by the round-10 regen.  Add new names here when a plan changes.)
+    # by the round-10 regen.)
+    # r10: week bucketing switched from double-divide-then-cast to
+    # integral `div` (round-9 advisor: the old form's parity with the
+    # oracle's `//` rested on a float-precision argument).  Values
+    # identical on these fixtures, but the PLAN changed.
+    "kmv_rollup_uniques",
+    "kmv_incremental_uniques",
 })
 
 

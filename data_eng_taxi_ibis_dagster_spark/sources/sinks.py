@@ -82,7 +82,19 @@ def track_temp_dir(path: str, key: str | None = None) -> None:
         atexit.register(_sweep_temp_dirs)
         _TEMP_DIRS_ATEXIT_ARMED = True
     if key is None:
-        key = os.path.basename(path.rstrip("/")).rsplit("_", 1)[0]
+        base = os.path.basename(path.rstrip("/"))
+        # Only strip the trailing segment when the basename actually
+        # follows the <name>_<tag>_<hexuuid> convention; a
+        # nonconforming caller keeps its full basename as the key, so
+        # it can never alias into (and evict from) another query's LRU
+        # bucket (round-9 advisor). Such callers should pass ``key``
+        # explicitly to get the superseded-builds LRU bound.
+        import re
+
+        if re.fullmatch(r".+_[0-9a-f]{8,32}", base):
+            key = base.rsplit("_", 1)[0]
+        else:
+            key = base
     dirs = _TEMP_DIRS.setdefault(key, [])
     dirs.append(path)
     while len(dirs) > TEMP_DIR_LRU_CAP:

@@ -31,9 +31,13 @@ def plan_cache(spark, sf_dir):
     that tripled seconds-per-query of pure build cost. DataFrames are
     immutable plan handles, so sharing one build per (name, dir) is
     sound; builders with persisted-artifact side effects simply reuse
-    the artifact their one build wrote. dict item assignment is
-    GIL-atomic, so the threaded analyze sweep may seed the cache
-    concurrently (each name is built by exactly one thread per dir).
+    the artifact their one build wrote. The miss path holds a per-name
+    lock, so concurrent seeding from the threaded analyze sweep builds
+    each name exactly once even if two threads ever race on the same
+    name (round-9 advisor: the old check-then-build relied on the
+    sweep's one-thread-per-name partitioning, and a double build of a
+    side-effectful plan could LRU-evict the temp dir the first cached
+    plan still reads).
 
     The physical-plan STRING is captured at build time, before any
     consumer executes the DataFrame: parity (file-ordered first) runs
@@ -42,15 +46,24 @@ def plan_cache(spark, sf_dir):
     written against the INITIAL plan, so it must read the
     pre-execution capture (``plan_cache.plan(name)``), not the
     frame's current state."""
+    import threading
+
     from data_eng_taxi_ibis_dagster_spark.plans.registry import all_specs
 
     cache = {}
+    locks: dict = {}
+    locks_guard = threading.Lock()
 
     def get(name: str):
         if name not in cache:
-            df = all_specs()[name].builder(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            cache[name] = (df, plan)
+            with locks_guard:
+                lock = locks.setdefault(name, threading.Lock())
+            with lock:
+                if name not in cache:
+                    df = all_specs()[name].builder(spark, sf_dir)
+                    plan = (df._jdf.queryExecution()
+                            .executedPlan().toString())
+                    cache[name] = (df, plan)
         return cache[name][0]
 
     def get_plan(name: str) -> str:
