@@ -459,15 +459,19 @@ def phash_twin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming join) pinned strictly: pHash's internal 32×32 resample is
     the SAME pure-indexing function ``resize_media`` uses and grayscale
     conversion commutes with it, so every original must meet its
-    resized/re-encoded twin at hamming EXACTLY 0 — and on the GATE
-    corpora no two distinct images collide (pinned by
-    ``tests/test_audit_fixture_bounds.py``; at sf0.1 the generator's
-    same-multiplier brightness-offset pairs DO collide, correct
-    perceptual-hash behavior but outside this closed form) — making
-    the pair relation the SQL-expressible id map (every image doc_id
-    paired with doc_id+1M, nothing else). Same code path as
-    ``multimodal_phash_dedup``; drift in any codec, the resampler,
-    the DCT, median thresholding, or the banding breaks the hash."""
+    resized/re-encoded twin at hamming EXACTLY 0. The audit reads the
+    TWIN-EDGE SUBSET of the banded join's pair relation (doc_b =
+    doc_a + 1M): that subset is collision-closed at EVERY scale — a
+    same-multiplier brightness-offset collision between two distinct
+    originals (real near-dups; they appear from sf0.1 up) pairs ids
+    whose difference is never exactly the twin offset, so the oracle
+    is the id map with no fixture-regime caveat (through round 9 the
+    audit returned the FULL pair relation and was strict only at gate
+    scale; ``tests/test_audit_fixture_bounds.py`` now pins the one
+    remaining assumption, doc_id < 1M). A missing twin edge — drift in
+    any codec, the resampler, the DCT, median thresholding, or the
+    banding — still breaks the hash; spurious non-twin pairs are the
+    rows-only twin ``multimodal_phash_dedup``'s surface."""
     docs = load_table(spark, sf_dir, "documents")
     media = M.synthetic_media(docs)
     twins = (
@@ -476,7 +480,10 @@ def phash_twin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("media_id", F.col("media_id") + F.lit(1_000_000))
     )
     corpus = media.unionByName(twins)
-    return M.phash_near_dup_pairs(corpus, max_hamming=0)
+    pairs = M.phash_near_dup_pairs(corpus, max_hamming=0)
+    return pairs.filter(
+        (F.col("doc_a") < F.lit(1_000_000))
+        & (F.col("doc_b") == F.col("doc_a") + F.lit(1_000_000)))
 
 
 @query(

@@ -357,6 +357,13 @@ _EVICTED: frozenset[str] = frozenset({
     # identical on these fixtures, but the PLAN changed.
     "kmv_rollup_uniques",
     "kmv_incremental_uniques",
+    # r10: the two fixture-regime-bounded audits made scale-proof —
+    # approx_exact_regime_audit pins HLL on bounded domains (127-bucket
+    # user projection, derived percentile accuracy) and
+    # phash_twin_audit reads the collision-closed twin-edge subset.
+    # Plans AND oracles changed.
+    "approx_exact_regime_audit",
+    "phash_twin_audit",
 })
 
 

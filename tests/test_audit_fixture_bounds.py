@@ -1,26 +1,24 @@
-"""Fixture-regime tripwires for the closed-form audit oracles.
+"""Scale-invariance tripwires for the closed-form audit oracles.
 
-Round-8 one-off: the full strict differential was run at sf0.1 — 10×
-the driver's gate scale — and 217/219 queries hash-matched. The two
-divergences were exactly the two audits whose oracles assume a
-fixture-bounded regime, each failing for its predicted reason:
+History: the round-8 strict differential at sf0.1 (10x the driver's
+gate scale) surfaced exactly two divergences, both audits whose
+oracles assumed a fixture-bounded regime (raw-user_id HLL exactness;
+a collision-free pHash pair map). Round 10 removed both regime
+assumptions instead of pinning them:
 
-* ``approx_exact_regime_audit``: 1,500 distinct users per event_type
-  at sf0.1 exceeds the lgK=12 DataSketches coupon-SET capacity
-  (~2^lgK/4 ≈ 1024), so the HLL estimate stops being exact (1480 vs
-  1500). At the sf0.01 gate it is 150/type — deep inside the regime.
-* ``phash_twin_audit``: with ~4,200 images the synthetic generator's
-  251 multiplier classes produce same-multiplier brightness-offset
-  pairs, which a PERCEPTUAL hash correctly calls near-dups (28 extra
-  hamming-0 pairs) — behavior working as designed, but outside the
-  oracle's no-collision pair map. At gate scale no two distinct
-  originals collide.
+* ``approx_exact_regime_audit`` now pins HLL only on BOUNDED value
+  domains that are the same set at every sf (hour-of-day; a
+  127-bucket projection of user_id), and derives percentile accuracy
+  from observed group sizes at plan build.
+* ``phash_twin_audit`` now reads the twin-edge subset of the pair
+  relation (doc_b = doc_a + 1M), which same-multiplier original
+  collisions (real near-dups, present from sf0.1 up) can never enter.
 
-These tests pin both regime assumptions on every correctness-gate
-corpus (mirroring ``test_lsh_fixture_bucket_bounds``), so a fixture
-regeneration that silently leaves the regimes surfaces here instead of
-as an inscrutable external hash mismatch. Gate corpora are derived
-from the configured fixture root, never hardcoded.
+What remains here are the few assumptions those closed forms still
+make — each one scale-INVARIANT (a property of the value domain or
+the id space, not of a corpus size), so the audits stay strict at
+every sf dir. Gate corpora are derived from the configured fixture
+root, never hardcoded.
 """
 
 import os
@@ -41,37 +39,66 @@ def _gate_dirs() -> list[str]:
     return gates
 
 
-def test_hll_audit_user_cardinality_bounds(spark):
-    """approx_exact_regime_audit is exact only while every per-type
-    distinct-user count sits inside the lgK=12 coupon-SET capacity
-    (~1024); pin gate corpora at ≤ half that, the same safety margin
-    the LSH bucket-bounds guard uses."""
+def test_hll_bucket_domain_is_coupon_unique(spark):
+    """approx_exact_regime_audit's scale-invariance argument: the 127
+    possible values of pmod(user_id, 127) are the SAME set at every
+    sf, so exactness over the full domain (no two values share a
+    DataSketches coupon, estimator bias rounds away at lgK=14) is a
+    data-independent fact checkable once — and any subset of a
+    coupon-unique set is itself coupon-unique, covering groups/sfs
+    that hit fewer buckets."""
+    est = (spark.range(127)
+           .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(id, 14))")
+                .alias("e")).first()["e"])
+    assert est == 127, (
+        f"full 127-value bucket domain estimates {est} at lgK=14 — "
+        f"coupon collision or estimator drift; "
+        f"approx_exact_regime_audit's exactness argument is broken")
+    est24 = (spark.range(24)
+             .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(id, 12))")
+                  .alias("e")).first()["e"])
+    assert est24 == 24, (
+        f"hour-of-day domain estimates {est24} at lgK=12")
+
+
+def test_hll_audit_user_ids_nonnegative(spark):
+    """Spark ``pmod`` is always non-negative while DuckDB ``%`` takes
+    the dividend's sign — the bucket projections agree only for
+    user_id >= 0. Pin that on every gate corpus."""
     for sf in _gate_dirs():
-        mx = (load_table(spark, sf, "events")
-              .groupBy("event_type")
-              .agg(F.countDistinct("user_id").alias("nd"))
-              .agg(F.max("nd").alias("mx")).first()["mx"])
-        assert mx <= 512, (
-            f"{sf}: {mx} distinct users in one event_type — within 2x "
-            f"of the lgK=12 HLL coupon capacity (~1024) where "
-            f"approx_exact_regime_audit's strict oracle stops holding "
-            f"(measured divergent at 1500/type on sf0.1)")
+        mn = (load_table(spark, sf, "events")
+              .agg(F.min("user_id").alias("mn")).first()["mn"])
+        assert mn is not None and mn >= 0, (
+            f"{sf}: min user_id {mn} — pmod/% diverge on negatives, "
+            f"approx_exact_regime_audit's bucket oracle would break")
 
 
-def test_phash_audit_no_original_collisions(spark):
-    """phash_twin_audit's oracle is the closed-form twin map, valid
-    only while no two DISTINCT original images share a perceptual
-    hash; pin that on every gate corpus (at sf0.1 the generator's
-    same-multiplier brightness-offset pairs already collide — real
-    near-dups, but outside the closed form)."""
-    from data_eng_taxi_ibis_dagster_spark.operators import multimodal as M
-
+def test_phash_twin_id_space_separation(spark):
+    """phash_twin_audit's twin-edge filter (doc_b = doc_a + 1M) is
+    collision-closed only while original ids never reach the twin
+    offset — otherwise an original could sit at another original's
+    twin address. Pin doc_id < 1M on every gate corpus (the one
+    assumption the round-10 closure rewrite still makes)."""
     for sf in _gate_dirs():
-        docs = load_table(spark, sf, "documents")
-        hashes = M.phash_media(M.synthetic_media(docs))
-        n = hashes.count()
-        nd = hashes.select("phash").distinct().count()
-        assert n > 0 and n == nd, (
-            f"{sf}: {n - nd} perceptual-hash collisions among distinct "
-            f"originals — phash_twin_audit's strict pair-map oracle "
-            f"assumes zero on gate corpora")
+        mx = (load_table(spark, sf, "documents")
+              .agg(F.max("doc_id").alias("mx")).first()["mx"])
+        assert mx is not None and mx < 1_000_000, (
+            f"{sf}: max doc_id {mx} reaches the 1M twin offset — "
+            f"phash_twin_audit's id map is no longer unambiguous")
+
+
+def test_phash_twin_edges_complete(spark):
+    """Every decodable original must meet its resized/re-encoded twin
+    at hamming 0 — the determinism claim the audit pins externally,
+    asserted here against the image population so a silently-empty
+    pair relation can't read as green."""
+    from data_eng_taxi_ibis_dagster_spark.plans.registry import all_specs
+
+    sf = _gate_dirs()[0]
+    pairs = all_specs()["phash_twin_audit"].builder(spark, sf)
+    n_pairs = pairs.count()
+    n_images = (load_table(spark, sf, "documents")
+                .filter(F.col("doc_id") % 6 != 2).count())
+    assert n_pairs == n_images, (
+        f"{sf}: {n_pairs} twin edges for {n_images} images — a codec/"
+        f"resample/DCT/banding drift dropped twins")

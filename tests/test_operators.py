@@ -463,35 +463,3 @@ def test_domain_cap_two_stage_equals_single_window(spark, sf_dir):
     plan = (all_specs()["domain_cap_sample"].builder(spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
     assert "_pid" in plan
-
-
-def test_approx_exact_regime_fixture_bounds():
-    """approx_exact_regime_audit's strict oracle holds only while the
-    fixture stays inside the sketches' exact regimes (llm20 docstring):
-    DataSketches HLL lgK=12 stays in coupon-SET mode below ~3/4·2^12
-    distinct items, and percentile_approx(accuracy=1e6) is exact while
-    group rows ≤ accuracy. Pin those bounds so a fixture regeneration
-    that leaves the regime fails HERE with a clear message instead of
-    as an inscrutable hash mismatch in the parity sweep."""
-    import duckdb
-
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
-        con = duckdb.connect()
-        rows = con.execute(
-            f"""SELECT event_type,
-                       COUNT(*) AS n,
-                       COUNT(DISTINCT user_id) AS nd_users,
-                       COUNT(DISTINCT hour(ts)) AS nd_hours
-                FROM read_parquet('{sf}/events.parquet')
-                GROUP BY event_type"""
-        ).fetchall()
-        assert rows
-        for event_type, n, nd_users, nd_hours in rows:
-            assert nd_users < 3 * 4096 // 4, (
-                f"{sf}/{event_type}: {nd_users} distinct users leaves "
-                f"the HLL coupon-SET exact regime — approx_exact_"
-                f"regime_audit's oracle will stop matching")
-            assert nd_hours <= 24
-            assert n <= 1_000_000, (
-                f"{sf}/{event_type}: {n} rows exceeds percentile_approx "
-                f"accuracy — the quantile summary is no longer exact")
