@@ -423,9 +423,12 @@ def minhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
 # E10 — SimHash
 # ---------------------------------------------------------------------------
 
-def dedup_clusters(pairs: DataFrame, *, max_iterations: int = 20) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, *, max_iterations: int = 20,
+                   representative: DataFrame | None = None,
+                   rep_id_col: str = "doc_id",
+                   rep_score_col: str = "quality") -> DataFrame:
     """Connected components over near-dup pairs → canonical
-    representative per cluster (min id — "cluster-pick").
+    representative per cluster.
 
     Min-label propagation: every node starts labeled with itself; each
     round, a node adopts the smallest label among itself and its
@@ -434,6 +437,16 @@ def dedup_clusters(pairs: DataFrame, *, max_iterations: int = 20) -> DataFrame:
     of rounds), and each round is one join + one aggregation — the
     standard large-graph CC shape (no driver-side graph, only a scalar
     convergence check crosses to the driver).
+
+    Representative policy: by default the canonical member is the min
+    id (cheap, deterministic). Production curation keeps the BEST
+    document per near-dup cluster instead: pass ``representative`` — a
+    (``rep_id_col``, ``rep_score_col``) relation covering the clustered
+    ids — and each cluster's canonical becomes its argmax by
+    (score desc, id asc). The re-pick is one ``max_by`` hash aggregate
+    over the cluster-member relation (pairs-scale, never the corpus;
+    partial aggregation map-side) plus a join back on the label — no
+    window, no extra corpus shuffle.
 
     Input: (doc_a, doc_b) pairs. Output: (doc_id, canonical_id).
     """
@@ -478,6 +491,20 @@ def dedup_clusters(pairs: DataFrame, *, max_iterations: int = 20) -> DataFrame:
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    if representative is not None:
+        scored = representative.select(
+            F.col(rep_id_col).alias("id"),
+            F.col(rep_score_col).alias("_score"))
+        # argmax by (score desc, id asc): max_by over a struct orders
+        # lexicographically, so negating the id makes ties pick the
+        # smallest id deterministically.
+        reps = (labels.join(scored, "id")
+                .groupBy("label")
+                .agg(F.expr("max_by(id, struct(_score, -id))")
+                     .alias("_rep")))
+        return (labels.join(reps, "label")
+                .select(F.col("id").alias("doc_id"),
+                        F.col("_rep").alias("canonical_id")))
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("canonical_id"))
 

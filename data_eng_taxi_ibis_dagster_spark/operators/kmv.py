@@ -196,3 +196,26 @@ def kmv_intersect_estimate(a: Column, b: Column, *, k: int) -> Column:
     union_est = F.lit(float(k - 1)) / _hash_frac(tau)
     return F.when(nu < F.lit(k), F.size(inter).cast("double")).otherwise(
         in_both_le_tau.cast("double") / F.lit(float(k)) * union_est)
+
+
+def kmv_difference_estimate(a: Column, b: Column, *, k: int) -> Column:
+    """|A \\ B| read off two same-k sketches — the set-DIFFERENCE
+    member of the family (|A \\ B| = |A ∪ B| − |A ∩ B| − |B \\ A|; like
+    :func:`kmv_intersect_estimate` it reads the pooled bottom-k sample
+    directly rather than differencing two independently-noisy reads):
+    pool both samples; if the pooled union holds fewer than k hashes
+    the whole union was seen and the difference is exact; otherwise
+    τ = the pooled kth-smallest hash (below τ the pool IS the union's
+    bottom-k sample), ρ = the fraction of that sample present in A but
+    not B, and return ρ · (k−1)/frac(τ). Degenerates bit-for-bit to
+    the exact difference count in the exact regime, so strict queries
+    run THIS expression — drift in the pooling or threshold logic
+    breaks their hash match (Beyer et al. 2007, same construction)."""
+    pooled = F.array_sort(F.array_union(a, b))
+    nu = F.size(pooled)
+    only_a = F.array_except(a, b)
+    tau = F.get(pooled, F.lit(k - 1))
+    in_diff_le_tau = F.size(F.filter(only_a, lambda h: h <= tau))
+    union_est = F.lit(float(k - 1)) / _hash_frac(tau)
+    return F.when(nu < F.lit(k), F.size(only_a).cast("double")).otherwise(
+        in_diff_le_tau.cast("double") / F.lit(float(k)) * union_est)

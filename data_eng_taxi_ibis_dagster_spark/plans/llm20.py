@@ -381,6 +381,100 @@ def curation_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_best_rep_oracle() -> str:
+    q = T.sql_quality_score("text")
+    lp = T.sql_lang_pred("string_split(text, ' ')")
+    fp = T.sql_fingerprint("text")
+    sh = T.sql_shingles("string_split(text, ' ')", 3)
+    return f"""
+        WITH RECURSIVE gated AS (
+            SELECT doc_id, text, lang,
+                   {lp} AS lang_pred,
+                   {q} AS quality,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   {fp} AS fp
+            FROM documents
+            WHERE {q} >= 0.5 AND lang IN ('en', 'de', 'fr')
+        ),
+        keep_fp AS (
+            SELECT fp, MIN(doc_id) AS doc_id FROM gated GROUP BY fp
+        ),
+        docs1 AS (
+            SELECT g.* FROM gated g JOIN keep_fp k
+              ON g.fp = k.fp AND g.doc_id = k.doc_id
+        ),
+        sh AS (SELECT doc_id, {sh} AS s FROM docs1),
+        pairs AS (
+            SELECT a.doc_id AS pa, b.doc_id AS pb
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE {_CURATION_JACC} >= 0.6
+        ),
+        edges AS (
+            SELECT pa AS src, pb AS dst FROM pairs
+            UNION
+            SELECT pb AS src, pa AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        clus AS (
+            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        ),
+        reps AS (
+            SELECT c.cluster_id, c.doc_id,
+                   row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY d.quality DESC, c.doc_id ASC) AS rn
+            FROM clus c JOIN docs1 d ON d.doc_id = c.doc_id
+        )
+        SELECT d.doc_id, d.lang, d.lang_pred, d.quality, d.n_tokens
+        FROM docs1 d
+        WHERE d.doc_id IN (SELECT doc_id FROM reps WHERE rn = 1)
+           OR d.doc_id NOT IN (SELECT doc_id FROM clus)
+        ORDER BY doc_id
+    """
+
+
+@query(
+    "curation_best_rep",
+    oracle=_curation_best_rep_oracle(),
+    tags=("E9", "E10", "E12", "EXT"),
+)
+def curation_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``curation_stack`` with the production representative policy:
+    per near-dup cluster, keep the BEST document — argmax by
+    (quality desc, doc_id asc) — instead of the min id
+    (``operators/dedup.dedup_clusters(representative=...)``); on the
+    gate fixtures the two genuinely differ (a cluster whose
+    highest-quality member is not its smallest id exists at sf0.001
+    up — pinned in ``tests/test_parity`` via the registry sweep and
+    asserted directly in ``tests/test_dedup.py``). Stages 1-3 and the
+    scale shape are ``curation_stack``'s verbatim; the re-pick adds
+    one ``max_by`` hash aggregate over the cluster-member relation
+    (pairs-scale) and a label join — no extra corpus shuffle, and the
+    final anti-join stays UNHINTED for the same AQE/OOM reason.
+
+    STRICT end-to-end: the DuckDB twin reuses the curation closure
+    CTE, derives each node's cluster as its min reachable id, and
+    swaps the MIN(id) representative for the same
+    (quality DESC, doc_id ASC) argmax via row_number."""
+    docs1 = _gated_fp_deduped(spark, sf_dir)
+    pairs = D.minhash_near_dup_pairs(
+        docs1.select("doc_id", "text"), threshold=0.6)
+    clusters = D.dedup_clusters(
+        pairs, representative=docs1.select("doc_id", "quality"))
+    drop = (clusters.filter(F.col("canonical_id") != F.col("doc_id"))
+            .select("doc_id"))
+    return (
+        docs1.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "lang", "lang_pred", "quality", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental (batch-vs-index) near-dedup — the production ingest shape
 # ---------------------------------------------------------------------------

@@ -33,11 +33,42 @@ from data_eng_taxi_ibis_dagster_spark.operators import text as T
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 
-#: Sketch size. Exact-regime headroom: per-day distinct users are
-#: ~15/~140/~1,350 at sf0.001/0.01/0.1 (pinned in
-#: test_audit_fixture_bounds) — at production scale the same k gives
+#: Sketch-size floor. Exact-regime headroom at the driver gates:
+#: per-day distinct users are ~15/~140/~1,350 at sf0.001/0.01/0.1
+#: (pinned in test_kmv) — at production scale the same k gives
 #: ~1/sqrt(k) ≈ 1.6% error on counts, unions, and intersections.
 _KMV_K = 4096
+
+#: sf_dir → derived k, memoized so the four kmv_* builders share one
+#: derivation job per fixture dir. Benign under concurrent build
+#: (pure, idempotent — worst case the scan runs twice).
+_KMV_K_CACHE: dict[str, int] = {}
+
+
+def _kmv_k_for(spark: SparkSession, sf_dir: str) -> int:
+    """Derive the sketch size from the corpus so every pool the strict
+    queries' estimator expressions form (per-day, per-epoch-week,
+    adjacent-day union) stays inside the exact regime at ANY fixture
+    scale: total distinct users bound them all, so k = the next power
+    of two ≥ 2x that count, floored at ``_KMV_K`` (the floor keeps the
+    gate-scale plans bit-identical to the fixed-k rounds). One cheap
+    count-distinct scan at plan build — the percentile-accuracy /
+    Lloyd-training convention. At 100 TB a user keeps a FIXED k and
+    reads ~1/sqrt(k) estimates (the rows-only contract); deriving here
+    sizes the EXACT regime to the correctness fixture, it does not
+    pretend full-cardinality sketches are the production shape."""
+    import os
+
+    key = os.path.abspath(sf_dir)
+    if key not in _KMV_K_CACHE:
+        nd = (load_table(spark, sf_dir, "events")
+              .filter(F.col("user_id").isNotNull())
+              .select("user_id").distinct().count())
+        k = _KMV_K
+        while k < 2 * nd:
+            k *= 2
+        _KMV_K_CACHE[key] = k
+    return _KMV_K_CACHE[key]
 
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
 
@@ -74,20 +105,77 @@ def kmv_returning_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets intersected exactly via a self-join of distinct (day, hash)
     rows."""
     e = load_table(spark, sf_dir, "events")
+    k = _kmv_k_for(spark, sf_dir)
     daily = K.kmv_sketch(
         e.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id"),
-        F.col("user_id"), k=_KMV_K, group_cols=["day"])
+        F.col("user_id"), k=k, group_cols=["day"])
     prev = daily.select(
         (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"),
         F.col("_kmv").alias("_kmv_prev"))
     return daily.join(prev, "day", "left").select(
         "day",
-        K.kmv_estimate(F.col("_kmv"), k=_KMV_K)
+        K.kmv_estimate(F.col("_kmv"), k=k)
             .cast("long").alias("active_users"),
         F.coalesce(
             K.kmv_intersect_estimate(
-                F.col("_kmv"), F.col("_kmv_prev"), k=_KMV_K),
+                F.col("_kmv"), F.col("_kmv_prev"), k=k),
             F.lit(0.0)).cast("long").alias("returning_users"),
+    )
+
+
+@query(
+    "kmv_churned_users_daily",
+    oracle=f"""
+        WITH du AS ({_DU_SQL}),
+        act AS (SELECT day, COUNT(DISTINCT h) AS n FROM du GROUP BY 1),
+        churn AS (
+            SELECT p.day + INTERVAL 1 DAY AS day,
+                   COUNT(DISTINCT p.h) AS churned
+            FROM du p
+            LEFT JOIN du t
+              ON t.day = p.day + INTERVAL 1 DAY AND t.h = p.h
+            WHERE t.h IS NULL
+            GROUP BY 1
+        )
+        SELECT act.day AS day,
+               CAST(act.n AS BIGINT) AS active_users,
+               CAST(COALESCE(churn.churned, 0) AS BIGINT)
+                   AS churned_users
+        FROM act LEFT JOIN churn ON churn.day = act.day
+    """,
+    tags=("E8", "E14", "EXT"),
+    bench=True,
+)
+def kmv_churned_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day churned uniques — the set-DIFFERENCE read that
+    completes the KMV family (union = merge_kmv, intersection =
+    returning_users, difference = here): |users(d−1) \\ users(d)|,
+    yesterday's users NOT seen today, read off the same persisted
+    per-day sketches via the pooled-sample estimator
+    (:func:`operators.kmv.kmv_difference_estimate` — exact in the
+    fixtures' regime, pinned by ``test_kmv``). Days with no previous
+    day report 0 (nothing known to churn from). Same 100 TB shape as
+    the intersect twin: ≤ k hashes per day persisted with the
+    partition, the churn table is a self-join of a days-long k-wide
+    relation — raw events are scanned once, ever. Oracle: the same
+    md5 hash sets differenced exactly via an anti-join of distinct
+    (day, hash) rows."""
+    e = load_table(spark, sf_dir, "events")
+    k = _kmv_k_for(spark, sf_dir)
+    daily = K.kmv_sketch(
+        e.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id"),
+        F.col("user_id"), k=k, group_cols=["day"])
+    prev = daily.select(
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("_kmv").alias("_kmv_prev"))
+    return daily.join(prev, "day", "left").select(
+        "day",
+        K.kmv_estimate(F.col("_kmv"), k=k)
+            .cast("long").alias("active_users"),
+        F.coalesce(
+            K.kmv_difference_estimate(
+                F.col("_kmv_prev"), F.col("_kmv"), k=k),
+            F.lit(0.0)).cast("long").alias("churned_users"),
     )
 
 
@@ -113,9 +201,10 @@ def kmv_rollup_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     |days|·k array elements, never raw rows — the incremental-rollup
     contract (persist daily sketch columns, re-aggregate forever)."""
     e = load_table(spark, sf_dir, "events")
+    k = _kmv_k_for(spark, sf_dir)
     daily = K.kmv_sketch(
         e.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id"),
-        F.col("user_id"), k=_KMV_K, group_cols=["day"])
+        F.col("user_id"), k=k, group_cols=["day"])
     # Integral `div`, matching the oracle's `//` exactly (both truncate
     # = floor on the non-negative post-epoch micros here); the earlier
     # double-divide-then-cast was only safe by a float-precision
@@ -126,7 +215,7 @@ def kmv_rollup_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"))
     return weekly.join(n_days, "week").select(
         "week",
-        K.kmv_estimate(F.col("_kmv"), k=_KMV_K)
+        K.kmv_estimate(F.col("_kmv"), k=k)
             .cast("long").alias("est_weekly_users"),
         "n_days",
     )
@@ -178,23 +267,24 @@ def kmv_incremental_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", F.date_trunc("day", F.col("ts")).alias("day"),
         "user_id")
+    k = _kmv_k_for(spark, sf_dir)
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(),
                         f"sg_kmv_inc_{tag}_{uuid.uuid4().hex[:12]}")
     track_temp_dir(path)
     for cycle, keep in enumerate((0, 1)):
         batch = e.filter(F.pmod(F.col("event_id"), F.lit(2)) == keep)
-        sk = K.kmv_sketch(batch, F.col("user_id"), k=_KMV_K,
+        sk = K.kmv_sketch(batch, F.col("user_id"), k=k,
                           group_cols=["day"])
         (sk.write.mode("overwrite" if cycle == 0 else "append")
          .parquet(path))
     persisted = spark.read.parquet(path)
     week = F.expr(f"unix_micros(day) div {_WEEK_US}")  # integral, = oracle `//`
     weekly = K.merge_kmv(persisted.select(week.alias("week"), "_kmv"),
-                         ["week"], k=_KMV_K)
+                         ["week"], k=k)
     return weekly.select(
         "week",
-        K.kmv_estimate(F.col("_kmv"), k=_KMV_K)
+        K.kmv_estimate(F.col("_kmv"), k=k)
             .cast("long").alias("est_weekly_users"),
     )
 
@@ -229,6 +319,7 @@ def kmv_incremental_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     """,
     tags=("E8", "E12", "EXT"),
+    bench=True,
 )
 def cms_heavy_hitter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The frequency-sketch half `heavy_hitter_tokens`' docstring

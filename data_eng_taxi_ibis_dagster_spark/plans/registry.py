@@ -357,6 +357,10 @@ _EVICTED: frozenset[str] = frozenset({
     # identical on these fixtures, but the PLAN changed.
     "kmv_rollup_uniques",
     "kmv_incremental_uniques",
+    # r10 cont.: sketch size k now DERIVED from the corpus at plan
+    # build (scale-proof exact regime for the sf1 sweep; floor 4096
+    # keeps gate-scale plans bit-identical, but the builder changed).
+    "kmv_returning_users_daily",
     # r10: the two fixture-regime-bounded audits made scale-proof —
     # approx_exact_regime_audit pins HLL on bounded domains (127-bucket
     # user projection, derived percentile accuracy) and

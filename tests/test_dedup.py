@@ -76,6 +76,48 @@ def test_dedup_clusters_connected_components(spark):
     assert got[20] == got[21] == 20
 
 
+def test_dedup_clusters_quality_representative(spark):
+    """representative= swaps min-id canonicalization for argmax by
+    (score desc, id asc): in {1,2,3,4} doc 3 has the top score, in
+    {10,11} scores tie so the smaller id wins, and an id absent from
+    the edge set never appears (singletons are the caller's concern)."""
+    pairs = from_rows(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11)],
+        ["doc_a", "doc_b"],
+    )
+    scores = from_rows(
+        spark,
+        [(1, 0.5), (2, 0.9), (3, 0.95), (4, 0.1),
+         (10, 0.7), (11, 0.7), (99, 1.0)],
+        ["doc_id", "quality"],
+    )
+    got = (dedup_clusters(pairs, representative=scores)
+           .toPandas().set_index("doc_id")["canonical_id"])
+    assert got[1] == got[2] == got[3] == got[4] == 3
+    assert got[10] == got[11] == 10
+    assert 99 not in got.index
+
+
+def test_curation_best_rep_differs_from_min_id(spark, sf_dir):
+    """curation_best_rep's done-criterion: the quality-argmax policy
+    must genuinely change the kept set on the gate fixture (a cluster
+    whose best member is not its smallest id exists) — otherwise the
+    strict oracle would be vacuously identical to curation_stack's
+    and pin nothing new. Same cardinality either way: both policies
+    keep exactly one member per cluster."""
+    from data_eng_taxi_ibis_dagster_spark.plans.registry import get
+
+    best = set(get("curation_best_rep").builder(spark, sf_dir)
+               .toPandas()["doc_id"])
+    minid = set(get("curation_stack").builder(spark, sf_dir)
+                .toPandas()["doc_id"])
+    assert len(best) == len(minid)
+    assert best != minid, (
+        "quality-argmax representative picked the min id in every "
+        "cluster — fixture no longer exercises the policy")
+
+
 def test_dedup_clusters_on_planted_dups(spark, sf_dir):
     corpus = _corpus_with_planted_dups(spark, sf_dir)
     pairs = minhash_near_dup_pairs(corpus, threshold=0.6)
@@ -289,7 +331,7 @@ def test_lsh_fixture_bucket_bounds(spark):
     dedup_incremental_batch / dedup_incremental_persisted (exact
     all-pairs Jaccard) would surface it as an inscrutable hash mismatch.
     Pin the max LSH bucket size on every correctness-gate corpus far
-    below the cap, mirroring test_approx_exact_regime_fixture_bounds.
+    below the cap, mirroring tests/test_audit_fixture_bounds.py.
 
     Gate corpora are DERIVED from the configured fixture root (round-7
     advisor: hardcoded /root/testdata literals broke the guard under
@@ -328,7 +370,10 @@ def test_index_dir_lru_bounds_session_growth(tmp_path):
     hardening: the LRU is PER BUILDER KEY — rebuilding the SAME query
     evicts its own superseded dirs, while registering many DIFFERENT
     queries' dirs (a sweep building everything before executing
-    anything) evicts nothing across keys."""
+    anything) evicts nothing across keys. Basenames follow the real
+    callers' <name>_<tag>_<hexuuid> convention — round-10 hardening
+    derives a shared key only for that shape (a nonconforming name
+    keeps its full basename as key and is never LRU-pooled)."""
     import os
 
     from data_eng_taxi_ibis_dagster_spark.sources import sinks
@@ -336,11 +381,11 @@ def test_index_dir_lru_bounds_session_growth(tmp_path):
     made, other = [], []
     try:
         for i in range(sinks.TEMP_DIR_LRU_CAP + 3):
-            p = str(tmp_path / f"sg_same_query_{i}")
+            p = str(tmp_path / f"sg_same_query_{i:012x}")
             os.makedirs(p)
             sinks.track_temp_dir(p)
             made.append(p)
-            q = str(tmp_path / f"sg_other_{i}_{i}")  # distinct keys
+            q = str(tmp_path / f"sg_other_{i}_{i:012x}")  # distinct keys
             os.makedirs(q)
             sinks.track_temp_dir(q)
             other.append(q)

@@ -124,6 +124,40 @@ def test_kmv_intersect_exact_regime_is_exact(spark):
     assert est == 200.0
 
 
+def test_kmv_difference_estimate_beyond_exact_regime(spark):
+    """Pooled-bottom-k difference estimator on overlapping ranges
+    A=[0,40k), B=[20k,60k): true |A\\B| = 20k. Same noise stack as the
+    intersect twin (union estimator ~1/sqrt(k) on the binomial
+    sample fraction), so the same wide 25% tolerance."""
+    k = 512
+    a = K.kmv_sketch(spark.range(0, 40_000), F.col("id"), k=k) \
+        .select(F.col("_kmv").alias("a"))
+    b = K.kmv_sketch(spark.range(20_000, 60_000), F.col("id"), k=k) \
+        .select(F.col("_kmv").alias("b"))
+    est = a.crossJoin(b).select(
+        K.kmv_difference_estimate(F.col("a"), F.col("b"), k=k).alias("e")
+    ).collect()[0]["e"]
+    assert abs(est / 20_000 - 1.0) < 0.25, est
+
+
+def test_kmv_difference_exact_regime_is_exact(spark):
+    """In the exact regime the difference expression degenerates to
+    the exact |A\\B| — the property kmv_churned_users_daily's strict
+    hash match rides on. Both orientations (the estimator is
+    asymmetric by definition)."""
+    k = 4096
+    a = K.kmv_sketch(spark.range(0, 300), F.col("id"), k=k) \
+        .select(F.col("_kmv").alias("a"))
+    b = K.kmv_sketch(spark.range(100, 500), F.col("id"), k=k) \
+        .select(F.col("_kmv").alias("b"))
+    row = a.crossJoin(b).select(
+        K.kmv_difference_estimate(F.col("a"), F.col("b"), k=k).alias("ab"),
+        K.kmv_difference_estimate(F.col("b"), F.col("a"), k=k).alias("ba"),
+    ).collect()[0]
+    assert row["ab"] == 100.0   # [0,100)
+    assert row["ba"] == 200.0   # [300,500)
+
+
 def test_kmv_k_metadata_cross_check(spark):
     """merge_kmv resolves k from the sketch's own kmv_k stamp; a
     contradictory explicit k (or a sketch with no stamp and no k)
