@@ -22,7 +22,7 @@ from data_eng_taxi_ibis_dagster_spark.functions.exact import lsum
 from data_eng_taxi_ibis_dagster_spark.sources.tables import _normalize_events
 
 
-def _as_stream_dir(sf_dir: str) -> str:
+def _as_stream_dir(sf_dir: str, table: str = "events") -> str:
     """Spark's file stream source requires a *directory*; the fixture is
     a single file. Stage a directory of symlinks (no data copied) —
     at scale the source would already be a directory of parquet parts."""
@@ -31,12 +31,12 @@ def _as_stream_dir(sf_dir: str) -> str:
 
     out = os.path.join(
         "/tmp", "spark_graft_streams",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        hashlib.md5(f"{sf_dir}:{table}".encode()).hexdigest()[:12],
     )
     os.makedirs(out, exist_ok=True)
-    link = os.path.join(out, "events.parquet")
+    link = os.path.join(out, f"{table}.parquet")
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        os.symlink(f"{sf_dir}/{table}.parquet", link)
     return out
 
 
@@ -57,6 +57,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
         .parquet(stream_dir or _as_stream_dir(sf_dir))
     )
     return _normalize_events(stream)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str,
+                          max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over the documents parquet (schema pinned
+    from the static read) — the ingest shape for streaming text
+    operators (the stateful heavy-hitter sketch)."""
+    from data_eng_taxi_ibis_dagster_spark.session import ensure_conf
+
+    ensure_conf(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(_as_stream_dir(sf_dir, "documents"))
+    )
 
 
 # -- shared transformations (batch plans import these) ----------------------

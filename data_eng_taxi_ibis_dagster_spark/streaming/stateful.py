@@ -205,3 +205,107 @@ def running_daily_uniques(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful CMS: continuous heavy hitters with CONSTANT per-key state —
+# the frequency sketch's custom-stateful-operator leg (the KMV twin
+# above is the distinct sketch's)
+# ---------------------------------------------------------------------------
+
+CMS_N_CANDIDATES = 32
+CMS_OUTPUT_SCHEMA = ("source string, rank long, token string, "
+                     "est_count long")
+CMS_STATE_SCHEMA = ("ckeys array<string>, cvals array<long>, "
+                    "ctoks array<string>, cbins array<string>")
+
+
+def _update_heavy_hitters(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Add the batch's (seed, bin) occurrences into the stored CMS
+    counter grid, then re-rank a BOUNDED candidate list (stored
+    candidates ∪ the batch's tokens) by their current min-over-seeds
+    estimate and keep the top ``CMS_N_CANDIDATES``. State is ≤
+    depth·width counters + N candidates per key BY CONSTRUCTION —
+    where a true frequency table's state grows with vocabulary, the
+    sketch caps it at the parameters (the CMS+heap classic; Cormode-
+    Muthukrishnan). Counter updates are pure additions, so the stored
+    grid equals the batch ``cms_sketch`` grid over everything seen,
+    bit-for-bit — the additivity contract ``test_stateful`` pins.
+    Candidate semantics are the standard sketch-heap ones: a token
+    enters the list only in a batch where it appears (estimates only
+    grow, so established heavy hitters never fall out to lighter
+    ones)."""
+    (source,) = key
+    if state.exists:
+        ckeys, cvals, ctoks, cbins = state.get
+        counters = dict(zip(ckeys, cvals))
+        cand: dict[str, str] = dict(zip(ctoks, cbins))
+    else:
+        counters, cand = {}, {}
+    for pdf in batches:
+        for (seed, bin_), grp in pdf.groupby(["seed", "bin"]):
+            counters[f"{seed}|{bin_}"] = (
+                counters.get(f"{seed}|{bin_}", 0) + len(grp))
+        for tok, grp in pdf.groupby("tok"):
+            if tok not in cand:
+                by_seed = grp.drop_duplicates("seed").sort_values("seed")
+                cand[tok] = ",".join(by_seed["bin"])
+
+    def est(tok: str) -> int:
+        bins = cand[tok].split(",")
+        return min(counters.get(f"s{i}|{b}", 0)
+                   for i, b in enumerate(bins))
+
+    top = sorted(cand, key=lambda t: (-est(t), t))[:CMS_N_CANDIDATES]
+    cand = {t: cand[t] for t in top}
+    state.update((list(counters), [counters[k] for k in counters],
+                  list(cand), [cand[t] for t in cand]))
+    yield pd.DataFrame({
+        "source": [source] * len(top),
+        "rank": list(range(1, len(top) + 1)),
+        "token": top,
+        "est_count": [est(t) for t in top],
+    })
+
+
+def running_heavy_hitters(docs: DataFrame) -> DataFrame:
+    """Continuous per-source heavy-hitter tokens via a stateful
+    count-min sketch. The binning runs JVM-side (``operators/cms.
+    cms_bin`` — the same md5-prefix selection the batch sketch uses,
+    so stream and batch land in identical bins); Python maintains only
+    the bounded counter grid and candidate list. The last update-mode
+    emission per source reads off a grid equal to ``cms_sketch`` over
+    the full backlog — pinned in ``test_stateful`` against the batch
+    grid AND the batch ``cms_lookup`` estimates for the emitted
+    tokens."""
+    from pyspark.sql import functions as F
+
+    from data_eng_taxi_ibis_dagster_spark.operators.cms import (
+        CMS_DEPTH, CMS_HEX_DIGITS, _seeds, cms_bin,
+    )
+    from data_eng_taxi_ibis_dagster_spark.operators.text import tokens
+
+    toks = docs.select(
+        "source", F.explode(tokens("text")).alias("tok"))
+    keyed = toks.select(
+        "source", "tok",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("seed"),
+                     cms_bin(F.col("tok"), s,
+                             hex_digits=CMS_HEX_DIGITS).alias("bin"))
+            for s in _seeds(CMS_DEPTH)])).alias("_e"),
+    ).select("source", "tok", "_e.seed", "_e.bin")
+    return (
+        keyed.groupBy("source")
+        .applyInPandasWithState(
+            _update_heavy_hitters,
+            outputStructType=CMS_OUTPUT_SCHEMA,
+            stateStructType=CMS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -249,3 +249,122 @@ def test_stateful_daily_uniques_matches_batch_sketch(spark, sf_dir):
     in_regime = exact["nd"].values < KMV_K
     assert (got["est_users"].values[in_regime]
             == exact["nd"].values[in_regime]).all()
+
+
+class FakeGroupState:
+    """Minimal applyInPandasWithState GroupState double for driving the
+    update function with MULTIPLE micro-batches (the single-file
+    availableNow integration run below collapses to one batch, which
+    would never exercise cross-batch state accumulation)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        if self._v is None:
+            raise ValueError("no state")
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_stateful_heavy_hitters_accumulates_across_batches(spark, sf_dir):
+    """Two micro-batches through _update_heavy_hitters must leave a
+    counter grid EQUAL to the batch cms_sketch over the union — the
+    additivity contract that makes the stream's estimates identical
+    to batch reads at any batch boundary."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_eng_taxi_ibis_dagster_spark.operators.cms import (
+        CMS_DEPTH, CMS_HEX_DIGITS, _seeds, cms_bin, cms_sketch,
+    )
+    from data_eng_taxi_ibis_dagster_spark.operators.text import tokens
+    from data_eng_taxi_ibis_dagster_spark.streaming.stateful import (
+        _update_heavy_hitters,
+    )
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("source") == "src0"))
+    toks = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    keyed = toks.select(
+        "tok",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("seed"),
+                     cms_bin(F.col("tok"), s,
+                             hex_digits=CMS_HEX_DIGITS).alias("bin"))
+            for s in _seeds(CMS_DEPTH)])).alias("_e"),
+    ).select("tok", "_e.seed", "_e.bin").toPandas()
+    # split into two "micro-batches" by row parity
+    state = FakeGroupState()
+    half = len(keyed) // 2
+    # keep (tok, seed) groups intact within a batch split by slicing on
+    # sorted tok so candidate bin capture sees every seed of a token
+    keyed = keyed.sort_values(["tok", "seed"]).reset_index(drop=True)
+    out = None
+    for batch in (keyed.iloc[:half], keyed.iloc[half:]):
+        out = list(_update_heavy_hitters(
+            ("src0",), iter([batch]), state))[-1]
+    ckeys, cvals, ctoks, cbins = state._v
+    got = dict(zip(ckeys, cvals))
+    want_rows = cms_sketch(toks, F.col("tok")).collect()
+    want = {f"{r['_cms_seed']}|{r['_cms_bin']}": r["_cms_n"]
+            for r in want_rows}
+    assert got == want, "stream counter grid != batch cms_sketch grid"
+    # emitted estimates must be >= true counts (CMS never undercounts)
+    truth = dict(toks.groupBy("tok").count().collect())
+    for t, e in zip(out["token"], out["est_count"]):
+        assert e >= truth[t], (t, e, truth[t])
+
+
+def test_stateful_heavy_hitters_stream_matches_batch(spark, sf_dir):
+    """availableNow run over the documents backlog: every emitted
+    (source, token) estimate must equal the batch cms_lookup read off
+    the same-source batch grid, and each source's true top-1 token
+    must be among its emitted candidates."""
+    from pyspark.sql import functions as F
+
+    from data_eng_taxi_ibis_dagster_spark.operators.cms import (
+        cms_lookup, cms_sketch,
+    )
+    from data_eng_taxi_ibis_dagster_spark.operators.text import tokens
+    from data_eng_taxi_ibis_dagster_spark.streaming.events import (
+        read_documents_stream,
+    )
+    from data_eng_taxi_ibis_dagster_spark.streaming.stateful import (
+        running_heavy_hitters,
+    )
+
+    stream = running_heavy_hitters(read_documents_stream(spark, sf_dir))
+    q = (stream.writeStream.format("memory").queryName("hh")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("hh").toPandas()
+    assert len(got) > 0
+    # keep the LAST emission per (source, rank): later batches override
+    got = got.drop_duplicates(["source", "rank"], keep="last")
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    # one batch-side grid+lookup per source costs ~2 s; three sources
+    # pin the contract without doubling the suite's streaming bill
+    checked = sorted(got["source"].unique())[:3]
+    for source, grp in got[got["source"].isin(checked)].groupby("source"):
+        grid = (cms_sketch(
+            toks.filter(F.col("source") == source), F.col("tok")))
+        probes = spark.createDataFrame(
+            [(t,) for t in grp["token"]], "token string")
+        est = {r["token"]: r["est_count"]
+               for r in cms_lookup(grid, probes, "token").collect()}
+        for t, e in zip(grp["token"], grp["est_count"]):
+            assert est[t] == e, (source, t, est[t], e)
+        top1 = (toks.filter(F.col("source") == source)
+                .groupBy("tok").count()
+                .orderBy(F.desc("count"), "tok").first()["tok"])
+        assert top1 in set(grp["token"]), (source, top1)
