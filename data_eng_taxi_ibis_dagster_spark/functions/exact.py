@@ -35,8 +35,21 @@ def _col(c: str | Column) -> Column:
 
 
 def dsum(c: str | Column, scale: int = 2) -> Column:
-    """Order-independent SUM of a double column, returned as double."""
-    return F.sum(_col(c).cast(f"decimal(38,{scale})")).cast("double")
+    """Order-independent SUM of a double column, returned as double.
+
+    The final DECIMAL→DOUBLE conversion goes through a STRING: the
+    round-10 sf1 sweep caught DuckDB's direct decimal→double cast
+    double-rounding (``double(unscaled) / 10^scale`` — two roundings)
+    once the unscaled sum exceeds 2^53, while the JVM's
+    BigDecimal→double is correctly rounded, a 1-ulp divergence
+    invisible at gate scale. Rendering the exact decimal and parsing
+    it is ONE correct rounding on both engines at any magnitude (both
+    string→double parsers are correctly rounded, and parsing is
+    value-based so rendering differences can't matter); the cost is
+    one string per GROUP. Values below 2^53 unscaled are bit-identical
+    to the old direct cast."""
+    return (F.sum(_col(c).cast(f"decimal(38,{scale})"))
+            .cast("string").cast("double"))
 
 
 def davg(c: str | Column, scale: int = 2) -> Column:
@@ -46,8 +59,10 @@ def davg(c: str | Column, scale: int = 2) -> Column:
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    """ANSI rendering of :func:`dsum` for the DuckDB oracle."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+    """ANSI rendering of :func:`dsum` for the DuckDB oracle (same
+    string-mediated final conversion — see :func:`dsum`)."""
+    return (f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) "
+            f"AS VARCHAR) AS DOUBLE)")
 
 
 def sql_davg(expr: str, scale: int = 2) -> str:

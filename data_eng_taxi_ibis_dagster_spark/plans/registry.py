@@ -368,6 +368,25 @@ _EVICTED: frozenset[str] = frozenset({
     # Plans AND oracles changed.
     "approx_exact_regime_audit",
     "phash_twin_audit",
+    # r10 cont.: the sf1 (100x) sweep caught DuckDB's decimal->double
+    # cast double-rounding past 2^53 unscaled (1-ulp divergence on
+    # pricing_summary's sum_charge); dsum/sql_dsum now convert through
+    # a string (one correct rounding on both engines at any
+    # magnitude).  Values identical at gate scales, but every
+    # dsum/davg plan and oracle changed.
+    "pricing_summary",
+    "stats_aggregates",
+    "pivot_status_by_priority",
+    "chi2_type_by_hour",
+    "kmeans_estep_audit",
+    "pagerank_iter1_audit",
+    "kmeans_two_iter_audit",
+    "embedding_centroids",
+    "rollup_sales",
+    "cube_sales",
+    "join_bloom_prefilter",
+    "join_salted_skew",
+    "pysource_telemetry_rollup",
 })
 
 

@@ -66,3 +66,40 @@ def test_global_sort_index_no_single_partition_scan(spark):
     plan = global_sort_index(df, h, F.col("k"))._jdf.queryExecution().executedPlan().toString()
     # the per-row window runs partitioned by the bucket column, not empty
     assert "_gsi_bucket" in plan
+
+
+def test_dsum_portable_past_2_53_unscaled(spark):
+    """The round-10 sf1 sweep's divergence class, pinned as a unit
+    test: once a DECIMAL(38,6) sum's unscaled value exceeds 2^53,
+    DuckDB's direct decimal→double cast double-rounds
+    (double(unscaled)/10^6) while the JVM rounds once — dsum/sql_dsum
+    therefore convert through a string (one correct rounding on both
+    engines at any magnitude). Sum enough 17-significant-digit values
+    to push the unscaled sum well past 2^53 and require bit equality."""
+    import duckdb
+
+    from data_eng_taxi_ibis_dagster_spark.functions.exact import (
+        dsum, sql_dsum,
+    )
+
+    # ~5e4 rows of ~1e6-scale values with full double mantissas:
+    # unscaled(6) sum ≈ 5e16 > 2^53 ≈ 9.007e15
+    # Money-like inputs (2-decimal values, far from scale-6 rounding
+    # ties, so the per-row cast agrees in both engines) at 1e7
+    # magnitude: the 50k-row sum's unscaled value ≈ 5e17 ≈ 2^59, deep
+    # past 2^53, where the OLD direct decimal→double cast diverges
+    # between the engines for every offset tried and the
+    # string-mediated conversion matches. e-notation literals parse
+    # as DOUBLE in both engines (a bare 17.01 is DECIMAL to DuckDB).
+    df = spark.range(50_000).selectExpr(
+        "1e7 + id * 1.7e1 + (id % 97) * 1e-2 + 1e-3 AS x")
+    got = df.agg(dsum("x", 6).alias("s")).first()["s"]
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT {sql_dsum('x', 6)} AS s FROM ("
+        "SELECT 1e7 + i * 1.7e1 + (i % 97) * 1e-2 + 1e-3 AS x "
+        "FROM range(50000) t(i))"
+    ).fetchone()[0]
+    assert got == want, (got.hex(), want.hex())
+    # and the regime really is past the old failure threshold
+    assert abs(got) * 10**6 > 2**53
