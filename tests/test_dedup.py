@@ -99,19 +99,17 @@ def test_dedup_clusters_quality_representative(spark):
     assert 99 not in got.index
 
 
-def test_curation_best_rep_differs_from_min_id(spark, sf_dir):
+def test_curation_best_rep_differs_from_min_id(spark, sf_dir, plan_cache):
     """curation_best_rep's done-criterion: the quality-argmax policy
     must genuinely change the kept set on the gate fixture (a cluster
     whose best member is not its smallest id exists) — otherwise the
     strict oracle would be vacuously identical to curation_stack's
     and pin nothing new. Same cardinality either way: both policies
-    keep exactly one member per cluster."""
-    from data_eng_taxi_ibis_dagster_spark.plans.registry import get
-
-    best = set(get("curation_best_rep").builder(spark, sf_dir)
-               .toPandas()["doc_id"])
-    minid = set(get("curation_stack").builder(spark, sf_dir)
-                .toPandas()["doc_id"])
+    keep exactly one member per cluster. Plans come from the session
+    cache — both pipelines' eager CC builds are already paid for by
+    the registry sweeps."""
+    best = set(plan_cache("curation_best_rep").toPandas()["doc_id"])
+    minid = set(plan_cache("curation_stack").toPandas()["doc_id"])
     assert len(best) == len(minid)
     assert best != minid, (
         "quality-argmax representative picked the min id in every "
