@@ -345,3 +345,91 @@ def cms_heavy_hitter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (C.cms_lookup(merged, exact, "tok")
             .select(F.col("tok").alias("token"), "est_count",
                     "exact_count"))
+
+
+@query(
+    "cms_incremental_heavy_hitters",
+    oracle="""
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+        seeds AS (SELECT seed
+                  FROM (VALUES ('s0'), ('s1'), ('s2'), ('s3')) s(seed)),
+        grid AS (
+            SELECT seed, substr(md5(seed || ':' || tok), 1, 3) AS bin,
+                   SUM(n) AS cnt
+            FROM vocab CROSS JOIN seeds GROUP BY 1, 2
+        ),
+        exact AS (SELECT tok, n AS exact_n FROM vocab
+                  ORDER BY n DESC, tok ASC LIMIT 20),
+        probe AS (
+            SELECT e.tok, e.exact_n, s.seed,
+                   substr(md5(s.seed || ':' || e.tok), 1, 3) AS bin
+            FROM exact e CROSS JOIN seeds s
+        )
+        SELECT p.tok AS token,
+               CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS est_count,
+               CAST(MAX(p.exact_n) AS BIGINT) AS exact_count
+        FROM probe p
+        LEFT JOIN grid g ON g.seed = p.seed AND g.bin = p.bin
+        GROUP BY 1
+    """,
+    tags=("E8", "E12", "EXT"),
+)
+def cms_incremental_heavy_hitters(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The CMS leg of the persisted-state ingest shape — the member
+    that completes the quartet's incremental story
+    (``quantile_sketch_incremental`` grids, ``kmv_incremental_uniques``
+    arrays, now counter grids):
+
+    * ingest cycle 1 (even doc_ids) sketches ITS documents' tokens
+      per source and persists the counter-grid rows to parquet;
+    * ingest cycle 2 (odd doc_ids) sketches ITS documents and
+      APPENDS — history is never re-read;
+    * the registered plan's sketch side reads ONLY the persisted
+      grids (≤ 2·|sources|·depth·width counter rows), merges them by
+      counter addition, and serves the same top-20 heavy-hitter read
+      as ``cms_heavy_hitter_estimate``.
+
+    The strict oracle rebuilds the grid one-pass over the FULL raw
+    table, sharing no intermediate — the hash match proves
+    cms(A) + cms(B) ≡ cms(A ⊎ B) across the append (counter
+    additivity, exact by construction, NO regime caveat since the
+    md5-prefix bins are engine-portable). Sketch writes run at plan
+    build (the offline ingest half, the persisted-LSH-index
+    convention); the probe side (exact top-20, est-vs-exact output)
+    scans raw rows by design — it is the verification surface, not
+    the maintained state."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from data_eng_taxi_ibis_dagster_spark.sources.sinks import (
+        track_temp_dir,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(),
+                        f"sg_cms_inc_{tag}_{uuid.uuid4().hex[:12]}")
+    track_temp_dir(path)
+    for cycle, keep in enumerate((0, 1)):
+        batch = (d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == keep)
+                 .select("source", F.explode(T.tokens("text")).alias("tok")))
+        sk = C.cms_sketch(batch, F.col("tok"), group_cols=["source"])
+        (sk.write.mode("overwrite" if cycle == 0 else "append")
+         .parquet(path))
+    persisted = spark.read.parquet(path)
+    merged = C.merge_cms(persisted.drop("source"))
+    toks = d.select(F.explode(T.tokens("text")).alias("tok"))
+    exact = (toks.groupBy("tok")
+             .agg(F.count(F.lit(1)).alias("exact_count"))
+             .orderBy(F.col("exact_count").desc(), F.col("tok").asc())
+             .limit(20))
+    return (C.cms_lookup(merged, exact, "tok")
+            .select(F.col("tok").alias("token"), "est_count",
+                    "exact_count"))
