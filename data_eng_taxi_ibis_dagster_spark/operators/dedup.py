@@ -491,22 +491,39 @@ def dedup_clusters(pairs: DataFrame, *, max_iterations: int = 20,
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    out = labels.select(F.col("id").alias("doc_id"),
+                        F.col("label").alias("canonical_id"))
     if representative is not None:
-        scored = representative.select(
-            F.col(rep_id_col).alias("id"),
-            F.col(rep_score_col).alias("_score"))
-        # argmax by (score desc, id asc): max_by over a struct orders
-        # lexicographically, so negating the id makes ties pick the
-        # smallest id deterministically.
-        reps = (labels.join(scored, "id")
-                .groupBy("label")
-                .agg(F.expr("max_by(id, struct(_score, -id))")
-                     .alias("_rep")))
-        return (labels.join(reps, "label")
-                .select(F.col("id").alias("doc_id"),
-                        F.col("_rep").alias("canonical_id")))
-    return labels.select(F.col("id").alias("doc_id"),
-                         F.col("label").alias("canonical_id"))
+        return pick_cluster_representatives(
+            out, representative,
+            rep_id_col=rep_id_col, rep_score_col=rep_score_col)
+    return out
+
+
+def pick_cluster_representatives(labels: DataFrame, scored: DataFrame, *,
+                                 rep_id_col: str = "doc_id",
+                                 rep_score_col: str = "quality"
+                                 ) -> DataFrame:
+    """Re-canonicalize a (doc_id, canonical_id) cluster labeling to the
+    argmax-by-(score desc, id asc) member per cluster — the
+    ``representative=`` policy of :func:`dedup_clusters`, exposed
+    separately so a caller holding an already-converged labeling (the
+    curation queries share one CC build per fixture dir) can apply the
+    policy without re-running the label loop. One ``max_by`` hash
+    aggregate over the cluster-member relation plus a join back on the
+    cluster key; ids missing from ``scored`` drop from the output (the
+    caller supplies scores for every clustered id by contract)."""
+    s = scored.select(F.col(rep_id_col).alias("doc_id"),
+                      F.col(rep_score_col).alias("_score"))
+    # argmax by (score desc, id asc): max_by over a struct orders
+    # lexicographically, so negating the id makes ties pick the
+    # smallest id deterministically.
+    reps = (labels.join(s, "doc_id")
+            .groupBy("canonical_id")
+            .agg(F.expr("max_by(doc_id, struct(_score, -doc_id))")
+                 .alias("_rep")))
+    return (labels.join(reps, "canonical_id")
+            .select("doc_id", F.col("_rep").alias("canonical_id")))
 
 
 def simhash(df: DataFrame, *, id_col: str = "doc_id",

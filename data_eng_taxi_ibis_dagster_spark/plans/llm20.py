@@ -254,6 +254,32 @@ _CURATION_JACC = (
 )
 
 
+#: (abspath(sf_dir)) → (SparkSession, converged CC labels DataFrame).
+#: ``curation_stack`` and ``curation_best_rep`` run the IDENTICAL
+#: gate→fp-dedup→pairs→min-label-CC prefix; the CC loop is an EAGER
+#: plan-build cost (localCheckpointed label propagation), so sharing
+#: one converged labeling per fixture dir halves the build bill the
+#: registry-wide suite sweeps pay. The cached value is an immutable
+#: plan handle over checkpointed (session-pinned) RDDs — revalidated
+#: against the caller's session and rebuilt if it came from another.
+_CURATION_LABELS_CACHE: dict = {}
+
+
+def _curation_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    key = os.path.abspath(sf_dir)
+    hit = _CURATION_LABELS_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    docs1 = _gated_fp_deduped(spark, sf_dir)
+    pairs = D.minhash_near_dup_pairs(
+        docs1.select("doc_id", "text"), threshold=0.6)
+    labels = D.dedup_clusters(pairs)
+    _CURATION_LABELS_CACHE[key] = (spark, labels)
+    return labels
+
+
 def _gated_fp_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stages 1-2 of the curation pipeline (quality/lang gate, then
     exact fingerprint dedup) — shared by ``curation_stack`` and its
@@ -369,9 +395,7 @@ def curation_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime call from observed size, never forced (round-6 verdict:
     a forced broadcast here is a driver OOM at 100 TB)."""
     docs1 = _gated_fp_deduped(spark, sf_dir)
-    pairs = D.minhash_near_dup_pairs(
-        docs1.select("doc_id", "text"), threshold=0.6)
-    clusters = D.dedup_clusters(pairs)
+    clusters = _curation_labels(spark, sf_dir)
     drop = (clusters.filter(F.col("canonical_id") != F.col("doc_id"))
             .select("doc_id"))
     return (
@@ -462,10 +486,9 @@ def curation_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     swaps the MIN(id) representative for the same
     (quality DESC, doc_id ASC) argmax via row_number."""
     docs1 = _gated_fp_deduped(spark, sf_dir)
-    pairs = D.minhash_near_dup_pairs(
-        docs1.select("doc_id", "text"), threshold=0.6)
-    clusters = D.dedup_clusters(
-        pairs, representative=docs1.select("doc_id", "quality"))
+    clusters = D.pick_cluster_representatives(
+        _curation_labels(spark, sf_dir),
+        docs1.select("doc_id", "quality"))
     drop = (clusters.filter(F.col("canonical_id") != F.col("doc_id"))
             .select("doc_id"))
     return (
