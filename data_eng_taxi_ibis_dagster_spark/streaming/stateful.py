@@ -309,3 +309,88 @@ def running_heavy_hitters(docs: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful quantile-histogram: continuous percentiles with CONSTANT
+# per-key state — completes the stateful sketch family (value state =
+# running_user_spend, distinct = KMV, frequency = CMS, quantile = here)
+# ---------------------------------------------------------------------------
+
+QS_WIDTH = 1
+QS_PCTS = (50, 95, 99)
+QS_OUTPUT_SCHEMA = ("event_type string, n_rows long, "
+                    "p50 long, p95 long, p99 long")
+QS_STATE_SCHEMA = "bins array<long>, counts array<long>"
+
+
+def _qs_read(counts: dict[int, int], pct: int) -> int:
+    """Lower-bound PERCENTILE_DISC read off a bin→count map — the
+    Python twin of ``operators/qsketch.sketch_quantiles``' pure-integer
+    rule (smallest bin whose cumulative count satisfies
+    ``100·cum ≥ p·total``), shared grid semantics so the stream's
+    emissions equal the batch read bit-for-bit."""
+    total = sum(counts.values())
+    cum = 0
+    for b in sorted(counts):
+        cum += counts[b]
+        if 100 * cum >= pct * total:
+            return b * QS_WIDTH
+    raise AssertionError("unreachable: pct <= 100 and total > 0")
+
+
+def _update_value_quantiles(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Add the batch's bin counts into the stored fixed-grid histogram
+    and emit the running p50/p95/p99 lower bounds. State is ≤
+    value_range/width bins per key BY CONSTRUCTION (the qsketch
+    parameter bound) — where an exact-percentile accumulator's state
+    grows with distinct values, the grid caps it at the parameter.
+    Counter updates are pure additions, so the stored grid equals the
+    batch ``histogram_sketch`` over everything seen, bit-for-bit —
+    the additivity contract ``test_stateful`` pins."""
+    (event_type,) = key
+    counts: dict[int, int] = (
+        dict(zip(*state.get)) if state.exists else {})
+    for pdf in batches:
+        for b, grp in pdf.groupby("bin"):
+            counts[int(b)] = counts.get(int(b), 0) + len(grp)
+    state.update((list(counts), [counts[b] for b in counts]))
+    total = sum(counts.values())
+    yield pd.DataFrame({
+        "event_type": [event_type],
+        "n_rows": [total],
+        **{f"p{p}": [_qs_read(counts, p)] for p in QS_PCTS},
+    })
+
+
+def running_value_quantiles(events: DataFrame) -> DataFrame:
+    """Continuous per-type value percentiles via a stateful
+    quantile-histogram sketch. Binning runs JVM-side with the SAME
+    grid expression the batch sketch uses
+    (``floor(value / QS_WIDTH)`` — operators/qsketch.histogram_sketch),
+    so stream and batch land in identical bins; Python maintains only
+    the bounded grid. The last update-mode emission per type reads off
+    a grid equal to the batch sketch over the full backlog — pinned in
+    ``test_stateful`` against ``histogram_sketch`` +
+    ``sketch_quantiles``."""
+    from pyspark.sql import functions as F
+
+    keyed = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") / F.lit(QS_WIDTH)).cast("long")
+        .alias("bin"),
+    )
+    return (
+        keyed.groupBy("event_type")
+        .applyInPandasWithState(
+            _update_value_quantiles,
+            outputStructType=QS_OUTPUT_SCHEMA,
+            stateStructType=QS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

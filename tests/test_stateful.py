@@ -368,3 +368,79 @@ def test_stateful_heavy_hitters_stream_matches_batch(spark, sf_dir):
                 .groupBy("tok").count()
                 .orderBy(F.desc("count"), "tok").first()["tok"])
         assert top1 in set(grp["token"]), (source, top1)
+
+
+def test_stateful_quantiles_accumulate_across_batches(spark, sf_dir):
+    """Two micro-batches through _update_value_quantiles must leave a
+    grid EQUAL to the batch histogram_sketch over the union, and the
+    emitted percentiles must equal the sketch_quantiles read off it —
+    the additivity + shared-integer-rule contracts."""
+    from pyspark.sql import functions as F
+
+    from data_eng_taxi_ibis_dagster_spark.operators.qsketch import (
+        histogram_sketch, sketch_quantiles,
+    )
+    from data_eng_taxi_ibis_dagster_spark.streaming.stateful import (
+        QS_PCTS, QS_WIDTH, _update_value_quantiles,
+    )
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "purchase"))
+    keyed = ev.filter(F.col("value").isNotNull()).select(
+        F.floor(F.col("value") / F.lit(QS_WIDTH)).cast("long")
+        .alias("bin")).toPandas()
+    state = FakeGroupState()
+    half = len(keyed) // 2
+    out = None
+    for batch in (keyed.iloc[:half], keyed.iloc[half:]):
+        out = list(_update_value_quantiles(
+            ("purchase",), iter([batch]), state))[-1]
+    bins, counts = state._v
+    got = dict(zip(bins, counts))
+    want_rows = histogram_sketch(ev, F.col("value"),
+                                 width=QS_WIDTH).collect()
+    want = {r["_qs_bin"]: r["_qs_n"] for r in want_rows}
+    assert got == want, "stream grid != batch histogram_sketch grid"
+    reads = sketch_quantiles(
+        histogram_sketch(ev, F.col("value"), width=QS_WIDTH),
+        list(QS_PCTS)).collect()
+    batch_est = {r["pct"]: r["est_lo"] for r in reads}
+    for p in QS_PCTS:
+        assert out[f"p{p}"][0] == batch_est[p], (p, out, batch_est)
+
+
+def test_stateful_quantiles_stream_matches_batch(spark, sf_dir):
+    """availableNow run over the events backlog: the final emission
+    per event_type must equal the batch sketch read over the same
+    data, including the row count."""
+    from pyspark.sql import functions as F
+
+    from data_eng_taxi_ibis_dagster_spark.operators.qsketch import (
+        histogram_sketch, sketch_quantiles,
+    )
+    from data_eng_taxi_ibis_dagster_spark.streaming.stateful import (
+        QS_PCTS, QS_WIDTH, running_value_quantiles,
+    )
+
+    stream = running_value_quantiles(read_events_stream(spark, sf_dir))
+    q = (stream.writeStream.format("memory").queryName("vq")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = (spark.table("vq").toPandas()
+           .drop_duplicates("event_type", keep="last")
+           .set_index("event_type").sort_index())
+    assert len(got) > 0
+    ev = load_table(spark, sf_dir, "events")
+    sk = histogram_sketch(ev, F.col("value"), width=QS_WIDTH,
+                          group_cols=["event_type"])
+    reads = sketch_quantiles(sk, list(QS_PCTS),
+                             group_cols=["event_type"]).toPandas()
+    want = reads.pivot(index="event_type", columns="pct",
+                       values="est_lo").sort_index()
+    n_want = (ev.filter(F.col("value").isNotNull())
+              .groupBy("event_type").count().toPandas()
+              .set_index("event_type").sort_index())
+    assert (got.index == want.index).all()
+    assert (got["n_rows"].values == n_want["count"].values).all()
+    for p in QS_PCTS:
+        assert (got[f"p{p}"].values == want[p].values).all(), p
