@@ -379,8 +379,18 @@ def test_registry_analyzes_at_every_sf_dir(spark, sf_dir, plan_cache):
 
     root = os.path.dirname(os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/"))
+    # The sweep's job is SCHEMA drift, and every sf dir comes from one
+    # generator — so build at the pytest gate and the driver gate
+    # (sf0.001, sf0.01) and stop there. Builders with eager build-time
+    # jobs (Lloyd training, CC convergence, persisted-sketch writes)
+    # made the sf0.1 leg pay 10x fixture cost for no additional
+    # schema coverage (round-10 suite-budget shave: the suite had
+    # crept from 16:28 to straddling the 20-min line as the registry
+    # grew); sf0.1 and sf1 executed coverage lives in the recorded
+    # `scripts/strict_sweep.py` runs (SCALE.md).
     sf_dirs = [os.path.join(root, d) for d in sorted(os.listdir(root))
-               if d.startswith("sf")]
+               if d.startswith("sf")
+               and d.split("sf", 1)[1] in ("0.001", "0.01")]
     assert sf_dirs, root
     specs = all_specs()
     failures = []
