@@ -114,7 +114,7 @@ def _load_all() -> None:
 # than this round -- the driver writes CORRECTNESS_r{N+1}.json after
 # the final commit of round N+1, so a judged tree can never list it;
 # any discrepancy AT or BELOW the watermark still fails hard.
-_DRIVER_VERIFIED_AS_OF = 9
+_DRIVER_VERIFIED_AS_OF = 10
 _DRIVER_VERIFIED = {
     "abc_pareto_customers": 6,
     "abtest_two_proportion": 6,
@@ -124,37 +124,39 @@ _DRIVER_VERIFIED = {
     "agg_exact_linear_stats": 7,
     "agg_salted_hot_key": 7,
     "agg_string_concat_sorted": 7,
-    "anomaly_mad_outliers": 5,
+    "anomaly_mad_outliers": 10,
     "apply_in_arrow_group_stats": 6,
     "apply_in_pandas_zscore": 7,
     "approx_aggregates": 7,
-    "approx_exact_regime_audit": 6,
+    "approx_exact_regime_audit": 10,
     "arrow_python_udf": 7,
-    "audio_twin_audit": 5,
+    "audio_twin_audit": 10,
     "basket_brand_pairs": 8,
-    "bpe_encode_audit": 5,
+    "bpe_encode_audit": 10,
     "bpe_encode_corpus": 6,
     "bpe_learn_merges": 6,
     "bpe_merge_audit": 6,
     "brand_quantity_revenue": 8,
-    "chi2_type_by_hour": 5,
+    "chi2_type_by_hour": 10,
     "cluster_balanced_sample": 6,
     "cms_heavy_hitter_estimate": 9,
-    "collect_sorted_list": 5,
+    "cms_incremental_heavy_hitters": 10,
+    "collect_sorted_list": 10,
     "constraint_check": 8,
-    "contrastive_pair_mining": 5,
-    "cooccurrence_edges_audit": 5,
+    "contrastive_pair_mining": 10,
+    "cooccurrence_edges_audit": 10,
     "correlated_scalar_subquery": 9,
     "count_lineitem": 7,
-    "cube_sales": 7,
+    "cube_sales": 10,
     "cum_revenue_by_orderdate": 7,
-    "curation_funnel": 5,
+    "curation_best_rep": 10,
+    "curation_funnel": 10,
     "curation_pairs": 7,
     "curation_stack": 7,
     "customer_order_distribution": 7,
     "data_mixture_resample": 9,
     "decontaminate_ngram": 9,
-    "dedup_cdc_chunks": 5,
+    "dedup_cdc_chunks": 10,
     "dedup_cluster_audit": 9,
     "dedup_cluster_pick": 7,
     "dedup_containment": 6,
@@ -168,13 +170,13 @@ _DRIVER_VERIFIED = {
     "dedup_minhash_lsh": 7,
     "dedup_ngram_jaccard": 9,
     "dedup_simhash": 7,
-    "dedup_span_removal": 5,
-    "dedup_span_windows": 5,
+    "dedup_span_removal": 10,
+    "dedup_span_windows": 10,
     "distinct_segments": 7,
     "domain_cap_sample": 6,
     "dsir_importance_topk": 6,
-    "embedding_centroids": 9,
-    "embedding_covariance": 5,
+    "embedding_centroids": 10,
+    "embedding_covariance": 10,
     "embedding_pca_project": 6,
     "embedding_quantize_int8": 9,
     "events_activity_streaks": 9,
@@ -184,7 +186,7 @@ _DRIVER_VERIFIED = {
     "events_funnel_conversion": 9,
     "events_hourly_by_type": 8,
     "events_hourly_dense": 9,
-    "events_locf_value": 5,
+    "events_locf_value": 10,
     "events_new_users_daily": 9,
     "events_retention_cohorts": 8,
     "events_sessionize": 8,
@@ -193,18 +195,18 @@ _DRIVER_VERIFIED = {
     "events_value_quantiles_hourly": 9,
     "exact_count_distinct": 8,
     "explode_tokens": 7,
-    "fingerprint_winnowing": 5,
-    "flagship_avg_price": 9,
+    "fingerprint_winnowing": 10,
+    "flagship_avg_price": 10,
     "flagship_sql_path": 8,
-    "forecast_revenue": 5,
+    "forecast_revenue": 10,
     "forecast_seasonal_naive": 6,
     "gini_customer_revenue": 6,
-    "global_sales_opportunity": 5,
+    "global_sales_opportunity": 10,
     "global_shuffle_order": 9,
-    "graph_triangle_tokens": 5,
+    "graph_triangle_tokens": 10,
     "grouping_sets_sql": 7,
     "heavy_hitter_tokens": 9,
-    "hierarchy_pointer_doubling": 5,
+    "hierarchy_pointer_doubling": 10,
     "histogram_equidepth_price": 6,
     "histogram_price": 8,
     "important_part_volume": 8,
@@ -212,25 +214,26 @@ _DRIVER_VERIFIED = {
     "join_anti_customers_without_orders": 8,
     "join_band_acctbal": 8,
     "join_band_bucketized": 8,
-    "join_bloom_prefilter": 8,
+    "join_bloom_prefilter": 10,
     "join_full_outer_nation_presence": 9,
     "join_left_order_counts": 8,
     "join_null_safe_priority": 9,
     "join_range_ship_lag": 8,
     "join_sales_by_region": 8,
-    "join_salted_skew": 5,
+    "join_salted_skew": 10,
     "join_semi_customers_with_orders": 8,
-    "json_schema_parse": 5,
-    "kmeans_estep_audit": 6,
+    "json_schema_parse": 10,
+    "kmeans_estep_audit": 10,
     "kmeans_lloyd": 6,
-    "kmeans_two_iter_audit": 5,
-    "kmv_incremental_uniques": 9,
-    "kmv_returning_users_daily": 9,
-    "kmv_rollup_uniques": 9,
+    "kmeans_two_iter_audit": 10,
+    "kmv_churned_users_daily": 10,
+    "kmv_incremental_uniques": 10,
+    "kmv_returning_users_daily": 10,
+    "kmv_rollup_uniques": 10,
     "large_volume_customers": 8,
-    "late_shipment_priority": 5,
+    "late_shipment_priority": 10,
     "lateral_topn_per_customer": 9,
-    "lm_bigram_familiarity": 5,
+    "lm_bigram_familiarity": 10,
     "local_supplier_volume": 7,
     "map_in_arrow_stats": 6,
     "markov_event_transitions": 6,
@@ -248,21 +251,21 @@ _DRIVER_VERIFIED = {
     "order_priority_check": 7,
     "pack_sequences": 7,
     "pagerank_cooccurrence": 6,
-    "pagerank_iter1_audit": 6,
+    "pagerank_iter1_audit": 10,
     "pandas_udf_grouped": 7,
     "pandas_udf_scalar": 7,
     "parts_supplier_relationship": 8,
     "percentile_cont_price": 7,
     "percentile_disc_price": 7,
-    "phash_twin_audit": 6,
+    "phash_twin_audit": 10,
     "pii_redact_digits": 9,
-    "pivot_status_by_priority": 7,
-    "pricing_summary": 7,
+    "pivot_status_by_priority": 10,
+    "pricing_summary": 10,
     "product_type_profit": 8,
     "profile_orders": 7,
     "promo_part_suppliers": 8,
     "promo_revenue_share": 7,
-    "pysource_telemetry_rollup": 5,
+    "pysource_telemetry_rollup": 10,
     "quality_classifier_linear": 5,
     "quality_gopher_rules": 9,
     "quality_repetition": 9,
@@ -275,27 +278,27 @@ _DRIVER_VERIFIED = {
     "returned_items_top_customers": 7,
     "rfm_segmentation": 8,
     "rolling_7d_active_users": 6,
-    "rollup_sales": 8,
+    "rollup_sales": 10,
     "running_peak_price_by_orderdate": 8,
     "scalar_array_funcs": 9,
     "scalar_date_funcs": 9,
     "scalar_hash_encode": 9,
     "scalar_json": 9,
     "scalar_map_funcs": 9,
-    "scalar_math_case": 4,
+    "scalar_math_case": 10,
     "scalar_regexp": 7,
     "scalar_string_funcs": 7,
-    "scalar_struct_explode": 4,
+    "scalar_struct_explode": 10,
     "scalar_subquery_fraction": 7,
-    "scalar_try_funcs": 4,
+    "scalar_try_funcs": 10,
     "scan_filter_project": 8,
-    "scd2_user_value": 4,
+    "scd2_user_value": 10,
     "semdedup_audit": 6,
     "semdedup_prune": 6,
     "setop_except": 8,
     "setop_intersect": 8,
     "setop_union_all_keys": 8,
-    "share_of_priority_by_status": 4,
+    "share_of_priority_by_status": 10,
     "shipping_priority": 7,
     "simhash_twin_audit": 5,
     "similarity_ann_audit": 9,
@@ -312,7 +315,7 @@ _DRIVER_VERIFIED = {
     "sketch_rollup_uniques": 9,
     "skyline_pareto_parts": 8,
     "small_quantity_revenue": 8,
-    "stats_aggregates": 7,
+    "stats_aggregates": 10,
     "stratified_sample_label": 7,
     "subquery_cte_having": 7,
     "systematic_sample": 5,
@@ -327,16 +330,16 @@ _DRIVER_VERIFIED = {
     "top_supplier": 8,
     "topk_orders": 9,
     "topk_per_group": 9,
-    "train_test_split": 4,
+    "train_test_split": 10,
     "udtf_chunk_documents": 7,
     "unpivot_order_measures": 9,
     "url_parse_stats": 5,
-    "variant_props_stats": 4,
+    "variant_props_stats": 10,
     "video_frames_audit": 5,
     "volume_shipping": 8,
     "waiting_supplier_check": 8,
     "weighted_median_price": 6,
-    "weighted_sample_aes": 4,
+    "weighted_sample_aes": 10,
     "window_distribution_funcs": 7,
     "window_rank_lag": 9,
     "window_running_total": 9,
@@ -349,44 +352,10 @@ _DRIVER_VERIFIED = {
 # CORRECTNESS row lands.  Add names here in the same commit that
 # rewrites a builder; remove them once regen picks up the new round.
 _EVICTED: frozenset[str] = frozenset({
-    # (r10: all five r9 evictions got fresh green r9 rows -- cleared
-    # by the round-10 regen.)
-    # r10: week bucketing switched from double-divide-then-cast to
-    # integral `div` (round-9 advisor: the old form's parity with the
-    # oracle's `//` rested on a float-precision argument).  Values
-    # identical on these fixtures, but the PLAN changed.
-    "kmv_rollup_uniques",
-    "kmv_incremental_uniques",
-    # r10 cont.: sketch size k now DERIVED from the corpus at plan
-    # build (scale-proof exact regime for the sf1 sweep; floor 4096
-    # keeps gate-scale plans bit-identical, but the builder changed).
-    "kmv_returning_users_daily",
-    # r10: the two fixture-regime-bounded audits made scale-proof —
-    # approx_exact_regime_audit pins HLL on bounded domains (127-bucket
-    # user projection, derived percentile accuracy) and
-    # phash_twin_audit reads the collision-closed twin-edge subset.
-    # Plans AND oracles changed.
-    "approx_exact_regime_audit",
-    "phash_twin_audit",
-    # r10 cont.: the sf1 (100x) sweep caught DuckDB's decimal->double
-    # cast double-rounding past 2^53 unscaled (1-ulp divergence on
-    # pricing_summary's sum_charge); dsum/sql_dsum now convert through
-    # a string (one correct rounding on both engines at any
-    # magnitude).  Values identical at gate scales, but every
-    # dsum/davg plan and oracle changed.
-    "pricing_summary",
-    "stats_aggregates",
-    "pivot_status_by_priority",
-    "chi2_type_by_hour",
-    "kmeans_estep_audit",
-    "pagerank_iter1_audit",
-    "kmeans_two_iter_audit",
-    "embedding_centroids",
-    "rollup_sales",
-    "cube_sales",
-    "join_bloom_prefilter",
-    "join_salted_skew",
-    "pysource_telemetry_rollup",
+    # (r11: all 18 r10 evictions -- the kmv re-derivations, the two
+    # scale-proofed audits, and the 13 dsum/davg string-mediated
+    # conversion rewrites -- got fresh green r10 rows; cleared by the
+    # round-11 regen.)
 })
 
 
