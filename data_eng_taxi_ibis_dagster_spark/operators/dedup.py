@@ -370,6 +370,136 @@ def _band_stack(sigs: DataFrame, *, id_col: str, bands: int,
     )
 
 
+#: Sentinel band id for PREFIX-FILTER rows in the shared
+#: ``(id, band, bucket)`` relation: real LSH bands are 0..bands-1, so
+#: -1 marks a row whose bucket is the xxhash64 of one token from the
+#: document's Jaccard prefix.  Prefix rows ride the exact same
+#: machinery as band rows — the bucket self-join, the probe semi-join,
+#: the ``partitionBy("band")`` parquet layout (they land in their own
+#: partition, pruned like any band) — but are EXEMPT from the
+#: hot-bucket skew cap, because they carry the recall guarantee.
+PREFIX_BAND = -1
+
+
+def _prefix_stack(df: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  threshold: float = 0.6) -> DataFrame:
+    """``(id, band=PREFIX_BAND, bucket)`` — one row per token of the
+    document's Jaccard-prefix, the deterministic recall-closure for the
+    LSH candidate join.
+
+    Prefix-filter theorem (Bayardo/Ma/Srikant, *Scaling Up All Pairs
+    Similarity Search*, WWW'07; Xiao et al., *PPJoin*, WWW'08): order
+    every document's shingle SET by one global total order and keep
+    each document's first ``p = floor((1-t)·|A|) + 1`` shingles; then
+    any pair with ``J(A,B) ≥ t`` shares at least one kept shingle.
+    (Proof: ``J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ ⌈t·|A|⌉``.  Let c be the
+    order-smallest common element; if ``c ∉ prefix(A)`` then all
+    ``p_A = |A| - ⌈t·|A|⌉ + 1`` prefix elements are smaller than c and
+    hence non-common, leaving ``|A∩B| ≤ ⌈t·|A|⌉ - 1`` — contradiction;
+    symmetrically for B, so c sits in BOTH prefixes.)  Joining on
+    prefix-token buckets therefore yields a candidate superset of ALL
+    true pairs — LSH recall stops being probabilistic the moment these
+    rows join the band stack.
+
+    The global order is ``(xxhash64(token), token)`` — computable
+    per-row inside codegen (``array_sort`` of a struct array), needing
+    NO document-frequency pre-pass, and STABLE as the corpus grows,
+    which the incremental path requires (a df-ascending order, the
+    AllPairs classic that minimizes candidate volume, changes as the
+    corpus grows and would silently invalidate a persisted index's
+    prefixes).  The cost of hash order is that a globally common
+    shingle can land in prefixes and form a hot bucket; prefix rows
+    are exempt from ``max_bucket`` (correctness), so at extreme scale
+    the mitigation is the threshold itself (prefixes shrink as t
+    rises) and AQE skew splitting on the verify join.  The float
+    ``(1-t)·|A|`` is nudged by +1e-9 before ``floor`` so binary
+    rounding can only ever LENGTHEN the prefix (longer = safe).
+
+    Prefix rows carry ``(pos, sz)`` — the token's 1-based position in
+    the document's ordered shingle set and the set size — so the
+    candidate join can apply PPJoin's LENGTH filter
+    (``t·|A| ≤ |B| ≤ |A|/t``) and POSITION filter: the order-smallest
+    COMMON element c of a true pair is in both prefixes (the theorem's
+    proof), no common element precedes it, hence ``|A∩B| ≤ 1 +
+    min(|A|-pos_A(c), |B|-pos_B(c))``, which must reach the required
+    overlap ``t·(|A|+|B|)/(1+t)``.  A pair is kept if ANY shared
+    bucket occurrence passes — later shared tokens may under-bound and
+    fail, but c's occurrence always passes for a true pair, so the
+    filter is exact.  On the templated sf1 fixture these filters are
+    what keep the verify join's array payload affordable: medium-df
+    shingles shared by UNRELATED docs form most of the raw candidate
+    volume, and almost none of them survive the position test.
+    """
+    sh = _right_size(df).select(
+        F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
+    p = (F.floor(F.size("sh") * F.lit(1.0 - threshold) + F.lit(1e-9))
+         + F.lit(1)).cast("int")
+    ordered = F.array_sort(F.transform(
+        F.col("sh"),
+        lambda x: F.struct(F.xxhash64(x).alias("h"), x.alias("t"))))
+    pref = sh.select(
+        F.col(id_col), F.size("sh").alias("sz"),
+        F.posexplode(F.slice(ordered, F.lit(1), p)).alias("_i", "_pt"))
+    return pref.select(
+        F.col(id_col), F.lit(PREFIX_BAND).alias("band"),
+        F.col("_pt.h").alias("bucket"),
+        (F.col("_i") + 1).alias("pos"), F.col("sz"))
+
+
+def _pp_filters(threshold: float) -> Column:
+    """PPJoin candidate filters over a joined prefix-row pair carrying
+    ``(_sza, _posa)`` × ``(_szb, _posb)`` — exact (they only remove
+    pairs the position/length bounds PROVE are below threshold; see
+    :func:`_prefix_stack`).  All comparisons stay in the safe
+    direction under float noise (the 1e-9 slack keeps borderline
+    pairs)."""
+    t = threshold
+    length_ok = ((F.col("_sza") * t <= F.col("_szb") + 1e-9)
+                 & (F.col("_szb") * t <= F.col("_sza") + 1e-9))
+    ubound = 1 + F.least(F.col("_sza") - F.col("_posa"),
+                         F.col("_szb") - F.col("_posb"))
+    need = (F.col("_sza") + F.col("_szb")) * F.lit(t / (1.0 + t))
+    return length_ok & (ubound >= need - 1e-9)
+
+
+def _bucket_pairs(stacked: DataFrame, *, id_col: str,
+                  max_bucket: int,
+                  threshold: float = 0.6) -> DataFrame:
+    """Self-join a ``(id, band, bucket[, pos, sz])`` relation into
+    candidate pairs, dropping hot buckets above ``max_bucket`` —
+    except ``PREFIX_BAND`` rows, which are never dropped (they carry
+    the exact-recall guarantee; LSH buckets are only ever a recall
+    accelerator once prefix rows are present).  Prefix-row pairs pass
+    through the PPJoin length/position filters (exact — see
+    :func:`_prefix_stack`), which is what keeps the downstream
+    array-payload verify join candidate-bounded on corpora whose
+    templated text shares medium-df shingles across unrelated
+    documents."""
+    if "pos" not in stacked.columns:
+        stacked = stacked.withColumn("pos", F.lit(0)) \
+                         .withColumn("sz", F.lit(0))
+    sized = stacked.withColumn(
+        "bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+    ).filter((F.col("bucket_n") <= max_bucket)
+             | (F.col("band") == PREFIX_BAND)).drop("bucket_n")
+    a = sized.select(F.col("band"), F.col("bucket"),
+                     F.col(id_col).alias("doc_a"),
+                     F.col("pos").alias("_posa"), F.col("sz").alias("_sza"))
+    b = sized.select(F.col("band"), F.col("bucket"),
+                     F.col(id_col).alias("doc_b"),
+                     F.col("pos").alias("_posb"), F.col("sz").alias("_szb"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter((F.col("doc_a") < F.col("doc_b"))
+                & ((F.col("band") != PREFIX_BAND)
+                   | _pp_filters(threshold)))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame, *, id_col: str = "doc_id",
                         bands: int = 8, rows: int = 4,
                         max_bucket: int = 1000) -> DataFrame:
@@ -381,33 +511,46 @@ def lsh_candidate_pairs(sigs: DataFrame, *, id_col: str = "doc_id",
     callers wanting them get them from exact dedup instead.
     """
     stacked = _band_stack(sigs, id_col=id_col, bands=bands, rows=rows)
-    sized = stacked.withColumn(
-        "bucket_n",
-        F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
-    ).filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
-    a = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_a"))
-    b = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_b"))
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return _bucket_pairs(stacked, id_col=id_col, max_bucket=max_bucket)
 
 
 def minhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
                            text_col: str = "text", n: int = 3,
                            num_hashes: int = 32, bands: int = 8, rows: int = 4,
-                           threshold: float = 0.6) -> DataFrame:
+                           threshold: float = 0.6,
+                           exact_recall: bool = False) -> DataFrame:
     """End-to-end MinHash near-dedup: sign → band → candidates → exact
     Jaccard verify. Emits (doc_a, doc_b, jaccard_sim ≥ threshold).
 
     b=8, r=4 puts the LSH S-curve threshold at (1/8)^(1/4) ≈ 0.59 —
     candidates below it are mostly filtered before verification.
-    """
+
+    Recall contract: the default is the production LSH path, whose
+    recall is PROBABILISTIC — a true pair at exactly J = t is missed
+    with probability ``(1 - t^rows)^bands`` (~33% at t = 0.6 with 8×4;
+    <2% by J = 0.8).  ``exact_recall=True`` unions the deterministic
+    prefix-filter rows (:func:`_prefix_stack`) into the band stack
+    before the one bucket self-join, making the candidate set a
+    PROVABLE superset of every J ≥ t pair — the mode the strict
+    all-pairs-oracle queries run, discovered necessary when the 100×
+    subset-strict sweep caught borderline short-doc pairs (J = 0.67,
+    0.83) that the banding had missed (round 11; the gate fixtures
+    never contained such pairs, which is why all-pairs oracles matched
+    through round 10)."""
     sigs = minhash_signatures(df, id_col=id_col, text_col=text_col,
                               n=n, num_hashes=num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands, rows=rows)
+    if exact_recall:
+        stacked = _band_stack(sigs, id_col=id_col, bands=bands,
+                              rows=rows) \
+            .withColumn("pos", F.lit(0)).withColumn("sz", F.lit(0)) \
+            .unionByName(_prefix_stack(df, id_col=id_col,
+                                       text_col=text_col, n=n,
+                                       threshold=threshold))
+        cands = _bucket_pairs(stacked, id_col=id_col, max_bucket=1000,
+                              threshold=threshold)
+    else:
+        cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands,
+                                    rows=rows)
     sh = _right_size(df).select(
         F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
     verified = (
@@ -625,7 +768,8 @@ def simhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
 def lsh_band_index(df: DataFrame, *, id_col: str = "doc_id",
                    text_col: str = "text", n: int = 3,
                    num_hashes: int = 32, bands: int = 8,
-                   rows: int = 4) -> DataFrame:
+                   rows: int = 4, exact_recall: bool = False,
+                   threshold: float = 0.6) -> DataFrame:
     """The PERSISTABLE LSH index relation: ``(id, band, bucket)`` —
     one row per (document, band), ``bucket`` the band's hash. This is
     what an ingest pipeline materializes (``partitionBy("band")``
@@ -635,10 +779,25 @@ def lsh_band_index(df: DataFrame, *, id_col: str = "doc_id",
     historical corpus. Signatures are per-row codegen and the band
     stack is a projection, so building it costs one compact
     (id, k-longs) exchange (``minhash_signatures``' materialization)
-    and nothing corpus-shaped."""
+    and nothing corpus-shaped.
+
+    ``exact_recall=True`` additionally stores the document's
+    prefix-filter rows under ``band = PREFIX_BAND`` (they land in
+    their own ``partitionBy("band")`` partition and are pruned like
+    any band).  The prefix order is the corpus-growth-stable hash
+    order, so rows indexed today remain valid prefixes forever —
+    append-only ingest never re-prefixes history; ``threshold`` must
+    be ≤ every probe's threshold (lower = longer prefixes = safe)."""
     sigs = minhash_signatures(df, id_col=id_col, text_col=text_col,
                               n=n, num_hashes=num_hashes)
-    return _band_stack(sigs, id_col=id_col, bands=bands, rows=rows)
+    stacked = _band_stack(sigs, id_col=id_col, bands=bands, rows=rows)
+    if exact_recall:
+        stacked = stacked \
+            .withColumn("pos", F.lit(0)).withColumn("sz", F.lit(0)) \
+            .unionByName(_prefix_stack(df, id_col=id_col,
+                                       text_col=text_col, n=n,
+                                       threshold=threshold))
+    return stacked
 
 
 def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
@@ -647,7 +806,8 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
                                num_hashes: int = 32, bands: int = 8,
                                rows: int = 4, threshold: float = 0.6,
                                max_bucket: int = 1000,
-                               index: DataFrame | None = None) -> DataFrame:
+                               index: DataFrame | None = None,
+                               exact_recall: bool = False) -> DataFrame:
     """Incremental (batch-vs-index) MinHash near-dedup — the PRODUCTION
     ingest shape: dedup a NEW batch of documents against an already-
     indexed corpus plus the batch's own earlier rows, without ever
@@ -675,14 +835,23 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
     ``partitionBy("band")``) instead of re-banding the corpus texts —
     the persisted-index production path; ``corpus`` is then used only
     for exact-verification texts.
+
+    ``exact_recall=True`` is the deterministic-recall mode (see
+    :func:`minhash_near_dup_pairs`): both sides carry prefix-filter
+    rows under ``band = PREFIX_BAND`` (exempt from the skew cap), so
+    the probe provably surfaces every J ≥ threshold batch-vs-allowed
+    pair.  A pre-materialized ``index`` must itself have been built
+    with ``exact_recall=True`` at a threshold ≤ this one.
     """
     sig_new = lsh_band_index(batch, id_col=id_col, text_col=text_col,
                              n=n, num_hashes=num_hashes, bands=bands,
-                             rows=rows)
+                             rows=rows, exact_recall=exact_recall,
+                             threshold=threshold)
     if index is None:
         index = lsh_band_index(corpus, id_col=id_col, text_col=text_col,
                                n=n, num_hashes=num_hashes, bands=bands,
-                               rows=rows)
+                               rows=rows, exact_recall=exact_recall,
+                               threshold=threshold)
     # Batch-proportionality: restrict the index to the (band, bucket)
     # keys the batch actually probes BEFORE anything corpus-shaped
     # runs. The semi-join keeps every member of a touched bucket (so
@@ -690,19 +859,30 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
     # that matter) and drops the rest of the index unread — without
     # it, the sizing window re-shuffles the ENTIRE historical index on
     # every ingest.
+    for col in ("pos", "sz"):  # band-only relations (exact_recall off
+        # or a pre-prefix index) normalize to the sentinel columns
+        if col not in sig_new.columns:
+            sig_new = sig_new.withColumn(col, F.lit(0))
+        if col not in index.columns:
+            index = index.withColumn(col, F.lit(0))
     touched = index.join(sig_new.select("band", "bucket").distinct(),
                          ["band", "bucket"], "left_semi")
     both = touched.withColumn("_new", F.lit(False)) \
         .unionByName(sig_new.withColumn("_new", F.lit(True)))
     sized = both.withColumn(
         "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
-    ).filter(F.col("_bn") <= max_bucket).drop("_bn")
-    probe = sig_new.select("band", "bucket", F.col(id_col).alias("doc_new"))
+    ).filter((F.col("_bn") <= max_bucket)
+             | (F.col("band") == PREFIX_BAND)).drop("_bn")
+    probe = sig_new.select("band", "bucket", F.col(id_col).alias("doc_new"),
+                           F.col("pos").alias("_posa"),
+                           F.col("sz").alias("_sza"))
     hit = sized.select("band", "bucket", F.col(id_col).alias("doc_other"),
-                       "_new")
+                       F.col("pos").alias("_posb"),
+                       F.col("sz").alias("_szb"), "_new")
     cands = (
         probe.join(hit, ["band", "bucket"])
         .filter((~F.col("_new")) | (F.col("doc_other") < F.col("doc_new")))
+        .filter((F.col("band") != PREFIX_BAND) | _pp_filters(threshold))
         .select("doc_new", "doc_other")
         .distinct()
     )

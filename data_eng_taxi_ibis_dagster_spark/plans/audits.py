@@ -82,14 +82,21 @@ _JACCARD_SQL = (
     tags=("E10",),
 )
 def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full production MinHash+LSH near-dedup pipeline, strictly
-    oracle-checked: its output must equal the global all-pairs exact
-    3-gram Jaccard pairs at 0.6 (the fixture admits no recall loss at
-    this banding). Same code path as ``dedup_minhash_lsh`` — this is
-    that query's external correctness bound."""
+    """The full MinHash+LSH near-dedup pipeline in deterministic-recall
+    mode, strictly oracle-checked: its output must equal the global
+    all-pairs exact 3-gram Jaccard pairs at 0.6 AT ANY SCALE, because
+    ``exact_recall=True`` unions the prefix-filter rows (Bayardo
+    WWW'07 theorem — see ``operators/dedup._prefix_stack``) into the
+    band stack, making candidates a provable superset of every true
+    pair.  Through round 10 this query relied on the fixtures
+    containing no borderline-J pairs; the round-11 sf1 subset-strict
+    sweep found two (J = 0.67, 0.83 short docs) that 8×4 banding
+    missed, and the prefix closure removed the caveat.  Same verify
+    path as ``dedup_minhash_lsh`` (the probabilistic production
+    surface) — this is that query's external correctness bound."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        D.minhash_near_dup_pairs(d, threshold=0.6)
+        D.minhash_near_dup_pairs(d, threshold=0.6, exact_recall=True)
         .orderBy("doc_a", "doc_b")
     )
 

@@ -24,6 +24,8 @@ Engine-parity notes:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -42,7 +44,19 @@ _KMV_K = 4096
 #: sf_dir → derived k, memoized so the four kmv_* builders share one
 #: derivation job per fixture dir. Benign under concurrent build
 #: (pure, idempotent — worst case the scan runs twice).
+#: Staleness contract (same as llm20's labels cache): keyed by fixture
+#: PATH — an in-place fixture rewrite must clear this or the derived k
+#: reflects the old corpus.  Guarded by one lock: the derivation is a
+#: single cheap count-distinct, so per-key locks buy nothing here.
 _KMV_K_CACHE: dict[str, int] = {}
+_KMV_K_GUARD = threading.Lock()
+
+
+def kmv_k_cache_clear() -> None:
+    """Drop derived sketch sizes (e.g. after regenerating a fixture
+    dir in-place)."""
+    with _KMV_K_GUARD:
+        _KMV_K_CACHE.clear()
 
 
 def _kmv_k_for(spark: SparkSession, sf_dir: str) -> int:
@@ -60,15 +74,17 @@ def _kmv_k_for(spark: SparkSession, sf_dir: str) -> int:
     import os
 
     key = os.path.abspath(sf_dir)
-    if key not in _KMV_K_CACHE:
-        nd = (load_table(spark, sf_dir, "events")
-              .filter(F.col("user_id").isNotNull())
-              .select("user_id").distinct().count())
-        k = _KMV_K
-        while k < 2 * nd:
-            k *= 2
-        _KMV_K_CACHE[key] = k
-    return _KMV_K_CACHE[key]
+    with _KMV_K_GUARD:
+        if key in _KMV_K_CACHE:
+            return _KMV_K_CACHE[key]
+    nd = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull())
+          .select("user_id").distinct().count())
+    k = _KMV_K
+    while k < 2 * nd:
+        k *= 2
+    with _KMV_K_GUARD:
+        return _KMV_K_CACHE.setdefault(key, k)
 
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
 
@@ -109,6 +125,10 @@ def kmv_returning_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = K.kmv_sketch(
         e.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id"),
         F.col("user_id"), k=k, group_cols=["day"])
+    # `day + INTERVAL 1 DAY` on day-truncated timestamps is exact here
+    # and in the churned twin below because the session pins UTC (no
+    # DST — every day is 24 h); a civil-timezone deployment would join
+    # on DATE with date_add instead (round-10 advisory note).
     prev = daily.select(
         (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"),
         F.col("_kmv").alias("_kmv_prev"))
@@ -190,6 +210,7 @@ def kmv_churned_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     """,
     tags=("E8", "E14", "EXT"),
+    bench=True,
 )
 def kmv_rollup_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The strict twin of the rows-only HLL rollup

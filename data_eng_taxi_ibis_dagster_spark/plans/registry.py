@@ -356,6 +356,20 @@ _EVICTED: frozenset[str] = frozenset({
     # scale-proofed audits, and the 13 dsum/davg string-mediated
     # conversion rewrites -- got fresh green r10 rows; cleared by the
     # round-11 regen.)
+    # r11: the sf1 subset-strict sweep caught borderline-J pairs
+    # (J=0.67/0.83 short docs) that 8x4 LSH banding probabilistically
+    # misses, so every strict query whose oracle claims all-pairs
+    # Jaccard truth now runs in deterministic-recall mode
+    # (prefix-filter rows unioned into the band stack --
+    # operators/dedup._prefix_stack, Bayardo WWW'07).  Values
+    # identical at the gate scales (the gates never contained such
+    # pairs), but the PLANS changed.
+    "dedup_minhash_audit",
+    "curation_pairs",
+    "curation_stack",
+    "curation_best_rep",
+    "dedup_incremental_batch",
+    "dedup_incremental_persisted",
 })
 
 

@@ -253,12 +253,16 @@ def _update_heavy_hitters(
         for tok, grp in pdf.groupby("tok"):
             if tok not in cand:
                 by_seed = grp.drop_duplicates("seed").sort_values("seed")
-                cand[tok] = ",".join(by_seed["bin"])
+                # store explicit seed|bin pairs: deriving the seed back
+                # from enumerate order would silently misalign (and
+                # break the >=-truth guarantee) if the depth ever
+                # passed 10 or the seed naming changed
+                cand[tok] = ",".join(
+                    f"{s}|{b}" for s, b in
+                    zip(by_seed["seed"], by_seed["bin"]))
 
     def est(tok: str) -> int:
-        bins = cand[tok].split(",")
-        return min(counters.get(f"s{i}|{b}", 0)
-                   for i, b in enumerate(bins))
+        return min(counters.get(sb, 0) for sb in cand[tok].split(","))
 
     top = sorted(cand, key=lambda t: (-est(t), t))[:CMS_N_CANDIDATES]
     cand = {t: cand[t] for t in top}

@@ -457,3 +457,124 @@ def test_winnow_short_docs_emit_no_fingerprints(spark):
     assert set(fps["doc_id"]) == {3}, (
         "sub-k documents must emit no fingerprints (they are exact-dedup "
         "territory, not near-dup blocking territory)")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic-recall mode (round 11): prefix-filter closure
+# ---------------------------------------------------------------------------
+
+def _adversarial_borderline_corpus(spark):
+    """Short docs with tiny shingle sets mutated near the threshold —
+    the regime where 8x4 LSH recall is genuinely probabilistic (a pair
+    at exactly J = 0.6 is missed with probability (1-0.6^4)^8 ≈ 33%),
+    the shape the sf1 subset-strict sweep caught in round 11.  Seeded
+    so the corpus (and therefore which pairs LSH misses) is fixed."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(40):
+        base = rng.sample(vocab, rng.randint(4, 8))
+        rows.append((2 * i, " ".join(base)))
+        mut = list(base)
+        if rng.random() < 0.8:
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(mut)))
+    for i in range(100, 160):
+        rows.append((i, " ".join(rng.choices(vocab, k=rng.randint(3, 30)))))
+    return from_rows(spark, rows, ["doc_id", "text"])
+
+
+def test_exact_recall_closes_lsh_misses(spark):
+    """``exact_recall=True`` must equal brute-force all-pairs Jaccard
+    truth on a corpus where plain LSH provably misses at least one
+    true pair — pinning both the prefix-filter theorem's recall
+    guarantee AND that this corpus actually exercises it (if fixture
+    drift ever made LSH find everything here, the test's adversarial
+    premise is gone and it says so)."""
+    df = _adversarial_borderline_corpus(spark)
+    truth = {(r.doc_a, r.doc_b) for r in
+             pairwise_jaccard(df, threshold=0.6)
+             .select("doc_a", "doc_b").collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in
+           minhash_near_dup_pairs(df, threshold=0.6).collect()}
+    exact = {(r.doc_a, r.doc_b) for r in
+             minhash_near_dup_pairs(df, threshold=0.6,
+                                    exact_recall=True).collect()}
+    assert truth - lsh, (
+        "adversarial premise lost: plain LSH found every true pair on "
+        "the borderline corpus — regenerate the corpus so the closure "
+        "is actually exercised")
+    assert exact == truth, (
+        f"exact_recall missed {sorted(truth - exact)} / "
+        f"invented {sorted(exact - truth)}")
+
+
+def test_incremental_exact_recall_closes_probe_misses(spark):
+    """The incremental (batch-vs-index) probe under ``exact_recall``
+    must surface exactly the true batch-vs-allowed pairs on the same
+    adversarial corpus — including through a grown in-memory index."""
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+    )
+
+    df = _adversarial_borderline_corpus(spark)
+    batch = df.filter(F.col("doc_id") % 2 == 1)
+    corpus = df.filter(F.col("doc_id") % 2 == 0)
+    got = {(r.doc_new, r.doc_other) for r in
+           incremental_near_dup_pairs(batch, corpus, threshold=0.6,
+                                      exact_recall=True).collect()}
+    truth = set()
+    for r in pairwise_jaccard(df, threshold=0.6) \
+            .select("doc_a", "doc_b").collect():
+        hi, lo = max(r.doc_a, r.doc_b), min(r.doc_a, r.doc_b)
+        if hi % 2 == 1:
+            truth.add((hi, lo))
+    assert got == truth
+
+
+def test_prefix_rows_exempt_from_hot_bucket_cap(spark):
+    """PREFIX_BAND rows carry the recall guarantee, so the hot-bucket
+    skew cap must never drop them; ordinary band buckets above the cap
+    are still dropped (the degenerate-key guard)."""
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        PREFIX_BAND,
+        _bucket_pairs,
+    )
+
+    stacked = from_rows(
+        spark,
+        # one hot LSH bucket (band 0) and one equally hot prefix bucket
+        [(i, 0, 42) for i in range(1, 5)]
+        + [(i, PREFIX_BAND, 7) for i in range(1, 5)],
+        ["doc_id", "band", "bucket"],
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in
+             _bucket_pairs(stacked, id_col="doc_id", max_bucket=3)
+             .collect()}
+    assert pairs == {(a, b) for a in range(1, 5) for b in range(1, 5)
+                     if a < b}, (
+        "prefix bucket must survive the cap (recall guarantee)")
+    only_band = from_rows(
+        spark, [(i, 0, 42) for i in range(1, 5)],
+        ["doc_id", "band", "bucket"])
+    assert _bucket_pairs(only_band, id_col="doc_id",
+                         max_bucket=3).count() == 0, (
+        "hot ordinary band bucket must still be dropped")
+
+
+def test_prefix_length_floor_guard(spark):
+    """The prefix length p = floor((1-t)|A|)+1 must round UP under
+    float noise, never down: at t=0.6 with |A|=35 the exact value
+    (1-t)*35 = 14 sits where binary arithmetic lands on
+    14.000000000000002 — p must be 15, not 14 (a shorter prefix breaks
+    the recall theorem)."""
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        _prefix_stack,
+    )
+
+    text = " ".join(f"t{i}" for i in range(37))  # 35 3-shingles
+    df = from_rows(spark, [(1, text)], ["doc_id", "text"])
+    n_prefix = _prefix_stack(df, threshold=0.6).count()
+    assert n_prefix == 15, f"expected p=15 prefix rows, got {n_prefix}"
