@@ -64,18 +64,38 @@ def main() -> None:
             timings[name] = min(timings[name], time.perf_counter() - start)
     timings = {n: round(v, 3) for n, v in sorted(timings.items())}
 
+    # shuffle-byte / output-row accounting (BASELINE.md §6): a separate
+    # UI-enabled subprocess so the timed session above stays free of
+    # the status listener; tolerant — wall-clock is the gate, metrics
+    # enrich it
+    metrics: dict[str, dict[str, int]] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_METRICS", "1") != "0":
+        import subprocess
+        try:
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "bench_metrics.py")],
+                capture_output=True, text=True, timeout=1200,
+                env=os.environ.copy())
+            metrics = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as ex:  # noqa: BLE001 — never break the gate
+            print(f"bench_metrics skipped: {ex}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    payload.update(metrics)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -65,7 +65,13 @@ def get_session(app_name: str = "data-eng-taxi-ibis-dagster-spark",
         .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI stays off for the timed/test paths (its status listener is
+        # overhead the longitudinal wall-clock record never paid);
+        # bench's separate metrics subprocess opts in to expose the
+        # REST /api/v1 status endpoints for shuffle-byte accounting.
+        .config("spark.ui.enabled",
+                os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.ui.port", "0")
     )
     for key, value in SESSION_CONF.items():
         builder = builder.config(key, value)

@@ -60,10 +60,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str,
-                          max_files_per_trigger: int = 1) -> DataFrame:
+                          max_files_per_trigger: int = 1,
+                          stream_dir: str | None = None) -> DataFrame:
     """File-source stream over the documents parquet (schema pinned
     from the static read) — the ingest shape for streaming text
-    operators (the stateful heavy-hitter sketch)."""
+    operators (the stateful heavy-hitter sketch). ``stream_dir``
+    overrides the staged fixture directory, same contract as
+    :func:`read_events_stream`."""
     from data_eng_taxi_ibis_dagster_spark.session import ensure_conf
 
     ensure_conf(spark)
@@ -71,7 +74,7 @@ def read_documents_stream(spark: SparkSession, sf_dir: str,
     return (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(_as_stream_dir(sf_dir, "documents"))
+        .parquet(stream_dir or _as_stream_dir(sf_dir, "documents"))
     )
 
 

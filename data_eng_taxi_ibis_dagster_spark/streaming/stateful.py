@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_purchases long, total_spend double"
-STATE_SCHEMA = "n long, total double"
+# State carries INTEGER cents (the exact-sum quantization), so the
+# field type must be long: round 11's multi-batch harness
+# (scripts/stateful_scale.py) found that storing a Python int into a
+# DOUBLE state field comes back NULL from the state store on the NEXT
+# micro-batch — invisible to every availableNow single-file run, where
+# state is written but never read back.
+STATE_SCHEMA = "n long, total_cents long"
 
 
 def _accumulate(n: int, total_cents: int,

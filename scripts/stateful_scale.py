@@ -1,0 +1,203 @@
+"""Stretch-scale measurement for the stateful streaming sketch quartet
+(round-10 verdict ask #7): drive each operator through ~20 REAL
+micro-batches at sf0.1 and record
+
+* throughput (input rows/s over the whole run, micro-batch count from
+  the query's own progress log), and
+* the maximum per-key state actually observed vs the operator's
+  by-construction constant bound (state sizes are measured by replaying
+  the same 20 chunks through the update functions with an
+  instrumented GroupState double — the state store itself is opaque).
+
+    python scripts/stateful_scale.py            # sf0.1 default
+    python scripts/stateful_scale.py /root/testdata/sf0.01
+
+Prints one JSON line per operator and a trailing summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_CHUNKS = 20
+
+
+class MeteredState:
+    """GroupState double that records the largest state value stored,
+    sized per field by ``sizer``."""
+
+    def __init__(self, sizer):
+        self._v = None
+        self._sizer = sizer
+        self.max_size = 0
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.max_size = max(self.max_size, self._sizer(v))
+
+
+def _chunked(pdf, key_col):
+    """Split a pandas frame into N_CHUNKS row-range chunks (arrival
+    order), yielding {key: [chunk_frame]} per chunk."""
+    step = max(1, (len(pdf) + N_CHUNKS - 1) // N_CHUNKS)
+    for i in range(0, len(pdf), step):
+        chunk = pdf.iloc[i:i + step]
+        yield {k: g for k, g in chunk.groupby(key_col)}
+
+
+def measure_state(update_fn, pdf, key_col, sizer):
+    """Replay chunks through the update function per key; return the
+    max state size observed across all keys and batches."""
+    states: dict = {}
+    for batch in _chunked(pdf, key_col):
+        for k, g in batch.items():
+            st = states.setdefault(k, MeteredState(sizer))
+            for _ in update_fn((k,), iter([g]), st):
+                pass
+    return max((s.max_size for s in states.values()), default=0)
+
+
+def run_stream(spark, stream_df, name):
+    """availableNow run with maxFilesPerTrigger=1 over a pre-chunked
+    dir → one micro-batch per file; returns (wall_s, n_batches,
+    rows_in)."""
+    t0 = time.time()
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    wall = time.time() - t0
+    progress = q.recentProgress
+    rows = sum(int(p["numInputRows"]) for p in progress)
+    return wall, len(progress), rows
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from pyspark.sql import functions as F
+
+    from data_eng_taxi_ibis_dagster_spark.operators.cms import (
+        CMS_DEPTH, CMS_HEX_DIGITS,
+    )
+    from data_eng_taxi_ibis_dagster_spark.session import get_session
+    from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
+    from data_eng_taxi_ibis_dagster_spark.streaming import stateful as S
+    from data_eng_taxi_ibis_dagster_spark.streaming.events import (
+        read_documents_stream, read_events_stream,
+    )
+
+    spark = get_session(app_name="stateful-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # stage the fixture as N_CHUNKS part files so maxFilesPerTrigger=1
+    # yields a real multi-batch run.  Chunks are written from the RAW
+    # parquet (the stream readers pin the raw schema and normalize
+    # nanos themselves — a normalized copy would null out ts).
+    stage = tempfile.mkdtemp(prefix="sg_stateful_scale_")
+    ev_dir, doc_dir = f"{stage}/events", f"{stage}/documents"
+    (spark.read.parquet(f"{sf_dir}/events.parquet")
+     .repartitionByRange(N_CHUNKS, "ts")
+     .write.mode("overwrite").parquet(ev_dir))
+    (spark.read.parquet(f"{sf_dir}/documents.parquet")
+     .repartitionByRange(N_CHUNKS, "doc_id")
+     .write.mode("overwrite").parquet(doc_dir))
+
+    # raw pandas copies for the state-size replay
+    ev_pd = load_table(spark, sf_dir, "events").orderBy("ts").toPandas()
+
+    results = []
+
+    def record(op, wall, n_batches, rows, max_state, bound):
+        row = {"operator": op, "sf_dir": sf_dir, "wall_s": round(wall, 2),
+               "micro_batches": n_batches, "rows_in": rows,
+               "rows_per_s": round(rows / wall, 1),
+               "max_state_per_key": max_state, "state_bound": bound,
+               "within_bound": max_state <= bound}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    # 1. value state: per-user spend — state is (n, total_cents)
+    wall, nb, rows = run_stream(
+        spark, S.running_user_spend(
+            read_events_stream(spark, sf_dir, stream_dir=ev_dir)),
+        "sc_spend")
+    purchases = ev_pd[ev_pd["event_type"] == "purchase"]
+    ms = measure_state(S._update_user_spend, purchases, "user_id",
+                       lambda v: len(v))
+    record("running_user_spend", wall, nb, rows, ms, 2)
+
+    # 2. distinct state: per-day KMV — state ≤ k hashes
+    wall, nb, rows = run_stream(
+        spark, S.running_daily_uniques(
+            read_events_stream(spark, sf_dir, stream_dir=ev_dir)),
+        "sc_kmv")
+    from data_eng_taxi_ibis_dagster_spark.operators.kmv import kmv_hash
+    hashed = (load_table(spark, sf_dir, "events")
+              .filter(F.col("user_id").isNotNull())
+              .select(F.date_trunc("day", F.col("ts")).alias("day"),
+                      kmv_hash(F.col("user_id")).alias("h"))
+              .toPandas())
+    ms = measure_state(S._update_day_uniques, hashed, "day",
+                       lambda v: len(v[0]))
+    record("running_daily_uniques", wall, nb, rows, ms, S.KMV_K)
+
+    # 3. frequency state: per-source CMS heavy hitters — state ≤
+    #    depth·width counters + bounded candidate list
+    wall, nb, rows = run_stream(
+        spark, S.running_heavy_hitters(
+            read_documents_stream(spark, sf_dir, stream_dir=doc_dir)),
+        "sc_cms")
+    # replay uses the JVM-binned relation the operator itself builds
+    from data_eng_taxi_ibis_dagster_spark.operators.cms import _seeds, cms_bin
+    from data_eng_taxi_ibis_dagster_spark.operators.text import tokens
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    keyed = toks.select(
+        "source", "tok",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("seed"),
+                     cms_bin(F.col("tok"), s,
+                             hex_digits=CMS_HEX_DIGITS).alias("bin"))
+            for s in _seeds(CMS_DEPTH)])).alias("_e"),
+    ).select("source", "tok", "_e.seed", "_e.bin").toPandas()
+    cms_bound = (CMS_DEPTH * (16 ** CMS_HEX_DIGITS)
+                 + S.CMS_N_CANDIDATES)
+    ms = measure_state(S._update_heavy_hitters, keyed, "source",
+                       lambda v: len(v[0]) + len(v[2]))
+    record("running_heavy_hitters", wall, nb, rows, ms, cms_bound)
+
+    # 4. quantile state: per-type fixed-grid histogram — state ≤
+    #    value_range / QS_WIDTH bins (the qsketch parameter bound)
+    wall, nb, rows = run_stream(
+        spark, S.running_value_quantiles(
+            read_events_stream(spark, sf_dir, stream_dir=ev_dir)),
+        "sc_quant")
+    import math
+    vq = ev_pd[["event_type", "value"]].dropna().copy()
+    vq["bin"] = (vq["value"] / S.QS_WIDTH).apply(math.floor).astype(int)
+    grid_bound = int(vq["bin"].max() - vq["bin"].min()) + 1
+    ms = measure_state(S._update_value_quantiles,
+                       vq[["event_type", "bin"]], "event_type",
+                       lambda v: len(v[0]))
+    record("running_value_quantiles", wall, nb, rows, ms, grid_bound)
+
+    shutil.rmtree(stage, ignore_errors=True)
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -70,7 +70,10 @@ def test_stateful_tws_processor_with_mocked_handle():
             self.states = {}
 
         def getValueState(self, name, schema):
-            assert schema == "n long, total double"
+            # integer cents need a LONG state field: round 11's real
+            # multi-batch run showed an int stored into a DOUBLE field
+            # reads back NULL from the legacy state store
+            assert schema == "n long, total_cents long"
             return self.states.setdefault(name, FakeValueState())
 
     proc = _make_spend_processor()
@@ -444,3 +447,83 @@ def test_stateful_quantiles_stream_matches_batch(spark, sf_dir):
     assert (got["n_rows"].values == n_want["count"].values).all()
     for p in QS_PCTS:
         assert (got[f"p{p}"].values == want[p].values).all(), p
+
+
+# ---------------------------------------------------------------------------
+# REAL multi-batch state-store round-trips (round 11): availableNow
+# over a single fixture file collapses to ONE micro-batch, so state is
+# written but never read back — the class of bug that hides there
+# (running_user_spend stored integer cents into a DOUBLE state field;
+# the store returned NULL on the next batch and the accumulator
+# crashed) needs a genuinely chunked stream to surface.  The sf0.1
+# version of this drive (20 chunks, all four operators, state-bound
+# metering) is scripts/stateful_scale.py.
+# ---------------------------------------------------------------------------
+
+def _chunked_stream_dir(spark, sf_dir, table, key, tmp_path, n=3):
+    raw = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    out = str(tmp_path / table)
+    raw.repartitionByRange(n, key).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_stateful_spend_multi_batch_roundtrip(spark, sf_dir, tmp_path):
+    """Three real micro-batches through the state store: the final
+    per-user state must equal the batch aggregate exactly (integer-cent
+    quantization end-to-end)."""
+    d = _chunked_stream_dir(spark, sf_dir, "events", "ts", tmp_path)
+    stream = running_user_spend(
+        read_events_stream(spark, sf_dir, stream_dir=d))
+    q = (stream.writeStream.format("memory").queryName("spend_mb")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3, "stream collapsed to fewer batches"
+    got = (spark.table("spend_mb").groupBy("user_id")
+           .agg(F.max("n_purchases").alias("n"),
+                F.max("total_spend").alias("t"))
+           .toPandas().set_index("user_id").sort_index())
+    ev = load_table(spark, sf_dir, "events")
+    want = (ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"),
+                 (F.sum(F.floor(F.col("value") * 100 + 0.5)) / 100)
+                 .alias("t"))
+            .toPandas().set_index("user_id").sort_index())
+    assert (got.index == want.index).all()
+    assert (got["n"].values == want["n"].values).all()
+    assert (abs(got["t"].values - want["t"].values) < 1e-9).all()
+
+
+def test_stateful_kmv_multi_batch_roundtrip(spark, sf_dir, tmp_path):
+    """Three real micro-batches through the KMV store: the last
+    emission per day must equal the batch sketch over the full backlog
+    (bottom-k merge is order-insensitive, so chunking cannot change the
+    final sample)."""
+    from data_eng_taxi_ibis_dagster_spark.operators import kmv as K
+    from data_eng_taxi_ibis_dagster_spark.streaming.stateful import (
+        KMV_K,
+        running_daily_uniques,
+    )
+
+    d = _chunked_stream_dir(spark, sf_dir, "events", "ts", tmp_path)
+    stream = running_daily_uniques(
+        read_events_stream(spark, sf_dir, stream_dir=d))
+    q = (stream.writeStream.format("memory").queryName("kmv_mb")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3
+    got = (spark.table("kmv_mb").groupBy("day")
+           .agg(F.max("sketch_size").alias("sketch_size"),
+                F.max("est_users").alias("est_users"))
+           .toPandas().set_index("day").sort_index())
+    ev = load_table(spark, sf_dir, "events")
+    sk = K.kmv_sketch(
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id"),
+        F.col("user_id"), k=KMV_K, group_cols=["day"])
+    want = (sk.select("day", F.size("_kmv").alias("sketch_size"),
+                      K.kmv_estimate(F.col("_kmv"), k=KMV_K)
+                      .alias("est_users"))
+            .toPandas().set_index("day").sort_index())
+    assert (got.index == want.index).all()
+    assert (got["sketch_size"].values == want["sketch_size"].values).all()
+    assert (got["est_users"].values == want["est_users"].values).all()
