@@ -479,6 +479,15 @@ def _bucket_pairs(stacked: DataFrame, *, id_col: str,
     if "pos" not in stacked.columns:
         stacked = stacked.withColumn("pos", F.lit(0)) \
                          .withColumn("sz", F.lit(0))
+    # One explicit exchange on the join keys: the window below reuses
+    # it (ClusteredDistribution on the same keys), and BOTH self-join
+    # sides read the SAME shuffle files (ReuseExchange) instead of
+    # re-computing the shingle→signature→prefix subtree per side —
+    # which is exactly what happens if the planner broadcasts one
+    # side (fixture-scale stats tempt it to; at 100 TB this relation
+    # is corpus×(bands+prefix) rows and broadcasting it is wrong, so
+    # the shuffle_hash hint below is the scale-correct strategy too).
+    stacked = stacked.repartition(F.col("band"), F.col("bucket"))
     sized = stacked.withColumn(
         "bucket_n",
         F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
@@ -491,7 +500,7 @@ def _bucket_pairs(stacked: DataFrame, *, id_col: str,
                      F.col(id_col).alias("doc_b"),
                      F.col("pos").alias("_posb"), F.col("sz").alias("_szb"))
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b.hint("shuffle_hash"), ["band", "bucket"])
         .filter((F.col("doc_a") < F.col("doc_b"))
                 & ((F.col("band") != PREFIX_BAND)
                    | _pp_filters(threshold)))
@@ -553,6 +562,19 @@ def minhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
                                     rows=rows)
     sh = _right_size(df).select(
         F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
+    # AQE-exempt spread before verification: the candidate relation is
+    # BYTE-small (two ids per row) but CPU-heavy per row (array
+    # intersection per pair), so AQE's byte-based coalescing funnels
+    # the whole verify stage through ONE task — the round-8
+    # dedup_edit_distance lesson, re-learned here when the prefix
+    # closure grew candidates ~500x past the LSH volume.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                          "32"))
+    # doc_a alone, NOT (doc_a, doc_b): the distinct's aggregate
+    # exchange already hash-partitions on the pair, so an identical
+    # repartition is optimizer-removed as redundant — and the
+    # surviving ENSURE_REQUIREMENTS exchange is the one AQE coalesces
+    cands = cands.repartition(n_part, "doc_a")
     verified = (
         cands
         .join(sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
@@ -796,7 +818,12 @@ def lsh_band_index(df: DataFrame, *, id_col: str = "doc_id",
             .withColumn("pos", F.lit(0)).withColumn("sz", F.lit(0)) \
             .unionByName(_prefix_stack(df, id_col=id_col,
                                        text_col=text_col, n=n,
-                                       threshold=threshold))
+                                       threshold=threshold)) \
+            .repartition(F.col("band"), F.col("bucket"))
+        # the explicit exchange is the reuse point: the incremental
+        # probe references this relation from the touched semi-join,
+        # the skew-cap window, and the probe join — without it each
+        # reference re-computes the shingle+prefix subtree
     return stacked
 
 
@@ -900,6 +927,14 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
     sh_all = _right_size(others).select(
         F.col(id_col).alias("doc_other"),
         shingles(tokens(text_col), n).alias("sh_b"))
+    # AQE-exempt spread before the CPU-heavy per-pair verification
+    # (byte-small candidate rows coalesce to one task otherwise —
+    # same discipline as minhash_near_dup_pairs)
+    n_part = int(batch.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    # single-key spread for the same redundant-repartition reason as
+    # minhash_near_dup_pairs
+    cands = cands.repartition(n_part, "doc_new")
     return (
         cands.join(sh_new, "doc_new").join(sh_all, "doc_other")
         .select("doc_new", "doc_other",

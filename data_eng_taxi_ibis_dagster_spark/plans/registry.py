@@ -370,6 +370,15 @@ _EVICTED: frozenset[str] = frozenset({
     "curation_best_rep",
     "dedup_incremental_batch",
     "dedup_incremental_persisted",
+    # r11 cont.: the shared bucket self-join gained an explicit
+    # (band, bucket) exchange + shuffle-hash strategy (one computed
+    # subtree for both sides instead of a broadcast-side recompute;
+    # the scale-correct join for a corpus-sized relation), and the
+    # verify stage an AQE-exempt candidate spread — the two rows-only
+    # LSH production queries ride the same code path, so their PLANS
+    # changed too.
+    "dedup_minhash_lsh",
+    "dedup_cluster_pick",
 })
 
 

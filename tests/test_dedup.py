@@ -463,12 +463,19 @@ def test_winnow_short_docs_emit_no_fingerprints(spark):
 # Deterministic-recall mode (round 11): prefix-filter closure
 # ---------------------------------------------------------------------------
 
-def _adversarial_borderline_corpus(spark):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def borderline_corpus_and_truth(spark):
     """Short docs with tiny shingle sets mutated near the threshold —
     the regime where 8x4 LSH recall is genuinely probabilistic (a pair
     at exactly J = 0.6 is missed with probability (1-0.6^4)^8 ≈ 33%),
     the shape the sf1 subset-strict sweep caught in round 11.  Seeded
-    so the corpus (and therefore which pairs LSH misses) is fixed."""
+    so the corpus (and therefore which pairs LSH misses) is fixed.
+    Module-scoped WITH its brute-force truth: both recall tests read
+    the same corpus and the all-pairs verification is the expensive
+    half, so it is computed once."""
     import random
 
     rng = random.Random(7)
@@ -483,20 +490,21 @@ def _adversarial_borderline_corpus(spark):
         rows.append((2 * i + 1, " ".join(mut)))
     for i in range(100, 160):
         rows.append((i, " ".join(rng.choices(vocab, k=rng.randint(3, 30)))))
-    return from_rows(spark, rows, ["doc_id", "text"])
+    df = from_rows(spark, rows, ["doc_id", "text"])
+    truth = {(r.doc_a, r.doc_b) for r in
+             pairwise_jaccard(df, threshold=0.6)
+             .select("doc_a", "doc_b").collect()}
+    return df, truth
 
 
-def test_exact_recall_closes_lsh_misses(spark):
+def test_exact_recall_closes_lsh_misses(borderline_corpus_and_truth):
     """``exact_recall=True`` must equal brute-force all-pairs Jaccard
     truth on a corpus where plain LSH provably misses at least one
     true pair — pinning both the prefix-filter theorem's recall
     guarantee AND that this corpus actually exercises it (if fixture
     drift ever made LSH find everything here, the test's adversarial
     premise is gone and it says so)."""
-    df = _adversarial_borderline_corpus(spark)
-    truth = {(r.doc_a, r.doc_b) for r in
-             pairwise_jaccard(df, threshold=0.6)
-             .select("doc_a", "doc_b").collect()}
+    df, truth = borderline_corpus_and_truth
     lsh = {(r.doc_a, r.doc_b) for r in
            minhash_near_dup_pairs(df, threshold=0.6).collect()}
     exact = {(r.doc_a, r.doc_b) for r in
@@ -511,7 +519,7 @@ def test_exact_recall_closes_lsh_misses(spark):
         f"invented {sorted(exact - truth)}")
 
 
-def test_incremental_exact_recall_closes_probe_misses(spark):
+def test_incremental_exact_recall_closes_probe_misses(borderline_corpus_and_truth):
     """The incremental (batch-vs-index) probe under ``exact_recall``
     must surface exactly the true batch-vs-allowed pairs on the same
     adversarial corpus — including through a grown in-memory index."""
@@ -519,18 +527,14 @@ def test_incremental_exact_recall_closes_probe_misses(spark):
         incremental_near_dup_pairs,
     )
 
-    df = _adversarial_borderline_corpus(spark)
+    df, all_truth = borderline_corpus_and_truth
     batch = df.filter(F.col("doc_id") % 2 == 1)
     corpus = df.filter(F.col("doc_id") % 2 == 0)
     got = {(r.doc_new, r.doc_other) for r in
            incremental_near_dup_pairs(batch, corpus, threshold=0.6,
                                       exact_recall=True).collect()}
-    truth = set()
-    for r in pairwise_jaccard(df, threshold=0.6) \
-            .select("doc_a", "doc_b").collect():
-        hi, lo = max(r.doc_a, r.doc_b), min(r.doc_a, r.doc_b)
-        if hi % 2 == 1:
-            truth.add((hi, lo))
+    truth = {(max(a, b), min(a, b)) for a, b in all_truth
+             if max(a, b) % 2 == 1}
     assert got == truth
 
 
