@@ -560,20 +560,32 @@ def minhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
     else:
         cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands,
                                     rows=rows)
+    return _verify_jaccard_pairs(df, cands, id_col=id_col,
+                                 text_col=text_col, n=n,
+                                 threshold=threshold)
+
+
+def _verify_jaccard_pairs(df: DataFrame, cands: DataFrame, *,
+                          id_col: str, text_col: str, n: int,
+                          threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of a (doc_a, doc_b) candidate
+    relation against the corpus texts — the shared final stage of
+    every candidate generator (LSH, prefix-filter, their union).
+
+    The candidates are spread by an AQE-exempt repartition first: the
+    relation is BYTE-small (two ids per row) but CPU-heavy per row
+    (array intersection per pair), so AQE's byte-based coalescing
+    would funnel the whole verify stage through ONE task — the
+    round-8 dedup_edit_distance lesson, re-learned in round 11 when
+    the prefix closure grew candidates ~500x past the LSH volume.
+    (doc_a alone, NOT (doc_a, doc_b): the distinct's aggregate
+    exchange already hash-partitions on the pair, so an identical
+    repartition is optimizer-removed as redundant — and the surviving
+    ENSURE_REQUIREMENTS exchange is the one AQE coalesces.)"""
     sh = _right_size(df).select(
         F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
-    # AQE-exempt spread before verification: the candidate relation is
-    # BYTE-small (two ids per row) but CPU-heavy per row (array
-    # intersection per pair), so AQE's byte-based coalescing funnels
-    # the whole verify stage through ONE task — the round-8
-    # dedup_edit_distance lesson, re-learned here when the prefix
-    # closure grew candidates ~500x past the LSH volume.
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                           "32"))
-    # doc_a alone, NOT (doc_a, doc_b): the distinct's aggregate
-    # exchange already hash-partitions on the pair, so an identical
-    # repartition is optimizer-removed as redundant — and the
-    # surviving ENSURE_REQUIREMENTS exchange is the one AQE coalesces
     cands = cands.repartition(n_part, "doc_a")
     verified = (
         cands
@@ -582,6 +594,34 @@ def minhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
         .select("doc_a", "doc_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
     )
     return verified.filter(F.col("jaccard_sim") >= threshold)
+
+
+def allpairs_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            threshold: float = 0.6) -> DataFrame:
+    """The AllPairs/PPJoin exact similarity self-join STANDALONE — no
+    MinHash, no LSH, no probabilistic stage anywhere: prefix-filter
+    candidates (:func:`_prefix_stack`, with the PPJoin length/position
+    filters) straight into exact-Jaccard verification.  Output is
+    PROVABLY the complete ``J ≥ threshold`` pair relation (the prefix
+    theorem gives candidate completeness; verification gives
+    precision), so the all-pairs SQL oracle is its exact twin at any
+    scale with no recall argument needed.
+
+    Use this when the corpus is modest or the threshold is high (the
+    prefix shrinks as t rises); prefer :func:`minhash_near_dup_pairs`
+    — probabilistic, or with ``exact_recall=True`` for the union — at
+    the 100 TB end, where LSH's band buckets carry most true pairs far
+    more cheaply and the prefix rows serve as the recall closure.
+    Candidate volume is Σ_bucket C(df,2) over prefix-token buckets —
+    never the corpus square."""
+    cands = _bucket_pairs(
+        _prefix_stack(df, id_col=id_col, text_col=text_col, n=n,
+                      threshold=threshold),
+        id_col=id_col, max_bucket=1000, threshold=threshold)
+    return _verify_jaccard_pairs(df, cands, id_col=id_col,
+                                 text_col=text_col, n=n,
+                                 threshold=threshold)
 
 
 # ---------------------------------------------------------------------------

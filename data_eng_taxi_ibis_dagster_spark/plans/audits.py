@@ -102,6 +102,45 @@ def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_allpairs_prefix",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, {T.sql_shingles("string_split(text, ' ')", 3)} AS s
+            FROM documents
+        )
+        SELECT doc_a, doc_b, jaccard_sim FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   {_JACCARD_SQL} AS jaccard_sim
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard_sim >= 0.6
+    """,
+    tags=("E10", "EXT"),
+    bench=True,
+)
+def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AllPairs/PPJoin exact similarity self-join, STANDALONE
+    (``operators/dedup.allpairs_near_dup_pairs``): prefix-filter
+    candidates with the length/position filters, then exact-Jaccard
+    verification — no MinHash, no LSH, no probabilistic stage.  The
+    all-pairs SQL oracle is its exact twin BY THEOREM (Bayardo WWW'07
+    candidate completeness + exact verification), with no recall
+    argument and no fixture-regime assumption — this pins the round-11
+    recall-closure machinery in isolation, so a prefix regression is
+    caught even where LSH bands would mask it inside
+    ``dedup_minhash_audit``'s union.  Same result relation as that
+    audit; different (pure-deterministic) plan.
+
+    100 TB shape: candidate volume is Σ_bucket C(df,2) over
+    prefix-token buckets (never the corpus square); the verify stage
+    is candidate-bounded with the AQE-exempt spread."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        D.allpairs_near_dup_pairs(d, threshold=0.6)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
     "similarity_ann_audit",
     oracle=f"""
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

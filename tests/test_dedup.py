@@ -582,3 +582,17 @@ def test_prefix_length_floor_guard(spark):
     df = from_rows(spark, [(1, text)], ["doc_id", "text"])
     n_prefix = _prefix_stack(df, threshold=0.6).count()
     assert n_prefix == 15, f"expected p=15 prefix rows, got {n_prefix}"
+
+
+def test_allpairs_prefix_equals_bruteforce(borderline_corpus_and_truth):
+    """The standalone AllPairs/PPJoin join must equal brute-force truth
+    on the borderline corpus — the prefix machinery pinned with NO LSH
+    union to mask a candidate-completeness regression."""
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        allpairs_near_dup_pairs,
+    )
+
+    df, truth = borderline_corpus_and_truth
+    got = {(r.doc_a, r.doc_b) for r in
+           allpairs_near_dup_pairs(df, threshold=0.6).collect()}
+    assert got == truth
