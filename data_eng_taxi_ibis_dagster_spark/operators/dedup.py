@@ -596,9 +596,42 @@ def _verify_jaccard_pairs(df: DataFrame, cands: DataFrame, *,
     return verified.filter(F.col("jaccard_sim") >= threshold)
 
 
+def _prefix_stack_df_order(df: DataFrame, *, id_col: str,
+                           text_col: str, n: int,
+                           threshold: float) -> DataFrame:
+    """:func:`_prefix_stack` under the AllPairs-classic DF-ASCENDING
+    global order (rarest shingle first, ties by token): each
+    document's prefix then holds its rarest shingles, which are the
+    least likely to be shared by UNRELATED documents — the
+    candidate-volume-minimizing order from Bayardo WWW'07.  Costs one
+    document-frequency aggregate over the exploded shingle relation
+    (the winnowing verifiers' df pass, same shape) and — crucially —
+    the order CHANGES as the corpus grows, so this variant is only
+    sound for SELF-JOINS over a fixed corpus; the persisted
+    incremental index must keep :func:`_prefix_stack`'s
+    growth-stable hash order."""
+    sh = _right_size(df).select(
+        F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
+    tok = sh.select(F.col(id_col), F.size("sh").alias("sz"),
+                    F.explode("sh").alias("_t"))
+    dfc = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    p = (F.floor(F.col("sz") * F.lit(1.0 - threshold) + F.lit(1e-9))
+         + F.lit(1)).cast("int")
+    pos = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("_df", "_t"))
+    return (
+        tok.join(dfc, "_t")
+        .withColumn("pos", pos)
+        .filter(F.col("pos") <= p)
+        .select(F.col(id_col), F.lit(PREFIX_BAND).alias("band"),
+                F.xxhash64("_t").alias("bucket"), "pos", "sz")
+    )
+
+
 def allpairs_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3,
-                            threshold: float = 0.6) -> DataFrame:
+                            threshold: float = 0.6,
+                            order: str = "df") -> DataFrame:
     """The AllPairs/PPJoin exact similarity self-join STANDALONE — no
     MinHash, no LSH, no probabilistic stage anywhere: prefix-filter
     candidates (:func:`_prefix_stack`, with the PPJoin length/position
@@ -614,11 +647,25 @@ def allpairs_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
     the 100 TB end, where LSH's band buckets carry most true pairs far
     more cheaply and the prefix rows serve as the recall closure.
     Candidate volume is Σ_bucket C(df,2) over prefix-token buckets —
-    never the corpus square."""
-    cands = _bucket_pairs(
-        _prefix_stack(df, id_col=id_col, text_col=text_col, n=n,
-                      threshold=threshold),
-        id_col=id_col, max_bucket=1000, threshold=threshold)
+    never the corpus square.
+
+    ``order`` picks the global total order: ``"df"`` (default — the
+    AllPairs classic, rarest-first, minimizes candidates at the price
+    of one df aggregate; self-join-only, see
+    :func:`_prefix_stack_df_order`) or ``"hash"`` (pre-pass-free,
+    growth-stable — the order the incremental index shares).  Output
+    is identical either way; any total order satisfies the theorem."""
+    if order == "df":
+        stacked = _prefix_stack_df_order(df, id_col=id_col,
+                                         text_col=text_col, n=n,
+                                         threshold=threshold)
+    elif order == "hash":
+        stacked = _prefix_stack(df, id_col=id_col, text_col=text_col,
+                                n=n, threshold=threshold)
+    else:
+        raise ValueError(f"order must be 'df' or 'hash', got {order!r}")
+    cands = _bucket_pairs(stacked, id_col=id_col, max_bucket=1000,
+                          threshold=threshold)
     return _verify_jaccard_pairs(df, cands, id_col=id_col,
                                  text_col=text_col, n=n,
                                  threshold=threshold)

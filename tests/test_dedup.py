@@ -593,6 +593,8 @@ def test_allpairs_prefix_equals_bruteforce(borderline_corpus_and_truth):
     )
 
     df, truth = borderline_corpus_and_truth
-    got = {(r.doc_a, r.doc_b) for r in
-           allpairs_near_dup_pairs(df, threshold=0.6).collect()}
-    assert got == truth
+    for order in ("df", "hash"):  # any total order satisfies the theorem
+        got = {(r.doc_a, r.doc_b) for r in
+               allpairs_near_dup_pairs(df, threshold=0.6,
+                                       order=order).collect()}
+        assert got == truth, f"order={order}"
