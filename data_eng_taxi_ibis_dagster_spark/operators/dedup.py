@@ -981,8 +981,22 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
             index = index.withColumn(col, F.lit(0))
     touched = index.join(sig_new.select("band", "bucket").distinct(),
                          ["band", "bucket"], "left_semi")
+    # Explicit exchange BELOW the sizing window: with round 11's reuse
+    # exchange on sig_new, both union children can claim the SAME
+    # hash(band, bucket) partitioning (touched inherits it as semi-join
+    # output when the planner picks a shuffled semi join), the union
+    # propagates the claim while physically holding the CONCATENATION
+    # of both sides' partitions, the window elides its exchange
+    # against the claimed distribution, and the probe join then zips
+    # mismatched partition counts ("Can't zip RDDs: List(48, 96)" —
+    # caught by the round-11 full sf1 sweep, stats-dependent so it
+    # only fired in long sessions).  The explicit repartition makes
+    # the distribution REAL; in the non-buggy planning it replaces the
+    # exchange EnsureRequirements would have inserted anyway, and its
+    # input is batch-proportional (touched buckets + batch rows).
     both = touched.withColumn("_new", F.lit(False)) \
-        .unionByName(sig_new.withColumn("_new", F.lit(True)))
+        .unionByName(sig_new.withColumn("_new", F.lit(True))) \
+        .repartition(F.col("band"), F.col("bucket"))
     sized = both.withColumn(
         "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
     ).filter((F.col("_bn") <= max_bucket)

@@ -45,9 +45,10 @@ from make_subset import TABLES, make_subset, table_glob  # noqa: E402
 # md5-subset fixture instead of timing out.
 SUBSET_STRICT = frozenset({
     "curation_best_rep", "curation_pairs", "curation_stack",
-    "dedup_cluster_audit", "dedup_embedding_cosine",
-    "dedup_incremental_batch", "dedup_incremental_persisted",
-    "dedup_minhash_audit", "skyline_pareto_parts",
+    "dedup_allpairs_prefix", "dedup_cluster_audit",
+    "dedup_embedding_cosine", "dedup_incremental_batch",
+    "dedup_incremental_persisted", "dedup_minhash_audit",
+    "skyline_pareto_parts",
 })
 
 
@@ -149,6 +150,10 @@ def main() -> int:
         try:
             return fn(spark, fixture_dir).toPandas(), time.time() - t0, None
         except Exception as ex:
+            if not fired.is_set():
+                import traceback
+                traceback.print_exc()  # full stack into the log —
+                # the truncated tag alone cost a round-11 diagnosis
             tag = ("SPARK_TIMEOUT" if fired.is_set()
                    else f"SPARK_ERROR {type(ex).__name__}: {str(ex)[:160]}")
             return None, time.time() - t0, tag
