@@ -447,6 +447,84 @@ def _prefix_stack(df: DataFrame, *, id_col: str = "doc_id",
         (F.col("_i") + 1).alias("pos"), F.col("sz"))
 
 
+def _fused_band_prefix_stack(df: DataFrame, *, id_col: str = "doc_id",
+                             text_col: str = "text", n: int = 3,
+                             num_hashes: int = 32, bands: int = 8,
+                             rows: int = 4,
+                             threshold: float = 0.6) -> DataFrame:
+    """ONE-SCAN ``(id, band, bucket, pos, sz)`` relation: the LSH band
+    rows AND the prefix-filter rows (:func:`_prefix_stack`) from a
+    single shingle projection — the exact-recall stack without the
+    second corpus scan.
+
+    The pre-fusion shape (round 11) computed
+    ``_band_stack(minhash_signatures(df)) ∪ _prefix_stack(df)``: two
+    parquet scans, two tokenize+shingle evaluations, one id-keyed
+    exchange (the signature materialization) and a union — all per
+    build.  But every per-document quantity here (the k seeded minima,
+    the band hashes, the hash-ordered prefix slice) is a pure function
+    of the document's shingle set, so one projection chain can emit
+    both row families as a single struct array and one ``explode``:
+    scan → shingles → (minima, prefix) → explode → rows.  No union, no
+    id exchange, half the scans; the only shuffle left in an
+    exact-recall index build is the ``(band, bucket)`` exchange the
+    bucket join needs anyway.  At 100 TB the removed scan is the
+    dominant saving (the corpus read is the big cost); at fixture
+    scale it removes the fixed overhead of two extra stages.
+
+    Row-family equivalence with the pre-fusion stack is pinned by
+    ``tests/test_dedup.py`` (band rows equal ``_band_stack`` output,
+    prefix rows equal ``_prefix_stack`` output)."""
+    with_sh = _right_size(df).select(
+        F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
+    # minima/prefix reference `sh` as a multiply-referenced expensive
+    # alias, so CollapseProject keeps the projections split and the
+    # shingle pipeline evaluates ONCE per row (the minhash_signatures
+    # discipline)
+    def seeded(s: int):
+        # single-parameter lambda: F.transform dispatches a
+        # TWO-parameter callable as (element, index), so a default-arg
+        # seed capture would silently bind the index as the seed
+        return lambda x: F.xxhash64(F.lit(s), x)
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("sh"), seeded(seed)))
+        .alias(f"_m{seed}")
+        for seed in range(num_hashes)
+    ]
+    p = (F.floor(F.size("sh") * F.lit(1.0 - threshold) + F.lit(1e-9))
+         + F.lit(1)).cast("int")
+    ordered = F.array_sort(F.transform(
+        F.col("sh"),
+        lambda x: F.struct(F.xxhash64(x).alias("h"), x.alias("t"))))
+    staged = with_sh.select(
+        F.col(id_col), F.size("sh").alias("_sz"),
+        F.slice(ordered, F.lit(1), p).alias("_pref"), *sig_cols)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.lit(b),
+                       *[F.col(f"_m{b * rows + r}") for r in range(rows)])
+            .alias("bucket"),
+            F.lit(0).alias("pos"), F.lit(0).alias("sz"))
+        for b in range(bands)
+    ]
+    pref_structs = F.transform(
+        F.col("_pref"),
+        lambda x, i: F.struct(
+            F.lit(PREFIX_BAND).alias("band"), x["h"].alias("bucket"),
+            (i + F.lit(1)).alias("pos"), F.col("_sz").alias("sz")))
+    return (
+        staged
+        .select(F.col(id_col),
+                F.explode(F.concat(F.array(*band_structs), pref_structs))
+                .alias("_r"))
+        .select(F.col(id_col), F.col("_r.band").alias("band"),
+                F.col("_r.bucket").alias("bucket"),
+                F.col("_r.pos").alias("pos"), F.col("_r.sz").alias("sz"))
+    )
+
+
 def _pp_filters(threshold: float) -> Column:
     """PPJoin candidate filters over a joined prefix-row pair carrying
     ``(_sza, _posa)`` × ``(_szb, _posb)`` — exact (they only remove
@@ -546,18 +624,16 @@ def minhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
     0.83) that the banding had missed (round 11; the gate fixtures
     never contained such pairs, which is why all-pairs oracles matched
     through round 10)."""
-    sigs = minhash_signatures(df, id_col=id_col, text_col=text_col,
-                              n=n, num_hashes=num_hashes)
     if exact_recall:
-        stacked = _band_stack(sigs, id_col=id_col, bands=bands,
-                              rows=rows) \
-            .withColumn("pos", F.lit(0)).withColumn("sz", F.lit(0)) \
-            .unionByName(_prefix_stack(df, id_col=id_col,
-                                       text_col=text_col, n=n,
-                                       threshold=threshold))
+        stacked = _fused_band_prefix_stack(
+            df, id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes, bands=bands, rows=rows,
+            threshold=threshold)
         cands = _bucket_pairs(stacked, id_col=id_col, max_bucket=1000,
                               threshold=threshold)
     else:
+        sigs = minhash_signatures(df, id_col=id_col, text_col=text_col,
+                                  n=n, num_hashes=num_hashes)
         cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands,
                                     rows=rows)
     return _verify_jaccard_pairs(df, cands, id_col=id_col,
@@ -578,15 +654,20 @@ def _verify_jaccard_pairs(df: DataFrame, cands: DataFrame, *,
     would funnel the whole verify stage through ONE task — the
     round-8 dedup_edit_distance lesson, re-learned in round 11 when
     the prefix closure grew candidates ~500x past the LSH volume.
-    (doc_a alone, NOT (doc_a, doc_b): the distinct's aggregate
-    exchange already hash-partitions on the pair, so an identical
-    repartition is optimizer-removed as redundant — and the surviving
-    ENSURE_REQUIREMENTS exchange is the one AQE coalesces.)"""
+    The spread key is ``xxhash64(doc_a, doc_b)`` — a single derived
+    expression, for two reasons: a plain ``(doc_a, doc_b)``
+    repartition is optimizer-removed as redundant against the
+    distinct's identical aggregate exchange (leaving only the
+    AQE-coalescible ENSURE_REQUIREMENTS exchange), and the round-11
+    single-key ``doc_a`` form — which dodged that elision — funneled a
+    hot document's ENTIRE candidate fan-out through one task (common
+    under templated corpora, the round-12 advisor finding).  The pair
+    hash survives the elision AND spreads hot-``doc_a`` fan-outs."""
     sh = _right_size(df).select(
         F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                           "32"))
-    cands = cands.repartition(n_part, "doc_a")
+    cands = cands.repartition(n_part, F.xxhash64("doc_a", "doc_b"))
     verified = (
         cands
         .join(sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
@@ -897,21 +978,21 @@ def lsh_band_index(df: DataFrame, *, id_col: str = "doc_id",
     order, so rows indexed today remain valid prefixes forever —
     append-only ingest never re-prefixes history; ``threshold`` must
     be ≤ every probe's threshold (lower = longer prefixes = safe)."""
+    if exact_recall:
+        # One scan, one projection chain, one exchange: see
+        # _fused_band_prefix_stack.  The explicit exchange is the
+        # reuse point: the incremental probe references this relation
+        # from the touched semi-join, the skew-cap window, and the
+        # probe join — without it each reference re-computes the
+        # shingle+prefix subtree.
+        return _fused_band_prefix_stack(
+            df, id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes, bands=bands, rows=rows,
+            threshold=threshold) \
+            .repartition(F.col("band"), F.col("bucket"))
     sigs = minhash_signatures(df, id_col=id_col, text_col=text_col,
                               n=n, num_hashes=num_hashes)
-    stacked = _band_stack(sigs, id_col=id_col, bands=bands, rows=rows)
-    if exact_recall:
-        stacked = stacked \
-            .withColumn("pos", F.lit(0)).withColumn("sz", F.lit(0)) \
-            .unionByName(_prefix_stack(df, id_col=id_col,
-                                       text_col=text_col, n=n,
-                                       threshold=threshold)) \
-            .repartition(F.col("band"), F.col("bucket"))
-        # the explicit exchange is the reuse point: the incremental
-        # probe references this relation from the touched semi-join,
-        # the skew-cap window, and the probe join — without it each
-        # reference re-computes the shingle+prefix subtree
-    return stacked
+    return _band_stack(sigs, id_col=id_col, bands=bands, rows=rows)
 
 
 def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
@@ -966,6 +1047,25 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
                                n=n, num_hashes=num_hashes, bands=bands,
                                rows=rows, exact_recall=exact_recall,
                                threshold=threshold)
+    elif exact_recall:
+        # Fail fast (round-12 advisor): a pre-materialized BAND-ONLY
+        # index (built with exact_recall=False — no pos/sz columns)
+        # would otherwise be silently normalized below and the probe
+        # would run with NO corpus-side prefix rows, degrading the
+        # deterministic-recall guarantee this flag promises back to
+        # probabilistic LSH recall with no error.  The schema is the
+        # cheap plan-time proxy for "built in exact-recall mode"; an
+        # index that HAS the columns but was stripped of its
+        # PREFIX_BAND rows remains the caller's contract to keep
+        # (checking row presence would force an action per build).
+        missing = [c for c in ("pos", "sz") if c not in index.columns]
+        if missing:
+            raise ValueError(
+                "incremental_near_dup_pairs(exact_recall=True) was given "
+                f"a pre-materialized index lacking {missing}: the index "
+                "must be built with lsh_band_index(..., exact_recall="
+                "True) so it carries the prefix-filter rows the "
+                "deterministic-recall guarantee depends on")
     # Batch-proportionality: restrict the index to the (band, bucket)
     # keys the batch actually probes BEFORE anything corpus-shaped
     # runs. The semi-join keeps every member of a touched bucket (so
@@ -973,8 +1073,8 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
     # that matter) and drops the rest of the index unread — without
     # it, the sizing window re-shuffles the ENTIRE historical index on
     # every ingest.
-    for col in ("pos", "sz"):  # band-only relations (exact_recall off
-        # or a pre-prefix index) normalize to the sentinel columns
+    for col in ("pos", "sz"):  # band-only relations (exact_recall off)
+        # normalize to the sentinel columns
         if col not in sig_new.columns:
             sig_new = sig_new.withColumn(col, F.lit(0))
         if col not in index.columns:
@@ -1033,9 +1133,9 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
     # same discipline as minhash_near_dup_pairs)
     n_part = int(batch.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
-    # single-key spread for the same redundant-repartition reason as
-    # minhash_near_dup_pairs
-    cands = cands.repartition(n_part, "doc_new")
+    # pair-hash spread for the same elision-survival + hot-doc-fan-out
+    # reasons as _verify_jaccard_pairs
+    cands = cands.repartition(n_part, F.xxhash64("doc_new", "doc_other"))
     return (
         cands.join(sh_new, "doc_new").join(sh_all, "doc_other")
         .select("doc_new", "doc_other",

@@ -114,10 +114,10 @@ def _load_all() -> None:
 # than this round -- the driver writes CORRECTNESS_r{N+1}.json after
 # the final commit of round N+1, so a judged tree can never list it;
 # any discrepancy AT or BELOW the watermark still fails hard.
-_DRIVER_VERIFIED_AS_OF = 10
+_DRIVER_VERIFIED_AS_OF = 11
 _DRIVER_VERIFIED = {
-    "abc_pareto_customers": 6,
-    "abtest_two_proportion": 6,
+    "abc_pareto_customers": 11,
+    "abtest_two_proportion": 11,
     "agg_argminmax_median_bits": 7,
     "agg_bitwise_flags": 9,
     "agg_conditional_bool": 7,
@@ -125,7 +125,7 @@ _DRIVER_VERIFIED = {
     "agg_salted_hot_key": 7,
     "agg_string_concat_sorted": 7,
     "anomaly_mad_outliers": 10,
-    "apply_in_arrow_group_stats": 6,
+    "apply_in_arrow_group_stats": 11,
     "apply_in_pandas_zscore": 7,
     "approx_aggregates": 7,
     "approx_exact_regime_audit": 10,
@@ -133,12 +133,12 @@ _DRIVER_VERIFIED = {
     "audio_twin_audit": 10,
     "basket_brand_pairs": 8,
     "bpe_encode_audit": 10,
-    "bpe_encode_corpus": 6,
-    "bpe_learn_merges": 6,
-    "bpe_merge_audit": 6,
+    "bpe_encode_corpus": 11,
+    "bpe_learn_merges": 11,
+    "bpe_merge_audit": 11,
     "brand_quantity_revenue": 8,
     "chi2_type_by_hour": 10,
-    "cluster_balanced_sample": 6,
+    "cluster_balanced_sample": 11,
     "cms_heavy_hitter_estimate": 9,
     "cms_incremental_heavy_hitters": 10,
     "collect_sorted_list": 10,
@@ -149,35 +149,36 @@ _DRIVER_VERIFIED = {
     "count_lineitem": 7,
     "cube_sales": 10,
     "cum_revenue_by_orderdate": 7,
-    "curation_best_rep": 10,
+    "curation_best_rep": 11,
     "curation_funnel": 10,
-    "curation_pairs": 7,
-    "curation_stack": 7,
+    "curation_pairs": 11,
+    "curation_stack": 11,
     "customer_order_distribution": 7,
     "data_mixture_resample": 9,
     "decontaminate_ngram": 9,
+    "dedup_allpairs_prefix": 11,
     "dedup_cdc_chunks": 10,
     "dedup_cluster_audit": 9,
-    "dedup_cluster_pick": 7,
-    "dedup_containment": 6,
+    "dedup_cluster_pick": 11,
+    "dedup_containment": 11,
     "dedup_edit_distance": 9,
     "dedup_embedding_cosine": 7,
     "dedup_exact": 7,
     "dedup_incremental": 9,
-    "dedup_incremental_batch": 6,
-    "dedup_incremental_persisted": 7,
-    "dedup_minhash_audit": 6,
-    "dedup_minhash_lsh": 7,
+    "dedup_incremental_batch": 11,
+    "dedup_incremental_persisted": 11,
+    "dedup_minhash_audit": 11,
+    "dedup_minhash_lsh": 11,
     "dedup_ngram_jaccard": 9,
     "dedup_simhash": 7,
     "dedup_span_removal": 10,
     "dedup_span_windows": 10,
     "distinct_segments": 7,
-    "domain_cap_sample": 6,
-    "dsir_importance_topk": 6,
+    "domain_cap_sample": 11,
+    "dsir_importance_topk": 11,
     "embedding_centroids": 10,
     "embedding_covariance": 10,
-    "embedding_pca_project": 6,
+    "embedding_pca_project": 11,
     "embedding_quantize_int8": 9,
     "events_activity_streaks": 9,
     "events_asof_purchase_click": 8,
@@ -191,26 +192,26 @@ _DRIVER_VERIFIED = {
     "events_retention_cohorts": 8,
     "events_sessionize": 8,
     "events_sliding_value": 8,
-    "events_trailing_24h_spend": 6,
+    "events_trailing_24h_spend": 11,
     "events_value_quantiles_hourly": 9,
     "exact_count_distinct": 8,
     "explode_tokens": 7,
     "fingerprint_winnowing": 10,
-    "flagship_avg_price": 10,
+    "flagship_avg_price": 11,
     "flagship_sql_path": 8,
     "forecast_revenue": 10,
-    "forecast_seasonal_naive": 6,
-    "gini_customer_revenue": 6,
+    "forecast_seasonal_naive": 11,
+    "gini_customer_revenue": 11,
     "global_sales_opportunity": 10,
     "global_shuffle_order": 9,
     "graph_triangle_tokens": 10,
     "grouping_sets_sql": 7,
     "heavy_hitter_tokens": 9,
     "hierarchy_pointer_doubling": 10,
-    "histogram_equidepth_price": 6,
+    "histogram_equidepth_price": 11,
     "histogram_price": 8,
     "important_part_volume": 8,
-    "incremental_agg_merge": 6,
+    "incremental_agg_merge": 11,
     "join_anti_customers_without_orders": 8,
     "join_band_acctbal": 8,
     "join_band_bucketized": 8,
@@ -224,7 +225,7 @@ _DRIVER_VERIFIED = {
     "join_semi_customers_with_orders": 8,
     "json_schema_parse": 10,
     "kmeans_estep_audit": 10,
-    "kmeans_lloyd": 6,
+    "kmeans_lloyd": 11,
     "kmeans_two_iter_audit": 10,
     "kmv_churned_users_daily": 10,
     "kmv_incremental_uniques": 10,
@@ -235,22 +236,22 @@ _DRIVER_VERIFIED = {
     "lateral_topn_per_customer": 9,
     "lm_bigram_familiarity": 10,
     "local_supplier_volume": 7,
-    "map_in_arrow_stats": 6,
-    "markov_event_transitions": 6,
+    "map_in_arrow_stats": 11,
+    "markov_event_transitions": 11,
     "min_cost_supplier": 8,
     "mode_event_type_per_user": 9,
-    "multimodal_audio_dedup": 6,
+    "multimodal_audio_dedup": 11,
     "multimodal_decode_stats": 8,
     "multimodal_features": 8,
-    "multimodal_phash_dedup": 6,
-    "multimodal_video_frames": 6,
+    "multimodal_phash_dedup": 11,
+    "multimodal_video_frames": 11,
     "national_market_share": 8,
     "ngram_bigram_counts": 9,
-    "ngram_novelty": 5,
-    "null_semantics": 5,
+    "ngram_novelty": 11,
+    "null_semantics": 11,
     "order_priority_check": 7,
     "pack_sequences": 7,
-    "pagerank_cooccurrence": 6,
+    "pagerank_cooccurrence": 11,
     "pagerank_iter1_audit": 10,
     "pandas_udf_grouped": 7,
     "pandas_udf_scalar": 7,
@@ -266,18 +267,18 @@ _DRIVER_VERIFIED = {
     "promo_part_suppliers": 8,
     "promo_revenue_share": 7,
     "pysource_telemetry_rollup": 10,
-    "quality_classifier_linear": 5,
+    "quality_classifier_linear": 11,
     "quality_gopher_rules": 9,
     "quality_repetition": 9,
     "quantile_sketch_exact_audit": 8,
     "quantile_sketch_incremental": 9,
     "quantile_sketch_rollup": 8,
-    "retrieval_bm25_topk": 6,
+    "retrieval_bm25_topk": 11,
     "retrieval_stack_audit": 7,
     "retrieval_stack_topk": 7,
     "returned_items_top_customers": 7,
     "rfm_segmentation": 8,
-    "rolling_7d_active_users": 6,
+    "rolling_7d_active_users": 11,
     "rollup_sales": 10,
     "running_peak_price_by_orderdate": 8,
     "scalar_array_funcs": 9,
@@ -293,34 +294,34 @@ _DRIVER_VERIFIED = {
     "scalar_try_funcs": 10,
     "scan_filter_project": 8,
     "scd2_user_value": 10,
-    "semdedup_audit": 6,
-    "semdedup_prune": 6,
+    "semdedup_audit": 11,
+    "semdedup_prune": 11,
     "setop_except": 8,
     "setop_intersect": 8,
     "setop_union_all_keys": 8,
     "share_of_priority_by_status": 10,
     "shipping_priority": 7,
-    "simhash_twin_audit": 5,
+    "simhash_twin_audit": 11,
     "similarity_ann_audit": 9,
     "similarity_ann_srp": 9,
     "similarity_cosine_topk": 9,
     "similarity_ivf": 9,
-    "similarity_ivf_audit": 6,
+    "similarity_ivf_audit": 11,
     "similarity_ivfpq_audit": 7,
-    "similarity_ivfpq_topk": 6,
-    "similarity_matryoshka_topk": 6,
-    "similarity_maxsim_topk": 6,
+    "similarity_ivfpq_topk": 11,
+    "similarity_matryoshka_topk": 11,
+    "similarity_maxsim_topk": 11,
     "similarity_pq_audit": 7,
-    "similarity_pq_topk": 6,
+    "similarity_pq_topk": 11,
     "sketch_rollup_uniques": 9,
     "skyline_pareto_parts": 8,
     "small_quantity_revenue": 8,
     "stats_aggregates": 10,
     "stratified_sample_label": 7,
     "subquery_cte_having": 7,
-    "systematic_sample": 5,
+    "systematic_sample": 11,
     "table_diff_orders": 6,
-    "text_html_strip": 5,
+    "text_html_strip": 11,
     "text_lang_id": 9,
     "text_quality": 9,
     "text_shingle_fingerprint": 9,
@@ -333,9 +334,9 @@ _DRIVER_VERIFIED = {
     "train_test_split": 10,
     "udtf_chunk_documents": 7,
     "unpivot_order_measures": 9,
-    "url_parse_stats": 5,
+    "url_parse_stats": 11,
     "variant_props_stats": 10,
-    "video_frames_audit": 5,
+    "video_frames_audit": 11,
     "volume_shipping": 8,
     "waiting_supplier_check": 8,
     "weighted_median_price": 6,
@@ -352,31 +353,29 @@ _DRIVER_VERIFIED = {
 # CORRECTNESS row lands.  Add names here in the same commit that
 # rewrites a builder; remove them once regen picks up the new round.
 _EVICTED: frozenset[str] = frozenset({
-    # (r11: all 18 r10 evictions -- the kmv re-derivations, the two
-    # scale-proofed audits, and the 13 dsum/davg string-mediated
-    # conversion rewrites -- got fresh green r10 rows; cleared by the
-    # round-11 regen.)
-    # r11: the sf1 subset-strict sweep caught borderline-J pairs
-    # (J=0.67/0.83 short docs) that 8x4 LSH banding probabilistically
-    # misses, so every strict query whose oracle claims all-pairs
-    # Jaccard truth now runs in deterministic-recall mode
-    # (prefix-filter rows unioned into the band stack --
-    # operators/dedup._prefix_stack, Bayardo WWW'07).  Values
-    # identical at the gate scales (the gates never contained such
-    # pairs), but the PLANS changed.
+    # (r12: all 8 r11 evictions -- the deterministic-recall plan
+    # rewrites (prefix-filter union) and the two LSH production
+    # queries on the shared-exchange plan -- got fresh green r11
+    # rows; cleared by the round-12 regen.)
+    # r12: the exact-recall stack is now built in ONE scan
+    # (operators/dedup._fused_band_prefix_stack -- band rows and
+    # prefix rows from a single shingle projection + one explode,
+    # replacing the two-scan union and the signature id-exchange),
+    # and EVERY near-dup verify stage's AQE-exempt candidate spread
+    # moved from single-key doc_a to the pair hash
+    # xxhash64(doc_a, doc_b) (round-12 advisor: a hot document's
+    # fan-out no longer funnels through one task).  Results are
+    # bit-identical (fused-stack equivalence pinned in test_dedup),
+    # but the PLANS changed for everything riding
+    # minhash_near_dup_pairs / allpairs_near_dup_pairs /
+    # incremental_near_dup_pairs / lsh_band_index(exact_recall=True).
     "dedup_minhash_audit",
+    "dedup_allpairs_prefix",
     "curation_pairs",
     "curation_stack",
     "curation_best_rep",
     "dedup_incremental_batch",
     "dedup_incremental_persisted",
-    # r11 cont.: the shared bucket self-join gained an explicit
-    # (band, bucket) exchange + shuffle-hash strategy (one computed
-    # subtree for both sides instead of a broadcast-side recompute;
-    # the scale-correct join for a corpus-sized relation), and the
-    # verify stage an AQE-exempt candidate spread — the two rows-only
-    # LSH production queries ride the same code path, so their PLANS
-    # changed too.
     "dedup_minhash_lsh",
     "dedup_cluster_pick",
 })

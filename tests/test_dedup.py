@@ -598,3 +598,63 @@ def test_allpairs_prefix_equals_bruteforce(borderline_corpus_and_truth):
                allpairs_near_dup_pairs(df, threshold=0.6,
                                        order=order).collect()}
         assert got == truth, f"order={order}"
+
+
+def test_fused_stack_equals_union_composition(borderline_corpus_and_truth):
+    """The one-scan fused exact-recall stack (round 12 — band rows and
+    prefix rows from a single shingle projection) must be ROW-SET
+    IDENTICAL to the two-scan composition it replaced
+    (``_band_stack(minhash_signatures(df)) ∪ _prefix_stack(df)``) —
+    the equivalence that lets the strict all-pairs oracles keep their
+    recall theorem across the plan rewrite."""
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        _band_stack,
+        _fused_band_prefix_stack,
+        _prefix_stack,
+        minhash_signatures,
+    )
+
+    df, _ = borderline_corpus_and_truth
+    fused = _fused_band_prefix_stack(df)
+    old = (
+        _band_stack(minhash_signatures(df), id_col="doc_id",
+                    bands=8, rows=4)
+        .withColumn("pos", F.lit(0)).withColumn("sz", F.lit(0))
+        .unionByName(_prefix_stack(df))
+    )
+    # name/type equality (nullability flags differ between explode and
+    # stack generators and are not semantic here)
+    assert [(f.name, f.dataType) for f in fused.schema.fields] == \
+        [(f.name, f.dataType) for f in old.schema.fields]
+    assert fused.exceptAll(old).count() == 0
+    assert old.exceptAll(fused).count() == 0
+
+
+def test_incremental_exact_recall_rejects_band_only_index(spark):
+    """``incremental_near_dup_pairs(exact_recall=True)`` must FAIL FAST
+    on a pre-materialized band-only index (no pos/sz columns — built
+    with ``exact_recall=False``): silently normalizing it would run
+    the probe with no corpus-side prefix rows, quietly degrading the
+    deterministic-recall guarantee to probabilistic LSH recall
+    (round-12 advisor)."""
+    import pytest
+
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+        lsh_band_index,
+    )
+
+    corpus = from_rows(spark, [(0, "a b c d e f"), (2, "b c d e f g")],
+                       ["doc_id", "text"])
+    batch = from_rows(spark, [(1, "a b c d e f")], ["doc_id", "text"])
+    band_only = lsh_band_index(corpus, exact_recall=False)
+    with pytest.raises(ValueError, match="exact_recall"):
+        incremental_near_dup_pairs(batch, corpus, index=band_only,
+                                   exact_recall=True)
+    # the exact-recall index passes the guard and the probe still
+    # surfaces the planted true pair
+    good = lsh_band_index(corpus, exact_recall=True)
+    got = {(r.doc_new, r.doc_other) for r in
+           incremental_near_dup_pairs(batch, corpus, index=good,
+                                      exact_recall=True).collect()}
+    assert (1, 0) in got
