@@ -32,6 +32,78 @@ OUTPUT_SCHEMA = "user_id long, n_purchases long, total_spend double"
 STATE_SCHEMA = "n long, total_cents long"
 
 
+def _split_fields(schema: str) -> list[tuple[str, str]]:
+    """``"n long, hashes array<string>"`` → ``[("n","long"), ...]`` —
+    top-level comma split (angle brackets nest) then one name/type
+    cut."""
+    fields, depth, cur = [], 0, []
+    for ch in schema:
+        depth += ch in "<(["
+        depth -= ch in ">)]"
+        if ch == "," and depth == 0:
+            fields.append("".join(cur)); cur = []
+        else:
+            cur.append(ch)
+    fields.append("".join(cur))
+    return [tuple(f.strip().split(None, 1)) for f in fields if f.strip()]
+
+
+_FLOAT_TYPES = ("double", "float")
+_INT_TYPES = ("long", "int", "integer", "short", "byte", "bigint")
+
+
+def _coerce_state_value(value, ftype: str, fname: str):
+    ftype = ftype.strip().lower()
+    if ftype in _FLOAT_TYPES:
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise TypeError(
+                f"state field {fname!r} ({ftype}) got "
+                f"{type(value).__name__} {value!r}: only int/float are "
+                "coercible to a float-typed state field")
+        # THE round-11 failure class: a Python int written into a
+        # double state field serializes, then reads back NULL on the
+        # next micro-batch.  Coercing here fixes the divergence at the
+        # chokepoint instead of relying on per-operator schema
+        # discipline.
+        return float(value)
+    if ftype in _INT_TYPES and isinstance(value, float):
+        raise TypeError(
+            f"state field {fname!r} ({ftype}) got float {value!r}: "
+            "store an int (floats silently truncate or corrupt "
+            "integer-typed state)")
+    if ftype.startswith("array<") and ftype.endswith(">") \
+            and value is not None:
+        elem = ftype[len("array<"):-1]
+        if elem.strip().lower() in _FLOAT_TYPES + _INT_TYPES:
+            return [None if v is None
+                    else _coerce_state_value(v, elem, f"{fname}[]")
+                    for v in value]
+    return value
+
+
+def checked_update(state: GroupState, schema: str, values: tuple) -> None:
+    """Guarded ``state.update``: validate/coerce each Python value
+    against the DECLARED state-schema field type before it reaches the
+    state store.  Exists because the legacy state store's Python
+    serialization does NOT coerce — an int stored into a ``double``
+    field comes back NULL on the next micro-batch (found by round 11's
+    multi-batch harness), and nothing errors at write time.  This
+    chokepoint makes the coercion explicit (int → float for
+    float-typed fields, including array elements) and turns the
+    remaining mismatches into loud ``TypeError``s at write time, so a
+    future operator storing numerics into a double field cannot
+    re-import the silent-NULL class (round-12 advisor).  All operators
+    in this module route their updates through here."""
+    fields = _split_fields(schema)
+    if len(values) != len(fields):
+        raise TypeError(
+            f"state update arity {len(values)} != schema arity "
+            f"{len(fields)} for {schema!r}")
+    state.update(tuple(
+        _coerce_state_value(v, ftype, fname)
+        for v, (fname, ftype) in zip(values, fields)))
+
+
 def _accumulate(n: int, total_cents: int,
                 batches: Iterator[pd.DataFrame]) -> tuple[int, int]:
     """Shared accumulation core for BOTH stateful APIs (legacy
@@ -65,7 +137,7 @@ def _update_user_spend(
     (user_id,) = key
     n, total_cents = _accumulate(*(state.get if state.exists else (0, 0)),
                                  batches)
-    state.update((n, total_cents))
+    checked_update(state, STATE_SCHEMA, (n, total_cents))
     yield _emit(user_id, n, total_cents)
 
 
@@ -114,7 +186,7 @@ def _make_spend_processor():
             n, total_cents = _accumulate(
                 *(self._state.get() if self._state.exists() else (0, 0)),
                 rows)
-            self._state.update((n, total_cents))
+            checked_update(self._state, STATE_SCHEMA, (n, total_cents))
             yield _emit(key[0], n, total_cents)
 
         def close(self) -> None:
@@ -175,7 +247,7 @@ def _update_day_uniques(
     for pdf in batches:
         pooled.update(pdf["h"])
     bottom = sorted(pooled)[:KMV_K]
-    state.update((bottom,))
+    checked_update(state, KMV_STATE_SCHEMA, (bottom,))
     yield pd.DataFrame({
         "day": [day],
         "sketch_size": [len(bottom)],
@@ -272,8 +344,9 @@ def _update_heavy_hitters(
 
     top = sorted(cand, key=lambda t: (-est(t), t))[:CMS_N_CANDIDATES]
     cand = {t: cand[t] for t in top}
-    state.update((list(counters), [counters[k] for k in counters],
-                  list(cand), [cand[t] for t in cand]))
+    checked_update(state, CMS_STATE_SCHEMA,
+                   (list(counters), [counters[k] for k in counters],
+                    list(cand), [cand[t] for t in cand]))
     yield pd.DataFrame({
         "source": [source] * len(top),
         "rank": list(range(1, len(top) + 1)),
@@ -368,7 +441,8 @@ def _update_value_quantiles(
     for pdf in batches:
         for b, grp in pdf.groupby("bin"):
             counts[int(b)] = counts.get(int(b), 0) + len(grp)
-    state.update((list(counts), [counts[b] for b in counts]))
+    checked_update(state, QS_STATE_SCHEMA,
+                   (list(counts), [counts[b] for b in counts]))
     total = sum(counts.values())
     yield pd.DataFrame({
         "event_type": [event_type],

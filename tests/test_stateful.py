@@ -527,3 +527,42 @@ def test_stateful_kmv_multi_batch_roundtrip(spark, sf_dir, tmp_path):
     assert (got.index == want.index).all()
     assert (got["sketch_size"].values == want["sketch_size"].values).all()
     assert (got["est_users"].values == want["est_users"].values).all()
+
+
+def test_checked_update_coerces_and_rejects():
+    """The chokepoint guard behind every ``state.update`` in
+    streaming/stateful.py (round-12 advisor): the legacy state store
+    silently NULLs a Python int written into a double field on the
+    next read-back, so the guard (a) coerces int → float for
+    float-typed fields (scalars AND array elements), (b) raises loudly
+    on the mismatches it cannot fix, (c) enforces update arity."""
+    import pytest
+
+    from data_eng_taxi_ibis_dagster_spark.streaming.stateful import (
+        checked_update,
+    )
+
+    class _FakeState:
+        def update(self, values):
+            self.stored = values
+
+    st = _FakeState()
+    # the round-11 failure class, now coerced at the chokepoint
+    checked_update(st, "n long, total double", (3, 7))
+    assert st.stored == (3, 7.0)
+    assert isinstance(st.stored[1], float)
+    # array<double> elements coerce too
+    checked_update(st, "xs array<double>", ([1, 2.5, None],))
+    assert st.stored == ([1.0, 2.5, None],)
+    assert all(isinstance(v, float) for v in st.stored[0] if v is not None)
+    # non-coercible mismatches fail AT WRITE TIME, not as a NULL later
+    with pytest.raises(TypeError, match="float-typed"):
+        checked_update(st, "total double", ("oops",))
+    with pytest.raises(TypeError, match="store an int"):
+        checked_update(st, "n long", (1.5,))
+    with pytest.raises(TypeError, match="arity"):
+        checked_update(st, "n long, m long", (1,))
+    # non-numeric passthrough is untouched (string arrays: the KMV/CMS
+    # state shape)
+    checked_update(st, "hashes array<string>", (["a", "b"],))
+    assert st.stored == (["a", "b"],)
