@@ -87,6 +87,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Two lines, compact contract line LAST: the external driver
+    # preserves only the TAIL of this process's output (~2 kB), and
+    # round 11's artifact lost the per-query wall-time map when the
+    # metrics maps grew the single-line JSON past that window.  The
+    # heavy shuffle/rows metrics print first (self-describing, for
+    # local analysis); the final line is the one-JSON-line contract
+    # payload, small enough (~1.2 kB at the current query count) to
+    # always survive the tail capture intact.
+    if metrics:
+        print(json.dumps({"metric": "bench_stage_metrics", **metrics}))
     payload = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -94,7 +104,6 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
-    payload.update(metrics)
     print(json.dumps(payload))
 
 
