@@ -26,7 +26,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_CHUNKS = 20
+# Chunk count over the fixed fixture: rows-per-micro-batch scales
+# inversely (20 chunks ≈ 5 k rows/batch at sf0.1; 5 chunks = 4× that).
+# Overridable so the round-12 throughput-scaling claim — rows/s is
+# micro-batch-overhead-bound, so 4× the batch size ⇒ ~4× rows/s at
+# UNCHANGED state bounds — is a measurement, not an argument.
+N_CHUNKS = int(os.environ.get("SPARK_GRAFT_STATEFUL_CHUNKS", "20"))
 
 
 class MeteredState:
