@@ -61,8 +61,14 @@ def _initial_state(docs: DataFrame, tokens_col) -> DataFrame:
     return vocab.select(
         "cnt",
         F.concat(
-            # defensive sentinel strip (see EOW), then characters
-            F.split(F.regexp_replace(F.col("w"), EOW, ""), ""),
+            # defensive sentinel strip (see EOW), then characters;
+            # array_remove drops the phantom "" symbol Spark's split
+            # yields for an EMPTY word (consecutive-space tokenization,
+            # round-12 adversarial fixture) — the empty word segments
+            # to just the sentinel, so it can never feed a ("", EOW)
+            # adjacency into merge training
+            F.array_remove(
+                F.split(F.regexp_replace(F.col("w"), EOW, ""), ""), ""),
             F.array(F.lit(EOW)),
         ).alias("syms"),
     )
@@ -124,7 +130,10 @@ def segment_words(docs: DataFrame, tokens_col,
     out = docs.select(F.explode(tokens_col).alias("w")).distinct().select(
         "w",
         F.concat(
-            F.split(F.regexp_replace(F.col("w"), EOW, ""), ""),
+            # same phantom-"" drop as _initial_state: train/apply must
+            # share one segmentation function
+            F.array_remove(
+                F.split(F.regexp_replace(F.col("w"), EOW, ""), ""), ""),
             F.array(F.lit(EOW)),
         ).alias("syms"),
     )

@@ -121,10 +121,14 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=False)
     # quantize the emitted rank so the output itself is hash-stable
+    # (dquant: the engine-identical FLOOR rule — a double→DECIMAL cast
+    # rounds the exact expansion on Spark but the shortest repr on
+    # DuckDB, divergent at repr ties; round-12 adversarial sweep)
+    from data_eng_taxi_ibis_dagster_spark.functions.exact import dquant
+
     return ranks.select(
         "vertex",
-        F.col("rank").cast(f"decimal(38,{_RANK_SCALE})").cast("double")
-        .alias("rank"),
+        dquant("rank", _RANK_SCALE).alias("rank"),
     )
 
 

@@ -546,7 +546,12 @@ def pq_topk_adc(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
             out_q, out_m, out_s = [], [], []
             for qi in range(len(qids)):
                 dots = lut[qi][subs[None, :], C].sum(axis=1)  # n
-                sim = dots / (qnorm[qi] * denom)
+                # zero-norm guard, same contract as similarity.cosine:
+                # a zero query or zero reconstruction scores 0.0 (never
+                # NaN, which would shortlist nondeterministically)
+                d_all = qnorm[qi] * denom
+                sim = np.divide(dots, d_all,
+                                out=np.zeros_like(dots), where=d_all != 0)
                 mask = ids != qids[qi]
                 sim_m, ids_m = sim[mask], ids[mask]
                 take = min(shortn, len(ids_m))

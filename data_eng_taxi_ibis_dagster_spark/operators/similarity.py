@@ -41,16 +41,38 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity, TOTAL over the embedding domain: a zero-norm
+    side (the all-zero vector, or one whose squared components all
+    underflow to 0 — IEEE-identical across engines) yields 0.0 instead
+    of 0/0.  Without the guard, one poison row in a trillion-row corpus
+    kills the whole job under ANSI mode (DIVIDE_BY_ZERO) and yields
+    engine-dependent NaN ordering otherwise — caught by the round-12
+    adversarial fixture sweep (zero vector planted in embeddings)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(
+        dot(a, b) / denom)
 
 
 def sql_cosine(a: str, b: str) -> str:
-    """DuckDB rendering with the identical operation order."""
-    return (
-        f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    """DuckDB rendering with the identical operation order, including
+    the identical zero-norm guard (see :func:`cosine`)."""
+    denom = (
         f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
         f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
     )
+    return (
+        f"CASE WHEN {denom} = 0 THEN 0.0 "
+        f"ELSE list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / {denom} END"
+    )
+
+
+def cosine_with_norms(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """Precomputed-norm cosine with the same zero-norm guard as
+    :func:`cosine` — one fold (the dot) per pair instead of three;
+    bit-identical to the naive expression for nonzero norms."""
+    denom = na * nb
+    return F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(
+        dot(va, vb) / denom)
 
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, *,
@@ -306,8 +328,9 @@ def cosine_threshold_pairs_blocked(df: DataFrame, threshold: float, *,
         .join(b, "_by")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b",
-                (dot(F.col("_va"), F.col("_vb"))
-                 / (F.col("_na") * F.col("_nb"))).alias("cosine_sim"))
+                cosine_with_norms(F.col("_va"), F.col("_vb"),
+                                  F.col("_na"), F.col("_nb"))
+                .alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -458,8 +481,9 @@ def semdedup(df: DataFrame, *, threshold: float = 0.95,
     dup_edges = (
         a.join(b, "cluster")
         .filter(F.col("_idb") < F.col("_ida"))  # only lower-id keepers
-        .filter((dot(F.col("_va"), F.col("_vb"))
-                 / (F.col("_na") * F.col("_nb"))) >= F.lit(float(threshold)))
+        .filter(cosine_with_norms(F.col("_va"), F.col("_vb"),
+                                  F.col("_na"), F.col("_nb"))
+                >= F.lit(float(threshold)))
         .groupBy(F.col("_ida").alias("_id"))
         .agg(F.min("_idb").alias("dup_of"))
     )

@@ -327,7 +327,9 @@ def taxi_pipeline_definitions(sf_dir: str, out_dir: str) -> Definitions:
         """The flagship analysis, SQL path over the registered view."""
         return spark.sql("""
             SELECT l_quantity,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                       AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+                       / CAST(100 AS DOUBLE)
                        / COUNT(l_extendedprice) AS avg_price
             FROM trips
             WHERE l_extendedprice > 30000

@@ -437,8 +437,8 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH seg_stats AS (
             SELECT c_mktsegment,
-                   CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE)
-                       / COUNT(c_acctbal) AS seg_avg
+                   CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / CAST(100 AS DOUBLE) / COUNT(c_acctbal) AS seg_avg
             FROM customer
             GROUP BY c_mktsegment
         )
@@ -464,8 +464,8 @@ def subquery_cte_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         WITH seg_stats AS (
             SELECT c_mktsegment,
-                   CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE)
-                       / COUNT(c_acctbal) AS seg_avg
+                   CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / CAST(100 AS DOUBLE) / COUNT(c_acctbal) AS seg_avg
             FROM customer
             GROUP BY c_mktsegment
         )

@@ -132,7 +132,14 @@ def _linear_stats_sql() -> str:
     sy = "CAST(SUM(qy) AS DOUBLE)"
     sxy = "CAST(SUM(qx * qy) AS DOUBLE)"
     sxx = "CAST(SUM(qx * qx) AS DOUBLE)"
-    syy = "CAST(SUM(CAST(qy * qy AS DECIMAL(38,0))) AS DOUBLE)"
+    # qy² multiplies in DECIMAL(19,0) — BIGINT·BIGINT overflows LOUD on
+    # both engines at qy ≥ ~3e9 cents (round-12 adversarial 1e8-scale
+    # price), while 19+19 stays within both engines' 38-digit product
+    # rule; the sum→double conversion is string-mediated because a
+    # direct decimal→double cast double-rounds past 2^53 on DuckDB
+    # (the round-10 class).
+    syy = ("CAST(CAST(SUM(CAST(qy AS DECIMAL(19,0)) "
+           "* CAST(qy AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)")
     cov_n = f"({nd} * {sxy} - {sx} * {sy})"
     var_x = f"({nd} * {sxx} - {sx} * {sx})"
     var_y = f"({nd} * {syy} - {sy} * {sy})"
@@ -183,14 +190,17 @@ def agg_exact_linear_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qy").alias("sy"),
         F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
         F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
-        F.sum((F.col("qy") * F.col("qy")).cast("decimal(38,0)")).alias("syy"),
+        F.sum(F.col("qy").cast("decimal(19,0)")
+              * F.col("qy").cast("decimal(19,0)")).alias("syy"),
     )
     nd = F.col("n_items").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
-    syy = F.col("syy").cast("double")
+    # string-mediated, mirroring the oracle's VARCHAR hop (see
+    # _linear_stats_sql: direct decimal→double diverges past 2^53)
+    syy = F.col("syy").cast("string").cast("double")
     cov_n = nd * sxy - sx * sy
     var_x = nd * sxx - sx * sx
     var_y = nd * syy - sy * sy

@@ -73,7 +73,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT o_custkey AS custkey,
                    MAX(o_orderdate) AS last_order,
                    CAST(COUNT(*) AS BIGINT) AS frequency,
-                   SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS monetary
+                   SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS monetary
             FROM orders GROUP BY o_custkey
         )
         SELECT custkey,
@@ -111,7 +111,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
                 .alias("monetary"),
         )
     )

@@ -342,9 +342,11 @@ def events_locf_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type,
                CAST(SUM(o) AS BIGINT) AS n_obs,
-               CAST(SUM(CAST(
-                   (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
-                   AS DECIMAL(38,6))) AS DOUBLE) AS chi2_part
+               CAST(CAST(SUM(CAST(CAST(FLOOR(
+                   ((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e)
+                   * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0)))
+                   AS VARCHAR) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                   AS chi2_part
         FROM cells
         GROUP BY event_type
     """,

@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_eng_taxi_ibis_dagster_spark.functions.exact import sql_dsum
+from data_eng_taxi_ibis_dagster_spark.functions.exact import sql_davg, sql_dquant, sql_dsum
 from data_eng_taxi_ibis_dagster_spark.operators import bpe as B
 from data_eng_taxi_ibis_dagster_spark.operators import dedup as D
 from data_eng_taxi_ibis_dagster_spark.operators import multimodal as M
@@ -387,10 +387,9 @@ def kmeans_estep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE v.v NOT IN (SELECT DISTINCT src FROM trans)
         )
         SELECT v.v AS vertex,
-               CAST(CAST(
-                   (1.0 - 0.85) / n.n
-                   + 0.85 * (COALESCE(c.cin, 0.0) + d.dm / n.n)
-               AS DECIMAL(38,12)) AS DOUBLE) AS rank
+               {sql_dquant('''(1.0 - 0.85) / n.n
+                   + 0.85 * (COALESCE(c.cin, 0.0) + d.dm / n.n)''', 12)}
+                   AS rank
         FROM vertices v
         LEFT JOIN contrib c ON v.v = c.vertex
         CROSS JOIN dang d CROSS JOIN n
@@ -436,7 +435,9 @@ def pagerank_iter1_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), syms AS (
             SELECT w, cnt,
                    list_append(
-                       string_split(replace(w, '{B.EOW}', ''), ''),
+                       list_filter(
+                           string_split(replace(w, '{B.EOW}', ''), ''),
+                           x -> x <> ''),
                        '{B.EOW}') AS s
             FROM wf
         ), adj AS (
@@ -667,7 +668,9 @@ def _bpe_encode_oracle() -> str:
         ), wf AS (
             SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM el GROUP BY w
         ), s0 AS (
-            SELECT w, cnt, list_append(string_split(w, ''), '{eow}') AS s
+            SELECT w, cnt,
+                   list_append(list_filter(string_split(w, ''),
+                                           x -> x <> ''), '{eow}') AS s
             FROM wf
         )"""
     for k in range(_BPE_AUDIT_MERGES):
@@ -801,8 +804,7 @@ def cooccurrence_edges_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM scored0
         ), cells AS (
             SELECT a0.idx AS cl, t.i AS pos,
-                   CAST(SUM(CAST(v.e[t.i] AS DECIMAL(38,8))) AS DOUBLE)
-                       / COUNT(v.e[t.i]) AS m
+                   {sql_davg('v.e[t.i]', 8)} AS m
             FROM a0 JOIN v USING (vec_id),
                  unnest(range(1, len(v.e) + 1)) AS t(i)
             WHERE a0.rn = 1

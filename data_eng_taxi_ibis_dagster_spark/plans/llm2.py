@@ -135,8 +135,9 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.c_custkey, c.c_acctbal
         FROM customer c
         WHERE c.c_acctbal > (
-            SELECT CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
-                       / COUNT(o.o_totalprice) / 100.0
+            SELECT CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS DOUBLE)
+                       / CAST(100 AS DOUBLE) / COUNT(o.o_totalprice) / 100.0
             FROM orders o WHERE o.o_custkey = c.c_custkey
         )
     """,
@@ -153,8 +154,9 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.c_custkey, c.c_acctbal
         FROM customer c
         WHERE c.c_acctbal > (
-            SELECT CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
-                       / COUNT(o.o_totalprice) / 100.0
+            SELECT CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS DOUBLE)
+                       / CAST(100 AS DOUBLE) / COUNT(o.o_totalprice) / 100.0
             FROM orders o WHERE o.o_custkey = c.c_custkey
         )
     """)

@@ -43,12 +43,13 @@ from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
         ),
         q AS (
             SELECT vec_id, mx,
-                   list_transform(v, x -> CAST(floor(x * 127.0 / mx)
-                                               AS BIGINT)) AS q
+                   list_transform(v, x -> CASE WHEN mx = 0 THEN 0
+                                          ELSE CAST(floor(x * 127.0 / mx)
+                                                    AS BIGINT) END) AS q
             FROM m
         )
         SELECT vec_id,
-               mx AS scale_abs,
+               mx + CAST(0 AS DOUBLE) AS scale_abs,
                array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)),
                                ',') AS q_str,
                CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
@@ -74,15 +75,23 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = v.select(
         "vec_id", "v",
         F.array_max(F.transform("v", lambda x: F.abs(x))).alias("mx"))
+    # zero-scale guard (round-12 adversarial sweep): the all-zero
+    # vector has mx = 0 — it quantizes to all zeros on both engines
+    # instead of tripping ANSI DIVIDE_BY_ZERO / NaN casts.
     q = m.select(
         "vec_id", F.col("mx"),
         F.transform(
-            "v", lambda x: F.floor(x * 127.0 / F.col("mx")).cast("long")
+            "v", lambda x: F.when(F.col("mx") == 0.0, F.lit(0))
+            .otherwise(F.floor(x * 127.0 / F.col("mx"))).cast("long")
         ).alias("q"),
     )
     return q.select(
         "vec_id",
-        F.col("mx").alias("scale_abs"),
+        # + 0.0 normalizes a signed-zero scale: DuckDB's abs/list_max
+        # preserve -0.0 where Spark yields 0.0, and the driver hashes
+        # RENDERED strings ("-0.0" != "0.0"); IEEE -0.0 + 0.0 = +0.0
+        # on both engines, all other values unchanged
+        (F.col("mx") + F.lit(0.0)).alias("scale_abs"),
         F.array_join(F.transform("q", lambda x: x.cast("string")), ",")
             .alias("q_str"),
         F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x)

@@ -39,8 +39,8 @@ from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
     oracle="""
         WITH target AS (
             SELECT source, n_chars, doc_id,
-                   (1 + (CAST(substr(source, 4) AS BIGINT) % 4)) / 4.0
-                       AS frac
+                   (1 + (COALESCE(TRY_CAST(substr(source, 4) AS BIGINT), 3)
+                         % 4)) / 4.0 AS frac
             FROM documents
         )
         SELECT source,
@@ -64,7 +64,15 @@ def data_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (frac > 1) would become an `explode(sequence(...))` fan-out with
     the same hash deciding the fractional copy."""
     d = load_table(spark, sf_dir, "documents")
-    frac = (1 + F.substring("source", 4, 10).cast("bigint") % 4) / F.lit(4.0)
+    # try_cast + keep-all default (round-12 adversarial sweep): a
+    # source name without a numeric suffix is an unknown mixture key —
+    # it keeps frac 1.0 instead of failing the whole job on an ANSI
+    # CAST error (one unrecognized source in a 100 TB corpus must not
+    # be a poison pill; a real spec would be a broadcast config map
+    # with exactly this default).
+    suffix = F.coalesce(
+        F.substring("source", 4, 10).try_cast("bigint"), F.lit(3))
+    frac = (1 + suffix % 4) / F.lit(4.0)
     h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
     return (
         d.filter(h < frac * F.lit(4294967296))

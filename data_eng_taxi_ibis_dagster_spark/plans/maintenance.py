@@ -125,8 +125,8 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                COUNT(*) OVER w AS n_24h,
-               CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER w AS DOUBLE)
-                   AS spend_24h
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+                   / CAST(100 AS DOUBLE) AS spend_24h
         FROM events
         WINDOW w AS (
             PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -149,8 +149,8 @@ def events_trailing_24h_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", "ts_us",
         F.count(F.lit(1)).over(w).alias("n_24h"),
-        F.sum(F.col("value").cast("decimal(38,2)")).over(w)
-        .cast("double").alias("spend_24h"),
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).over(w)
+         .cast("double") / F.lit(100.0)).alias("spend_24h"),
     )
 
 

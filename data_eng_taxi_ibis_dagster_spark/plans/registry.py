@@ -378,6 +378,34 @@ _EVICTED: frozenset[str] = frozenset({
     "dedup_incremental_persisted",
     "dedup_minhash_lsh",
     "dedup_cluster_pick",
+    # r12 adversarial-sweep root fixes whose SEMANTIC DOMAIN changed
+    # (new behavior on inputs that previously crashed or diverged —
+    # values at the gate fixtures are unchanged, but the contract
+    # grew, so fresh external rows are warranted):
+    # - cosine totality (zero-norm → 0.0) through the one shared
+    #   operator expression; representative strict surfaces evicted
+    "similarity_cosine_topk",
+    "dedup_embedding_cosine",
+    # - int8 quantization: zero-scale guard + signed-zero scale_abs
+    "embedding_quantize_int8",
+    # - BPE: the empty word segments to [EOW] (phantom "" symbol
+    #   removed from train AND apply on both engines)
+    "bpe_merge_audit",
+    "bpe_encode_audit",
+    # - JSON typed extraction widened INT→BIGINT (schema change)
+    "json_schema_parse",
+    # - unknown mixture source keeps frac 1.0 (try_cast default)
+    "data_mixture_resample",
+    # - qy² multiplies in DECIMAL(19,0), syy string-mediated
+    "agg_exact_linear_stats",
+    # - dsum/sql_dsum re-based on FLOOR quantization after the
+    #   double→DECIMAL cast divergence (Spark rounds the exact binary
+    #   expansion, DuckDB the shortest repr); the one benched query
+    #   whose oracle hand-wrote the product cast is re-verified here,
+    #   the other 21 dsum riders are bit-identical at sf0.01 by the
+    #   recorded snapshot diff (the _plane_array precedent: values
+    #   unchanged, only the internal form moved)
+    "join_salted_skew",
 })
 
 

@@ -363,7 +363,8 @@ def join_band_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / CAST(100 AS DOUBLE)
                    AS total_price,
                MAX(l_quantity) AS max_qty
         FROM lineitem
@@ -388,12 +389,14 @@ def agg_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = salted_agg(li, "l_returnflag", {
         "n": ("sum", F.count(F.lit(1))),
         "total_dec": ("sum",
-                      F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))),
+                      F.sum(F.floor(F.col("l_extendedprice") * 100
+                                    + F.lit(0.5)))),
         "max_qty": ("max", F.max("l_quantity")),
     })
     return merged.select(
         "l_returnflag", "n",
-        F.col("total_dec").cast("double").alias("total_price"),
+        (F.col("total_dec").cast("double") / F.lit(100.0))
+        .alias("total_price"),
         "max_qty",
     )
 
@@ -540,11 +543,11 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     oracle=f"""
         SELECT o_custkey, o_orderkey,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate ASC, o_orderkey ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DOUBLE) AS running_spend
+               ) AS DOUBLE) / CAST(100 AS DOUBLE) AS running_spend
         FROM orders
     """,
     tags=("E5",),
@@ -561,8 +564,8 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).over(w)
-        .cast("double").alias("running_spend"),
+        (F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+         .over(w).cast("double") / F.lit(100.0)).alias("running_spend"),
     )
 
 

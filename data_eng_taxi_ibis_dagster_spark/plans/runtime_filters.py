@@ -30,8 +30,10 @@ _BUILD_FILTER = "o_orderpriority = '1-URGENT' AND o_totalprice > 150000"
     oracle=f"""
         SELECT l.l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n_items,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+               CAST(CAST(SUM(CAST(CAST(FLOOR((l.l_extendedprice
+                             * (1 - l.l_discount)) * 10000 + 0.5)
+                             AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)
+                    AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue
         FROM lineitem l
         WHERE l.l_orderkey IN (
             SELECT o_orderkey FROM orders WHERE {_BUILD_FILTER})
@@ -78,8 +80,10 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT p.p_brand,
                CAST(COUNT(*) AS BIGINT) AS n_items,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+               CAST(CAST(SUM(CAST(CAST(FLOOR((l.l_extendedprice
+                             * (1 - l.l_discount)) * 10000 + 0.5)
+                             AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)
+                    AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
     """,
@@ -124,8 +128,9 @@ _TELEMETRY_ROWS = 20_000
         )
         SELECT day,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CAST(metric AS DECIMAL(38,2))) AS DOUBLE)
-                   AS total_metric
+               CAST(CAST(SUM(CAST(CAST(FLOOR(metric * 100 + 0.5) AS BIGINT)
+                   AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+                   / CAST(100 AS DOUBLE) AS total_metric
         FROM gen GROUP BY day
     """,
     tags=("EXT",),

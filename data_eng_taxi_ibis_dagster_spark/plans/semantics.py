@@ -50,7 +50,7 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_schema_parse",
     oracle="""
         SELECT event_id,
-               CAST(json_extract(props, '$.k') AS INTEGER) AS k_typed,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
                CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS has_k
         FROM events
     """,
@@ -62,7 +62,11 @@ def json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     filterable) vs the per-path get_json_object string API exercised in
     scalar_json."""
     ev = load_table(spark, sf_dir, "events")
-    parsed = F.from_json("props", "k INT")
+    # BIGINT, not INT (round-12 adversarial sweep): a JSON integer at
+    # 2^53+1 must round-trip exactly — the string-ground-truth parse
+    # preserves int64 precision where a double-typed parse would round
+    # to 2^53, and an int32 schema nulls/errors it on both engines.
+    parsed = F.from_json("props", "k BIGINT")
     return ev.select(
         "event_id",
         parsed.getField("k").alias("k_typed"),

@@ -139,14 +139,21 @@ def _events() -> list[dict]:
     rows.append(ev(D(2024, 12, 31, 23, 59, 59, 999999), 4.0, "view"))
     rows.append(ev(D(2025, 1, 1, 0, 0, 0, 0), 5.0, "view"))
     # float extremes, same hour so they share every aggregation group:
-    # ±0.0, subnormal, a cancellation pair 1e308/-1e308 (exact under
-    # the decimal dsum contract, order-dependent under naive doubles)
+    # ±0.0, subnormal, and a 4e12 / -4e12 / 1e-4 triple — ulp(4e12) ≈
+    # 4.9e-4 > 1e-4, so a naive double sum absorbs the small addend in
+    # one association order and keeps it in another, while the dsum
+    # FLOOR quantization is order-exact.  4e12·10^6 = 4e18 < 2^63
+    # keeps the triple INSIDE dsum's documented loud-failure domain
+    # (±1e308 sat outside it — every engine-exact decimal
+    # representation overflows, so it only proved both engines fail
+    # loudly, which tests/test_functions pins instead).
     h = D(2024, 1, 16, 9)
     rows.append(ev(h.replace(minute=1), 0.0))
     rows.append(ev(h.replace(minute=2), -0.0))
     rows.append(ev(h.replace(minute=3), 5e-324))
-    rows.append(ev(h.replace(minute=4), 1e308))
-    rows.append(ev(h.replace(minute=5), -1e308))
+    rows.append(ev(h.replace(minute=4), 4e12))
+    rows.append(ev(h.replace(minute=5), -4e12))
+    rows.append(ev(h.replace(minute=10), 1e-4))
     rows.append(ev(h.replace(minute=6), 9007199254740993.0))  # 2^53+1
     # NULLs through the not-null filters, and the JSON double-precision
     # integer boundary through the props parsers

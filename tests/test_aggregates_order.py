@@ -103,3 +103,55 @@ def test_dsum_portable_past_2_53_unscaled(spark):
     assert got == want, (got.hex(), want.hex())
     # and the regime really is past the old failure threshold
     assert abs(got) * 10**6 > 2**53
+
+
+def test_dsum_repr_tie_quantization_cross_engine(spark):
+    """The round-12 adversarial-sweep divergence class, pinned: a
+    double→DECIMAL cast rounds the EXACT binary expansion on Spark
+    (BigDecimal HALF_UP) but the SHORTEST decimal repr on DuckDB
+    (half-even), so 99999999.995 · 0.95 = 94999999.99525000154972…
+    (shortest repr "…99525", a scale-4 tie) quantized differently —
+    dsum therefore quantizes with FLOOR(x·10^s + 0.5), whose multiply/
+    add/floor are each IEEE-correctly-rounded and thus bit-identical
+    on both engines for EVERY double."""
+    import duckdb
+
+    from data_eng_taxi_ibis_dagster_spark.functions.exact import (
+        dquant, dsum, sql_dquant, sql_dsum,
+    )
+
+    expr = "99999999.995 * CAST(0.95 AS DOUBLE)"
+    df = spark.range(1).selectExpr(f"{expr} AS x")
+    got = df.agg(dsum("x", 4).alias("s")).first()["s"]
+    got_q = df.select(dquant("x", 4).alias("q")).first()["q"]
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT {sql_dsum('x', 4)} AS s FROM (SELECT {expr} AS x)"
+    ).fetchone()[0]
+    want_q = con.execute(
+        f"SELECT {sql_dquant('x', 4)} AS q FROM (SELECT {expr} AS x)"
+    ).fetchone()[0]
+    assert got == want, (got.hex(), want.hex())
+    assert got_q == want_q == 94999999.9953  # exact value is ABOVE the tie
+
+
+def test_dsum_out_of_domain_fails_loud(spark):
+    """|x|·10^scale ≥ 2^63 is OUTSIDE dsum's documented domain: both
+    engines must fail LOUD (Spark ANSI floor-overflow / DuckDB BIGINT
+    cast error), never silently mis-sum — the round-12 adversarial
+    fixture originally planted ±1e308, which no engine-exact decimal
+    representation can hold."""
+    import duckdb
+    import pytest
+
+    from data_eng_taxi_ibis_dagster_spark.functions.exact import (
+        dsum, sql_dsum,
+    )
+
+    df = spark.range(1).selectExpr("1e308 AS x")
+    with pytest.raises(Exception,
+                       match="(?i)out of int64 domain|overflow|out of range"):
+        df.agg(dsum("x", 2).alias("s")).first()
+    con = duckdb.connect()
+    with pytest.raises(Exception, match="(?i)conversion|out of range"):
+        con.execute(f"SELECT {sql_dsum('x', 2)} FROM (SELECT 1e308 AS x)")

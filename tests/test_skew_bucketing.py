@@ -22,9 +22,10 @@ def test_salted_agg_matches_plain(spark, sf_dir):
     ).toPandas().set_index("l_returnflag").sort_index()
     salted = salted_agg(li, "l_returnflag", {
         "n": ("sum", F.count(F.lit(1))),
-        "total": ("sum", F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))),
+        "total": ("sum", F.sum(F.floor(F.col("l_extendedprice") * 100
+                                       + F.lit(0.5)))),
         "max_qty": ("max", F.max("l_quantity")),
-    }, salt=8).withColumn("total", F.col("total").cast("double"))
+    }, salt=8).withColumn("total", F.col("total").cast("double") / F.lit(100.0))
     salted = salted.toPandas().set_index("l_returnflag").sort_index()
     assert (plain["n"] == salted["n"]).all()
     assert (plain["total"] == salted["total"]).all()  # decimal merge: exact
