@@ -47,10 +47,17 @@ def cosine(a: Column, b: Column) -> Column:
     of 0/0.  Without the guard, one poison row in a trillion-row corpus
     kills the whole job under ANSI mode (DIVIDE_BY_ZERO) and yields
     engine-dependent NaN ordering otherwise — caught by the round-12
-    adversarial fixture sweep (zero vector planted in embeddings)."""
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(
-        dot(a, b) / denom)
+    adversarial fixture sweep (zero vector planted in embeddings).
+
+    ``try_divide`` + ``coalesce`` rather than a CASE guard: the CASE
+    form referenced the denominator twice, and the norm folds are
+    higher-order-function expressions outside codegen's subexpression
+    elimination — the fold ran twice per pair (a measured 1.35× on
+    cosine_topk).  try_divide evaluates its operands once and yields
+    NULL exactly on a zero divisor; for nonzero norms the division is
+    the identical IEEE op."""
+    return F.coalesce(
+        F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b)), F.lit(0.0))
 
 
 def sql_cosine(a: str, b: str) -> str:
@@ -61,8 +68,8 @@ def sql_cosine(a: str, b: str) -> str:
         f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
     )
     return (
-        f"CASE WHEN {denom} = 0 THEN 0.0 "
-        f"ELSE list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / {denom} END"
+        f"COALESCE(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) "
+        f"/ NULLIF({denom}, 0), 0.0)"
     )
 
 
@@ -70,9 +77,7 @@ def cosine_with_norms(va: Column, vb: Column, na: Column, nb: Column) -> Column:
     """Precomputed-norm cosine with the same zero-norm guard as
     :func:`cosine` — one fold (the dot) per pair instead of three;
     bit-identical to the naive expression for nonzero norms."""
-    denom = na * nb
-    return F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(
-        dot(va, vb) / denom)
+    return F.coalesce(F.try_divide(dot(va, vb), na * nb), F.lit(0.0))
 
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, *,
