@@ -463,3 +463,50 @@ def test_domain_cap_two_stage_equals_single_window(spark, sf_dir):
     plan = (all_specs()["domain_cap_sample"].builder(spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
     assert "_pid" in plan
+
+
+def test_json_bigint_roundtrip_past_2_53(spark):
+    """Round-12 adversarial class pinned in-repo: a JSON integer at
+    2^53+1 must round-trip EXACTLY through the typed parse on both
+    engines — a double-typed parse would round to 2^53, an int32
+    schema nulls/errors it."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 9007199254740993}')], "event_id int, props string")
+    got = df.select(
+        F.from_json("props", "k BIGINT").getField("k").alias("k")
+    ).first()["k"]
+    assert got == 9007199254740993
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT CAST(json_extract('{\"k\": 9007199254740993}', '$.k')"
+        " AS BIGINT)").fetchone()[0]
+    assert got == want
+
+
+def test_int8_quantize_zero_and_signed_zero_vectors(spark):
+    """Round-12 adversarial class pinned in-repo: the zero vector
+    quantizes to all-zeros with scale 0.0 (no ANSI DIVIDE_BY_ZERO),
+    and a signed-zero max-abs renders as 0.0, not -0.0 (the driver
+    hashes rendered strings)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from data_eng_taxi_ibis_dagster_spark.plans.registry import all_specs
+
+    d = tempfile.mkdtemp()
+    pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[0.0, 0.0], [-0.0, 0.0], [3.0, -4.0]],
+        "label": [0, 0, 0],
+    }).to_parquet(os.path.join(d, "embeddings.parquet"))
+    out = (all_specs()["embedding_quantize_int8"].builder(spark, d)
+           .toPandas().set_index("vec_id"))
+    assert out.loc[1, "q_str"] == "0,0" and out.loc[1, "scale_abs"] == 0.0
+    assert str(out.loc[2, "scale_abs"]) == "0.0"  # not "-0.0"
+    assert out.loc[3, "q_min"] == -127

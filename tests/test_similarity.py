@@ -161,3 +161,53 @@ def test_srp_plane_literal_matches_expression(spark):
             F.array(*[S._plane_component(plane, d) for d in range(64)])
             .alias("a")).collect()[0]["a"]
         assert lit_vals == expr_vals
+
+
+def test_cosine_total_on_zero_and_subnormal_vectors(spark):
+    """Round-12 adversarial class pinned in-repo: a zero-norm side
+    (all-zero vector, or all-subnormal whose squares underflow to 0)
+    yields cosine 0.0 on BOTH engines instead of an ANSI
+    DIVIDE_BY_ZERO / engine-dependent NaN — one poison row must not
+    kill a trillion-row ANN job, and both renderings must agree."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from data_eng_taxi_ibis_dagster_spark.operators.similarity import (
+        as_double, cosine, cosine_with_norms, l2_norm, sql_cosine,
+    )
+
+    rows = [
+        (1, [0.0] * 4),          # zero vector
+        (2, [5e-324] * 4),       # squares underflow -> norm 0
+        (3, [-0.0, 0.0, -0.0, 0.0]),
+        (4, [1.0, 2.0, 3.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    q = [1.0, 1.0, 1.0, 1.0]
+    got = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id",
+            cosine(as_double("v"), F.lit(q)).alias("c")).collect()
+    }
+    assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 0.0
+    assert abs(got[4] - 0.9128709291752769) < 1e-15
+    # precomputed-norm variant agrees
+    got2 = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id",
+            cosine_with_norms(as_double("v"), F.lit(q),
+                              l2_norm(as_double("v")),
+                              l2_norm(F.lit(q))).alias("c")).collect()
+    }
+    assert got == got2
+    # DuckDB rendering agrees bit-for-bit on every case
+    con = duckdb.connect()
+    for vid, v in rows:
+        want = con.execute(
+            f"SELECT {sql_cosine('a', 'b')} FROM (SELECT "
+            f"{list(v)}::DOUBLE[] AS a, {q}::DOUBLE[] AS b)"
+        ).fetchone()[0]
+        assert got[vid] == want, (vid, got[vid], want)
