@@ -328,7 +328,7 @@ def taxi_pipeline_definitions(sf_dir: str, out_dir: str) -> Definitions:
         return spark.sql("""
             SELECT l_quantity,
                    CAST(CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5)
-                       AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+                       AS BIGINT) AS DECIMAL(38,0))) AS STRING) AS DOUBLE)
                        / CAST(100 AS DOUBLE)
                        / COUNT(l_extendedprice) AS avg_price
             FROM trips
