@@ -185,15 +185,28 @@ def winnow_fingerprints(df: DataFrame, *, id_col: str = "doc_id",
     toks = F.filter(F.split(F.col(text_col), " "),
                     lambda x: x != F.lit(""))
     n = F.size(toks)
+    # Gram hashes travel as 16-byte BINARY (``unhex`` of the md5 hex)
+    # from birth: the (doc, pos, gh) relation is THE dominant exchange
+    # of every winnowing consumer (it carries one row per gram
+    # position, pre-selection) and binary halves its hash bytes vs the
+    # 32-char hex string (round 12, guide §2.3 "narrower types").  The
+    # window MINIMUM selection is unchanged by the encoding: both
+    # engines' md5 hex is lowercase fixed-width, so lexicographic hex
+    # order IS unsigned bytewise order of the decoded bytes (hex digit
+    # order is monotone per nibble), and Spark compares BinaryType
+    # bytewise-unsigned — ``min(unhex(h)) == unhex(min(h))`` exactly;
+    # the engine-portable DuckDB oracles keep the hex rendering and
+    # the selected SETS coincide (pinned by the winnowing parity
+    # queries at both gate SFs).
     gram_structs = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - k + 1),
             lambda i: F.struct(
                 i.alias("pos"),
-                F.md5(F.array_join(F.slice(toks, i, k), " "))
+                F.unhex(F.md5(F.array_join(F.slice(toks, i, k), " ")))
                 .alias("gh"))),
-    ).otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
+    ).otherwise(F.array().cast("array<struct<pos:int,gh:binary>>"))
     g = (_right_size(df)
          .select(F.col(id_col), F.explode(gram_structs).alias("e"))
          .select(id_col, "e.pos", "e.gh"))
@@ -204,6 +217,10 @@ def winnow_fingerprints(df: DataFrame, *, id_col: str = "doc_id",
         id_col, "pos",
         F.min("gh").over(frame).alias("wmin"),
         F.max("pos").over(whole).alias("mx"))
+    # Selected fingerprints stay 16-byte BINARY downstream too — the
+    # distinct here, the df-cap window, the blocking self-join and the
+    # cross-doc share counts all use ``f`` for EQUALITY only, so the
+    # narrower key halves every one of those exchanges as well.
     return (sliding
             .filter(F.col("pos")
                     <= F.greatest(F.col("mx") - (w - 1), F.lit(1)))
@@ -543,7 +560,8 @@ def _pp_filters(threshold: float) -> Column:
 
 def _bucket_pairs(stacked: DataFrame, *, id_col: str,
                   max_bucket: int,
-                  threshold: float = 0.6) -> DataFrame:
+                  threshold: float = 0.6,
+                  prefix_only: bool = False) -> DataFrame:
     """Self-join a ``(id, band, bucket[, pos, sz])`` relation into
     candidate pairs, dropping hot buckets above ``max_bucket`` —
     except ``PREFIX_BAND`` rows, which are never dropped (they carry
@@ -553,7 +571,20 @@ def _bucket_pairs(stacked: DataFrame, *, id_col: str,
     :func:`_prefix_stack`), which is what keeps the downstream
     array-payload verify join candidate-bounded on corpora whose
     templated text shares medium-df shingles across unrelated
-    documents."""
+    documents.
+
+    ``prefix_only=True`` declares that EVERY row is a prefix row
+    (``band`` is the PREFIX_BAND literal — the standalone AllPairs
+    path).  The generic plan is then provably equivalent to a
+    bucket-only one — the skew-cap filter is vacuously true, a join
+    on a column that is one constant is a join on ``bucket`` alone —
+    but NOT free: Catalyst folds the constant ``band`` out of the
+    join keys while the explicit ``(band, bucket)`` repartition keeps
+    it as ``hashpartitioning(-1, bucket)``, which no longer satisfies
+    the join's ``ClusteredDistribution(bucket)``, so EnsureRequirements
+    re-exchanges the whole prefix relation a SECOND time per side
+    (round-12 plan audit).  Declaring it lets this build the
+    bucket-keyed plan directly: one exchange, shared by both sides."""
     if "pos" not in stacked.columns:
         stacked = stacked.withColumn("pos", F.lit(0)) \
                          .withColumn("sz", F.lit(0))
@@ -565,23 +596,31 @@ def _bucket_pairs(stacked: DataFrame, *, id_col: str,
     # side (fixture-scale stats tempt it to; at 100 TB this relation
     # is corpus×(bands+prefix) rows and broadcasting it is wrong, so
     # the shuffle_hash hint below is the scale-correct strategy too).
-    stacked = stacked.repartition(F.col("band"), F.col("bucket"))
-    sized = stacked.withColumn(
-        "bucket_n",
-        F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
-    ).filter((F.col("bucket_n") <= max_bucket)
-             | (F.col("band") == PREFIX_BAND)).drop("bucket_n")
-    a = sized.select(F.col("band"), F.col("bucket"),
+    join_keys = ["bucket"] if prefix_only else ["band", "bucket"]
+    stacked = stacked.repartition(*[F.col(k) for k in join_keys])
+    if prefix_only:
+        sized = stacked  # every row is PREFIX_BAND: cap-exempt
+    else:
+        sized = stacked.withColumn(
+            "bucket_n",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+        ).filter((F.col("bucket_n") <= max_bucket)
+                 | (F.col("band") == PREFIX_BAND)).drop("bucket_n")
+    a = sized.select(*join_keys,
                      F.col(id_col).alias("doc_a"),
                      F.col("pos").alias("_posa"), F.col("sz").alias("_sza"))
-    b = sized.select(F.col("band"), F.col("bucket"),
+    b = sized.select(*join_keys,
                      F.col(id_col).alias("doc_b"),
                      F.col("pos").alias("_posb"), F.col("sz").alias("_szb"))
+    pair_ok = F.col("doc_a") < F.col("doc_b")
+    if prefix_only:
+        pair_ok = pair_ok & _pp_filters(threshold)
+    else:
+        pair_ok = pair_ok & ((F.col("band") != PREFIX_BAND)
+                             | _pp_filters(threshold))
     return (
-        a.join(b.hint("shuffle_hash"), ["band", "bucket"])
-        .filter((F.col("doc_a") < F.col("doc_b"))
-                & ((F.col("band") != PREFIX_BAND)
-                   | _pp_filters(threshold)))
+        a.join(b.hint("shuffle_hash"), join_keys)
+        .filter(pair_ok)
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -746,7 +785,7 @@ def allpairs_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
     else:
         raise ValueError(f"order must be 'df' or 'hash', got {order!r}")
     cands = _bucket_pairs(stacked, id_col=id_col, max_bucket=1000,
-                          threshold=threshold)
+                          threshold=threshold, prefix_only=True)
     return _verify_jaccard_pairs(df, cands, id_col=id_col,
                                  text_col=text_col, n=n,
                                  threshold=threshold)

@@ -63,17 +63,35 @@ def _windows(d: DataFrame, k: int) -> DataFrame:
     return (
         _right_size(d).select("doc_id", t.alias("t"),
                               F.explode(starts).alias("s"))
-        # shuffle the 32-byte md5 fingerprint, not the ~100-byte window
-        # text — the oracle hashes identically, so counts (and any
-        # astronomically unlikely collision) mirror exactly
+        # shuffle the md5 fingerprint, not the ~100-byte window text —
+        # and as 16-byte BINARY (unhex), not the 32-char hex string:
+        # the fingerprint is only ever compared for EQUALITY (the
+        # occurrence count), so the lossless narrowing halves the one
+        # corpus-scale exchange (round 12, guide §2.3).  The oracle
+        # hashes identically in hex; only counts are compared, so the
+        # encoding never crosses engines.
         .select("doc_id", "s",
-                F.md5(F.array_join(F.slice(F.col("t"), F.col("s"), k), " "))
+                F.unhex(
+                    F.md5(F.array_join(F.slice(F.col("t"), F.col("s"), k),
+                                       " ")))
                 .alias("w"))
     )
 
 
 def _marked(d: DataFrame, k: int) -> DataFrame:
-    """Windows annotated with their global occurrence count c."""
+    """Windows annotated with their global occurrence count c.
+
+    The count stays a groupBy(w) + join-back, NOT a count-over-window
+    on the fingerprint partition: a round-12 draft tried the window
+    form (one evaluation of the corpus-scale window relation instead
+    of two join sides) and the repo's own scale lint rejected it —
+    ``w`` is a corpus-scaling content hash, and a window partitioned
+    by it funnels every occurrence of one boilerplate window text
+    through ONE task with no AQE skew split and no map-side partial
+    aggregation.  The groupBy keeps partial aggregation (hot ``w``
+    collapses to one partial row per map task) and the join-back is
+    AQE-skew-splittable; the double evaluation of ``wins`` is the
+    price of the scale-safe shape."""
     wins = _windows(d, k)
     cnt = wins.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     return wins.join(cnt, "w")
@@ -641,6 +659,16 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sel = winnow_fingerprints(d, k=_WIN_K, w=_WIN_W)
+    # Cross-doc share count stays groupBy(f) + join-back — a round-12
+    # draft replaced it with a count-over-window on the fingerprint
+    # partition (one evaluation of the winnowing pipeline instead of
+    # two join sides) and the scale lint rejected it: ``f`` is a
+    # corpus-scaling content hash with no df cap here (boilerplate
+    # grams are part of the declared answer), so the window funnels a
+    # hot fingerprint's whole group through one task with no AQE skew
+    # split.  groupBy keeps map-side partial aggregation and the
+    # join-back is skew-splittable; the double evaluation of ``sel``
+    # is the price of the scale-safe shape.
     cnt = sel.groupBy("f").agg(F.count(F.lit(1)).alias("c"))
     return (
         sel.join(cnt, "f")

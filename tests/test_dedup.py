@@ -568,6 +568,44 @@ def test_prefix_rows_exempt_from_hot_bucket_cap(spark):
         "hot ordinary band bucket must still be dropped")
 
 
+def test_bucket_pairs_prefix_only_equals_generic(spark):
+    """``_bucket_pairs(prefix_only=True)`` (round 12: bucket-keyed
+    exchange + join, no vacuous skew-cap window — removes the second
+    full exchange per side that Catalyst's constant-folding of the
+    PREFIX_BAND literal forced) must emit exactly the pairs the
+    generic (band, bucket) plan emits on a prefix-only relation,
+    including the PPJoin position/length filtering."""
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        PREFIX_BAND,
+        _bucket_pairs,
+    )
+
+    rows = [
+        # bucket 7: docs 1-3 with real pos/sz (doc 3 fails the length
+        # filter against 1 and 2: 0.6*30 > 10+1e-9)
+        (1, PREFIX_BAND, 7, 1, 10),
+        (2, PREFIX_BAND, 7, 2, 12),
+        (3, PREFIX_BAND, 7, 5, 30),
+        # bucket 9: a pair whose position filter under-bounds (pos at
+        # the end of both prefixes -> ubound 1 < need)
+        (4, PREFIX_BAND, 9, 10, 10),
+        (5, PREFIX_BAND, 9, 10, 10),
+        # bucket 11: a clean passing pair
+        (6, PREFIX_BAND, 11, 1, 20),
+        (7, PREFIX_BAND, 11, 1, 21),
+    ]
+    stacked = from_rows(spark, rows, ["doc_id", "band", "bucket", "pos", "sz"])
+    generic = {(r.doc_a, r.doc_b) for r in
+               _bucket_pairs(stacked, id_col="doc_id", max_bucket=1000,
+                             threshold=0.6).collect()}
+    fast = {(r.doc_a, r.doc_b) for r in
+            _bucket_pairs(stacked, id_col="doc_id", max_bucket=1000,
+                          threshold=0.6, prefix_only=True).collect()}
+    assert fast == generic
+    assert (1, 2) in fast and (6, 7) in fast
+    assert (4, 5) not in fast, "position filter must still apply"
+
+
 def test_prefix_length_floor_guard(spark):
     """The prefix length p = floor((1-t)|A|)+1 must round UP under
     float noise, never down: at t=0.6 with |A|=35 the exact value
