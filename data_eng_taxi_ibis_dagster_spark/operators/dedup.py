@@ -701,9 +701,27 @@ def _verify_jaccard_pairs(df: DataFrame, cands: DataFrame, *,
     single-key ``doc_a`` form — which dodged that elision — funneled a
     hot document's ENTIRE candidate fan-out through one task (common
     under templated corpora, the round-12 advisor finding).  The pair
-    hash survives the elision AND spreads hot-``doc_a`` fan-outs."""
-    sh = _right_size(df).select(
-        F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
+    hash survives the elision AND spreads hot-``doc_a`` fan-outs.
+
+    Round 12 (guide §2.3/§2.4): the corpus is semi-joined to the
+    candidate MEMBER ids before tokenize+shingle — the candidates-only
+    discipline the incremental probe already applied — so only
+    documents that appear in some pair are ever shingled here, and the
+    pruned shingle relation is materialized ONCE (lazy local
+    checkpoint) instead of being re-evaluated for the doc_a and doc_b
+    join sides (two differently-keyed exchanges defeat ReuseExchange/
+    AQE stage reuse; the round-12 stage profile showed the full-corpus
+    shingle projection running twice per verify).  ``cands`` is
+    checkpointed first — it now feeds three consumers (both member-id
+    unions and the verify join) and is pair-bounded by construction."""
+    cands = cands.localCheckpoint(eager=False)
+    members = (cands.select(F.col("doc_a").alias(id_col))
+               .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+               .distinct())
+    sh = (_right_size(df)
+          .join(members, id_col, "left_semi")
+          .select(F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
+          .localCheckpoint(eager=False))
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                           "32"))
     cands = cands.repartition(n_part, F.xxhash64("doc_a", "doc_b"))
@@ -720,7 +738,7 @@ def _prefix_stack_df_order(df: DataFrame, *, id_col: str,
                            text_col: str, n: int,
                            threshold: float) -> DataFrame:
     """:func:`_prefix_stack` under the AllPairs-classic DF-ASCENDING
-    global order (rarest shingle first, ties by token): each
+    global order (rarest shingle first, ties by shingle hash): each
     document's prefix then holds its rarest shingles, which are the
     least likely to be shared by UNRELATED documents — the
     candidate-volume-minimizing order from Bayardo WWW'07.  Costs one
@@ -732,19 +750,37 @@ def _prefix_stack_df_order(df: DataFrame, *, id_col: str,
     growth-stable hash order."""
     sh = _right_size(df).select(
         F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
+    # Round 12 (guide §2.3 "narrower types" + §2.4): the shingle
+    # travels as its 8-byte xxhash64 — which IS the bucket value —
+    # from birth, so the df aggregate and the df join-back shuffle
+    # longs instead of ~30-byte strings, and the global order becomes
+    # (df, hash) instead of (df, token).  The prefix theorem needs
+    # only SOME consistent total order shared by every document, which
+    # (df(h), h) is; candidate volume shifts marginally, the verified
+    # output is order-invariant (pinned vs brute force in
+    # tests/test_dedup.py).  A hash collision merges two shingles'
+    # df counts AND buckets — candidates can only GAIN pairs
+    # (superset preserved), and the exact-Jaccard verify discards
+    # them.  The exploded relation is materialized once (lazy local
+    # checkpoint): its two consumers (the df aggregate, the df
+    # join-back) prune differently, so neither ReuseExchange nor AQE
+    # stage reuse ever fired and the tokenize+shingle+explode ran
+    # twice (round-12 stage profile).
     tok = sh.select(F.col(id_col), F.size("sh").alias("sz"),
-                    F.explode("sh").alias("_t"))
-    dfc = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+                    F.explode("sh").alias("_t")) \
+        .select(F.col(id_col), "sz", F.xxhash64("_t").alias("_h")) \
+        .localCheckpoint(eager=False)
+    dfc = tok.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     p = (F.floor(F.col("sz") * F.lit(1.0 - threshold) + F.lit(1e-9))
          + F.lit(1)).cast("int")
     pos = F.row_number().over(
-        Window.partitionBy(id_col).orderBy("_df", "_t"))
+        Window.partitionBy(id_col).orderBy("_df", "_h"))
     return (
-        tok.join(dfc, "_t")
+        tok.join(dfc, "_h")
         .withColumn("pos", pos)
         .filter(F.col("pos") <= p)
         .select(F.col(id_col), F.lit(PREFIX_BAND).alias("band"),
-                F.xxhash64("_t").alias("bucket"), "pos", "sz")
+                F.col("_h").alias("bucket"), "pos", "sz")
     )
 
 
@@ -1118,6 +1154,21 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
             sig_new = sig_new.withColumn(col, F.lit(0))
         if col not in index.columns:
             index = index.withColumn(col, F.lit(0))
+    # Materialize the batch band stack ONCE (lazy local checkpoint,
+    # the llm18 shared-relation precedent): sig_new is referenced
+    # three times below (the touched semi-join's probe keys, the
+    # union child, the probe side) and Catalyst's per-reference
+    # column pruning gives each a DIFFERENT canonicalized exchange
+    # subtree, so neither ReuseExchange nor AQE stage reuse ever
+    # fires — the round-12 stage profile showed the fused
+    # shingle+minhash+prefix stack executing 3x per probe (6x for the
+    # two-cycle persisted query), ~75% of the query's executor time.
+    # The checkpoint is batch-proportional by construction (|batch| ×
+    # (bands + prefix) compact rows — never corpus-shaped), computes
+    # inside the action (eager=False: nothing runs at plan build),
+    # and each new plan build re-materializes from the parquet
+    # inputs.
+    sig_new = sig_new.localCheckpoint(eager=False)
     touched = index.join(sig_new.select("band", "bucket").distinct(),
                          ["band", "bucket"], "left_semi")
     # Explicit exchange BELOW the sizing window: with round 11's reuse
@@ -1152,6 +1203,10 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
         .filter((F.col("band") != PREFIX_BAND) | _pp_filters(threshold))
         .select("doc_new", "doc_other")
         .distinct()
+        # referenced twice below (the doc_other semi-join and the
+        # verify join) with different prunings — same no-reuse class
+        # as sig_new above; pair-bounded by construction
+        .localCheckpoint(eager=False)
     )
     # Shingle only candidate texts: the corpus side is semi-joined to
     # the candidates' doc_other ids (pair-bounded) before the

@@ -90,9 +90,14 @@ def _marked(d: DataFrame, k: int) -> DataFrame:
     through ONE task with no AQE skew split and no map-side partial
     aggregation.  The groupBy keeps partial aggregation (hot ``w``
     collapses to one partial row per map task) and the join-back is
-    AQE-skew-splittable; the double evaluation of ``wins`` is the
-    price of the scale-safe shape."""
-    wins = _windows(d, k)
+    AQE-skew-splittable.  The double evaluation the join-back used to
+    pay (each side re-ran the tokenize+explode+md5 pipeline — the two
+    sides prune differently, so exchange reuse never fired) is gone:
+    ``wins`` is materialized once via a lazy local checkpoint (the
+    llm18 precedent), and BOTH scale protections still hold above it —
+    the groupBy's partial aggregation and the join's AQE skew split
+    operate on exchanges that sit above the checkpoint."""
+    wins = _windows(d, k).localCheckpoint(eager=False)
     cnt = wins.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     return wins.join(cnt, "w")
 
@@ -667,8 +672,11 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grams are part of the declared answer), so the window funnels a
     # hot fingerprint's whole group through one task with no AQE skew
     # split.  groupBy keeps map-side partial aggregation and the
-    # join-back is skew-splittable; the double evaluation of ``sel``
-    # is the price of the scale-safe shape.
+    # join-back is skew-splittable — and both protections sit ABOVE
+    # the lazy local checkpoint that materializes ``sel`` once (the
+    # llm18 precedent), so the winnowing pipeline no longer runs on
+    # both sides of the join.
+    sel = sel.localCheckpoint(eager=False)
     cnt = sel.groupBy("f").agg(F.count(F.lit(1)).alias("c"))
     return (
         sel.join(cnt, "f")

@@ -174,17 +174,21 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Pre-aggregate per DISTINCT price before the prefix machinery
-    # (round 12, guide §2.3 "aggregate before you shuffle"): the
-    # selection is provably invariant — within one price's tie group
-    # the running sum is monotone, so SOME row of price p passes
-    # ``2·cw ≥ tw`` iff the group's LAST row does, and that row's cw
-    # is exactly the inclusive prefix over per-price totals; MIN(price)
-    # over the passing rows is therefore identical, and tw is the same
-    # global sum.  This drops the (l_orderkey, l_linenumber) tiebreak
-    # columns from the exchange (~45% narrower rows) and adds map-side
-    # partial aggregation; at warehouse scale the price DOMAIN is
-    # bounded (qty × part price lattice) while rows grow, so the
-    # shuffled relation stops scaling with the corpus entirely.
+    # (round 12): the selection is provably invariant — within one
+    # price's tie group the running sum is monotone, so SOME row of
+    # price p passes ``2·cw ≥ tw`` iff the group's LAST row does, and
+    # that row's cw is exactly the inclusive prefix over per-price
+    # totals; MIN(price) over the passing rows is therefore identical,
+    # and tw is the same global sum.  The honest accounting (measured
+    # round 12): l_extendedprice is ~97% DISTINCT at sf0.1 — and the
+    # qty×retailprice lattice grows linearly with SF just like rows,
+    # so the groupBy never meaningfully compresses at ANY scale and
+    # total shuffle bytes actually rise ~10% (one extra exchange).
+    # The win is elsewhere: dropping the (l_orderkey, l_linenumber)
+    # tiebreak columns narrows every row through the prefix
+    # machinery's range-bucket sorts and collapses its 3-column sort
+    # key to 1 — interleaved A/B at sf0.1 reads 0.76 s vs 1.03 s
+    # (−25%) with the pre-agg, consistent across passes.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_extendedprice", F.col("l_quantity").cast("long").alias("w"))
     per_price = li.groupBy("l_extendedprice").agg(F.sum("w").alias("w"))
