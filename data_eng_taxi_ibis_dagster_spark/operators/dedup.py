@@ -265,15 +265,19 @@ def jaccard_verify(cands: DataFrame, docs: DataFrame, *,
     """Exact n-gram Jaccard over an explicit candidate-pair relation —
     the verification half of every blocked near-dup pipeline, factored
     so candidate GENERATION (winnowing / LSH / fingerprint index) and
-    verification compose freely.  The candidate relation is referenced
-    exactly ONCE (deliberately no candidates-derived semi-join pre-thin
-    of the text side: each extra reference to ``cands`` re-executes the
-    whole generation subtree — a 3× winnowing cost measured at sf0.1 —
-    while shingling is row-local map work the scan pipeline absorbs;
-    when the corpus side dwarfs the candidates AND is expensive to
-    prepare, materialize the candidates first, as
-    ``incremental_near_dup_pairs`` does with its persisted index).
-    Emits ``(doc_a, doc_b, jaccard_sim ≥ threshold)``."""
+    verification compose freely.
+
+    The candidate relation is referenced exactly ONCE (deliberately no
+    candidates-derived semi-join pre-thin of the text side: each extra
+    reference to ``cands`` re-executes the whole generation subtree —
+    a 3× winnowing cost measured at sf0.1 — while shingling is
+    row-local map work the scan pipeline absorbs).  A round-12 attempt
+    to break that trade with localCheckpoint(eager=False) was REVERTED
+    with measurements: under AQE the "lazy" checkpoint materializes at
+    plan-build time as serial jobs, and honest build+write timing read
+    every consumer slower (dedup_ngram_jaccard 1.4→2.4 s) than this
+    shape, whose duplicated subtrees run concurrently inside the one
+    action.  Emits ``(doc_a, doc_b, jaccard_sim ≥ threshold)``."""
     sh = (_right_size(docs)
           .select(F.col(id_col),
                   shingles(tokens(text_col), n).alias("sh")))
@@ -703,25 +707,19 @@ def _verify_jaccard_pairs(df: DataFrame, cands: DataFrame, *,
     under templated corpora, the round-12 advisor finding).  The pair
     hash survives the elision AND spreads hot-``doc_a`` fan-outs.
 
-    Round 12 (guide §2.3/§2.4): the corpus is semi-joined to the
-    candidate MEMBER ids before tokenize+shingle — the candidates-only
-    discipline the incremental probe already applied — so only
-    documents that appear in some pair are ever shingled here, and the
-    pruned shingle relation is materialized ONCE (lazy local
-    checkpoint) instead of being re-evaluated for the doc_a and doc_b
-    join sides (two differently-keyed exchanges defeat ReuseExchange/
-    AQE stage reuse; the round-12 stage profile showed the full-corpus
-    shingle projection running twice per verify).  ``cands`` is
-    checkpointed first — it now feeds three consumers (both member-id
-    unions and the verify join) and is pair-bounded by construction."""
-    cands = cands.localCheckpoint(eager=False)
-    members = (cands.select(F.col("doc_a").alias(id_col))
-               .unionByName(cands.select(F.col("doc_b").alias(id_col)))
-               .distinct())
-    sh = (_right_size(df)
-          .join(members, id_col, "left_semi")
-          .select(F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
-          .localCheckpoint(eager=False))
+    The corpus shingle projection is referenced by BOTH join sides
+    (differently-keyed exchanges defeat ReuseExchange/AQE stage reuse,
+    so it evaluates twice) and a round-12 attempt to materialize it
+    once — candidate-member semi-join + localCheckpoint(eager=False) —
+    was REVERTED with measurements: under AQE the "lazy" checkpoint
+    materializes at plan-build time as one serial job per stage, while
+    the duplicated subtrees of this shape run CONCURRENTLY inside the
+    action; honest build+write timing read every consumer 1.7–2.5×
+    SLOWER with the checkpoints (dedup_minhash_lsh 1.1→2.8 s).  The
+    duplication is one extra corpus-scan-plus-shingle — a constant
+    factor absorbed by idle cores, not a scale-killer."""
+    sh = _right_size(df).select(
+        F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                           "32"))
     cands = cands.repartition(n_part, F.xxhash64("doc_a", "doc_b"))
@@ -761,15 +759,15 @@ def _prefix_stack_df_order(df: DataFrame, *, id_col: str,
     # tests/test_dedup.py).  A hash collision merges two shingles'
     # df counts AND buckets — candidates can only GAIN pairs
     # (superset preserved), and the exact-Jaccard verify discards
-    # them.  The exploded relation is materialized once (lazy local
-    # checkpoint): its two consumers (the df aggregate, the df
-    # join-back) prune differently, so neither ReuseExchange nor AQE
-    # stage reuse ever fired and the tokenize+shingle+explode ran
-    # twice (round-12 stage profile).
+    # them.  The exploded relation's two consumers (the df aggregate,
+    # the df join-back) prune differently, so the tokenize+shingle+
+    # explode evaluates twice — left that way deliberately: the
+    # round-12 localCheckpoint attempt materialized at plan-build
+    # under AQE as serial jobs and measured SLOWER than the
+    # concurrent duplicated subtrees (see _verify_jaccard_pairs).
     tok = sh.select(F.col(id_col), F.size("sh").alias("sz"),
                     F.explode("sh").alias("_t")) \
-        .select(F.col(id_col), "sz", F.xxhash64("_t").alias("_h")) \
-        .localCheckpoint(eager=False)
+        .select(F.col(id_col), "sz", F.xxhash64("_t").alias("_h"))
     dfc = tok.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     p = (F.floor(F.col("sz") * F.lit(1.0 - threshold) + F.lit(1e-9))
          + F.lit(1)).cast("int")
@@ -1154,21 +1152,22 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
             sig_new = sig_new.withColumn(col, F.lit(0))
         if col not in index.columns:
             index = index.withColumn(col, F.lit(0))
-    # Materialize the batch band stack ONCE (lazy local checkpoint,
-    # the llm18 shared-relation precedent): sig_new is referenced
-    # three times below (the touched semi-join's probe keys, the
-    # union child, the probe side) and Catalyst's per-reference
-    # column pruning gives each a DIFFERENT canonicalized exchange
-    # subtree, so neither ReuseExchange nor AQE stage reuse ever
-    # fires — the round-12 stage profile showed the fused
-    # shingle+minhash+prefix stack executing 3x per probe (6x for the
-    # two-cycle persisted query), ~75% of the query's executor time.
-    # The checkpoint is batch-proportional by construction (|batch| ×
-    # (bands + prefix) compact rows — never corpus-shaped), computes
-    # inside the action (eager=False: nothing runs at plan build),
-    # and each new plan build re-materializes from the parquet
-    # inputs.
-    sig_new = sig_new.localCheckpoint(eager=False)
+    # sig_new is referenced three times below (the touched semi-join's
+    # probe keys, the union child, the probe side) and Catalyst's
+    # per-reference column pruning gives each a DIFFERENT
+    # canonicalized exchange subtree, so neither ReuseExchange nor
+    # AQE stage reuse fires — the round-12 stage profile showed the
+    # fused shingle+minhash+prefix stack executing 3x per probe.
+    # Round 12 TRIED materializing it once via localCheckpoint(
+    # eager=False) and REVERTED it with measurements: under AQE the
+    # "lazy" checkpoint materializes its shuffle stages at CALL time,
+    # one serial job per stage, where the duplicated subtrees of the
+    # original shape execute CONCURRENTLY inside the one action (AQE
+    # submits independent stage jobs in parallel) — honest build+write
+    # timing read 8.6 s vs 4.3 s for the two-cycle persisted query.
+    # The duplication is batch-proportional by construction (the
+    # batch band stack, never the corpus), i.e. a bounded constant
+    # factor at any scale, not a scale-killer.
     touched = index.join(sig_new.select("band", "bucket").distinct(),
                          ["band", "bucket"], "left_semi")
     # Explicit exchange BELOW the sizing window: with round 11's reuse
@@ -1203,10 +1202,6 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
         .filter((F.col("band") != PREFIX_BAND) | _pp_filters(threshold))
         .select("doc_new", "doc_other")
         .distinct()
-        # referenced twice below (the doc_other semi-join and the
-        # verify join) with different prunings — same no-reuse class
-        # as sig_new above; pair-bounded by construction
-        .localCheckpoint(eager=False)
     )
     # Shingle only candidate texts: the corpus side is semi-joined to
     # the candidates' doc_other ids (pair-bounded) before the

@@ -125,11 +125,22 @@ def distributed_rank(
     ``total_name`` additionally broadcasts the overall row count onto
     every row — the denominator :func:`distributed_ntile` needs.
     """
-    # lazily checkpoint the input: the (min, max) probe AND the staged
-    # relation both consume it, and without truncation each consumer
-    # re-derives the caller's full upstream plan (e.g. a corpus-scale
-    # aggregate) — one materialization, two readers
-    df = df.localCheckpoint(eager=False)
+    # NO input checkpoint (round 12, measured): the (min, max) probe
+    # and the staged relation both consume the input, so the caller's
+    # upstream plan evaluates once per consumer — but the round-11
+    # ``localCheckpoint(eager=False)`` that pinned it to one
+    # evaluation turned out to MATERIALIZE AT PLAN-BUILD TIME under
+    # AQE (Dataset.checkpoint builds the RDD, which adaptively
+    # executes every shuffle stage as a serial job; only the final
+    # pass stays lazy).  That silently moved real computation out of
+    # any caller's timed action, and the serialized stage jobs
+    # measured as-slow-or-slower than the duplicated consumers, which
+    # run CONCURRENTLY inside one action (sf0.1 A/B over the five
+    # benched callers: checkpoint 0.74–3.19 s vs none 0.75–3.32 s —
+    # a wash).  Correctness without the checkpoint requires the input
+    # to be DETERMINISTIC (both consumers must see the same rows) —
+    # already the registry-wide contract; rand()-derived inputs are
+    # banned (SPARK-38388 class).
     lo_hi = df.select(
         F.min(score).cast("double").alias("_lo"),
         F.max(score).cast("double").alias("_hi"),
@@ -256,8 +267,8 @@ def distributed_prefix_max(
     :func:`grouped_prefix_max`, combined with a NULL-skipping
     ``greatest``."""
     if tie_split is not None:
-        df = (df.withColumn("_tm_s", score).withColumn("_tm_v", value)
-              .localCheckpoint(eager=False))
+        # no input checkpoint — see distributed_rank (round 12)
+        df = df.withColumn("_tm_s", score).withColumn("_tm_v", value)
         per = df.groupBy("_tm_s").agg(F.max("_tm_v").alias("_tm_tot"))
         off = distributed_prefix_max(
             per, F.col("_tm_s"), F.col("_tm_tot"), buckets=buckets,
@@ -270,7 +281,7 @@ def distributed_prefix_max(
             .withColumn(name, F.greatest("_tm_off", "_tm_win"))
             .drop("_tm_s", "_tm_v", "_tm_off", "_tm_win")
         )
-    df = df.localCheckpoint(eager=False)  # see distributed_rank
+    # no input checkpoint — see distributed_rank (round 12)
     lo_hi = df.select(
         F.min(score).cast("double").alias("_lo"),
         F.max(score).cast("double").alias("_hi"),
@@ -364,8 +375,8 @@ def distributed_prefix_sum(
     throughout (``broadcast_joins=False``): |distinct scores| may be
     corpus-order."""
     if tie_split is not None:
-        df = (df.withColumn("_ts_s", score).withColumn("_ts_v", value)
-              .localCheckpoint(eager=False))
+        # no input checkpoint — see distributed_rank (round 12)
+        df = df.withColumn("_ts_s", score).withColumn("_ts_v", value)
         per = df.groupBy("_ts_s").agg(F.sum("_ts_v").alias("_ts_tot"))
         off = distributed_prefix_sum(
             per, F.col("_ts_s"), F.col("_ts_tot"), buckets=buckets,
@@ -383,7 +394,7 @@ def distributed_prefix_sum(
         if total_name is not None:
             out = out.withColumn(total_name, F.col("_ts_gtot"))
         return out.drop("_ts_s", "_ts_v", "_ts_off", "_ts_win", "_ts_gtot")
-    df = df.localCheckpoint(eager=False)  # see distributed_rank
+    # no input checkpoint — see distributed_rank (round 12)
     lo_hi = df.select(
         F.min(score).cast("double").alias("_lo"),
         F.max(score).cast("double").alias("_hi"),
@@ -483,7 +494,7 @@ def grouped_rank(
     tie-splitting column INTO the score, as ``train_codebooks_exact``
     does with ``cvec[0]`` + full-array tiebreak).
     """
-    df = df.localCheckpoint(eager=False)  # see distributed_rank
+    # no input checkpoint — see distributed_rank (round 12)
     hint = F.broadcast if broadcast_joins else (lambda d: d)
     lo_hi = df.groupBy(*group_cols).agg(
         F.min(score).cast("double").alias("_gr_lo"),
@@ -576,7 +587,7 @@ def grouped_prefix_sum(
     Same heavy-tie caveat as :func:`grouped_rank`: buckets divide the
     score DOMAIN, so a dominant tie value stays in one bucket — use a
     (near-)unique score column."""
-    df = df.localCheckpoint(eager=False)  # see distributed_rank
+    # no input checkpoint — see distributed_rank (round 12)
     hint = F.broadcast if broadcast_joins else (lambda d: d)
     lo_hi = df.groupBy(*group_cols).agg(
         F.min(score).cast("double").alias("_gp_lo"),
@@ -667,7 +678,7 @@ def grouped_prefix_max(
     NULL-skipping ``greatest`` of the two. MAX is commutative and
     idempotent, so splitting a tie group across buckets by any
     order-preserving sub-key is exact."""
-    df = df.localCheckpoint(eager=False)  # see distributed_rank
+    # no input checkpoint — see distributed_rank (round 12)
     hint = F.broadcast if broadcast_joins else (lambda d: d)
     lo_hi = df.groupBy(*group_cols).agg(
         F.min(score).cast("double").alias("_gm_lo"),

@@ -90,14 +90,14 @@ def _marked(d: DataFrame, k: int) -> DataFrame:
     through ONE task with no AQE skew split and no map-side partial
     aggregation.  The groupBy keeps partial aggregation (hot ``w``
     collapses to one partial row per map task) and the join-back is
-    AQE-skew-splittable.  The double evaluation the join-back used to
-    pay (each side re-ran the tokenize+explode+md5 pipeline — the two
-    sides prune differently, so exchange reuse never fired) is gone:
-    ``wins`` is materialized once via a lazy local checkpoint (the
-    llm18 precedent), and BOTH scale protections still hold above it —
-    the groupBy's partial aggregation and the join's AQE skew split
-    operate on exchanges that sit above the checkpoint."""
-    wins = _windows(d, k).localCheckpoint(eager=False)
+    AQE-skew-splittable; the double evaluation of ``wins`` is the
+    price of the scale-safe shape.  (A round-12 localCheckpoint
+    attempt to evaluate it once was reverted with measurements:
+    under AQE the "lazy" checkpoint materializes at plan-build time
+    as serial jobs, and honest build+write timing read slower than
+    the concurrent duplicated subtrees —
+    operators/dedup._verify_jaccard_pairs has the full account.)"""
+    wins = _windows(d, k)
     cnt = wins.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     return wins.join(cnt, "w")
 
@@ -672,11 +672,10 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grams are part of the declared answer), so the window funnels a
     # hot fingerprint's whole group through one task with no AQE skew
     # split.  groupBy keeps map-side partial aggregation and the
-    # join-back is skew-splittable — and both protections sit ABOVE
-    # the lazy local checkpoint that materializes ``sel`` once (the
-    # llm18 precedent), so the winnowing pipeline no longer runs on
-    # both sides of the join.
-    sel = sel.localCheckpoint(eager=False)
+    # join-back is skew-splittable; the double evaluation of ``sel``
+    # is the price of the scale-safe shape (the round-12
+    # localCheckpoint attempt measured slower — plan-build-time serial
+    # materialization under AQE; see _verify_jaccard_pairs).
     cnt = sel.groupBy("f").agg(F.count(F.lit(1)).alias("c"))
     return (
         sel.join(cnt, "f")

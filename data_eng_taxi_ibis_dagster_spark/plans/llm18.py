@@ -24,9 +24,8 @@ signal and are exactly the skew that melts a self-join at corpus
 scale, so dropping them is both the performance fix and (deliberately)
 part of the operator's definition: containment is computed over the
 df-capped shingle space in BOTH engines, keeping the strict oracle.
-The df-capped shingle relation is materialized once and shared by the
-size aggregate and both sides of the pair join; per-doc sizes are a
-16 B/doc compact relation.
+The pair join's a/b sides share one exchange (AQE stage reuse);
+per-doc sizes are a 16 B/doc compact relation.
 
 The fixture corpus has no planted containments, so (same device as
 ``dedup_exact``) the corpus is unioned with prefix-truncated twins
@@ -121,26 +120,36 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(half)
 
+    # the shingle column is minted as the operator-owned ``_ct_s`` so
+    # the plan lint's window bound is keyed to a name only this query
+    # mints (the ``_wf`` precedent) — with the round-12 checkpoint
+    # removal the df-cap window below is visible to the lint again
     sh = corpus.select(
-        "doc_id", F.explode(T.shingles(T.tokens("text"), _N)).alias("s"))
+        "doc_id", F.explode(T.shingles(T.tokens("text"), _N)).alias("_ct_s"))
     # df annotation as a count-over-window on the shingle partition:
     # ONE exchange of the shingle relation instead of the groupBy-df +
     # join-back pair (measured 2.2× at sf0.1). WindowExec spills, so a
     # pathologically hot shingle degrades to disk, not OOM — and its
-    # rows are exactly the ones the cap then drops. The capped relation
-    # is materialized once; the size aggregate and both pair-join sides
-    # share it.
+    # rows are exactly the ones the cap then drops.  Round 12 removed
+    # the localCheckpoint that used to pin this relation to one
+    # evaluation: under AQE the "lazy" checkpoint materializes at
+    # plan-build time (serial jobs that escaped the bench's timed
+    # window for three rounds — its recorded 1.46 s was missing ~2 s
+    # of real work); the honest interleaved A/B read checkpoint 3.37 s
+    # vs none 3.62 s — inside noise — and without it every byte of
+    # work is billed inside the action.  The size aggregate and the
+    # two join sides re-derive the capped relation; the a/b sides
+    # share one exchange via AQE stage reuse.
     shc = (sh.withColumn(
-               "df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+               "df", F.count(F.lit(1)).over(Window.partitionBy("_ct_s")))
            .filter(F.col("df") <= _DF_CAP)
-           .select("doc_id", "s")
-           .localCheckpoint(eager=False))
+           .select("doc_id", "_ct_s"))
     sz = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
 
-    a = shc.select(F.col("doc_id").alias("doc_a"), "s")
-    b = shc.select(F.col("doc_id").alias("doc_b"), "s")
+    a = shc.select(F.col("doc_id").alias("doc_a"), "_ct_s")
+    b = shc.select(F.col("doc_id").alias("doc_b"), "_ct_s")
     inter = (
-        a.join(b, "s")
+        a.join(b, "_ct_s")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter_size"))

@@ -128,6 +128,18 @@ WINDOW_KEY_BOUNDS = {
                "<= WINNOW_MAX_DF cap that drops degenerate keys before "
                "the pair self-join (same policy as the LSH bucket "
                "sizing window above)"),
+    ("_ct_s",): ("bounded", "containment-shingle df-sizing window "
+                 "(plans/llm18.dedup_containment, which alone mints "
+                 "_ct_s): same df-cap policy as _wf — the window feeds "
+                 "the <= _DF_CAP filter that drops degenerate shingles "
+                 "before the inverted-index self-join; WindowExec "
+                 "spills, so a pathologically hot shingle degrades to "
+                 "disk, and its rows are exactly the ones the cap then "
+                 "drops.  Visible to the lint since round 12: the "
+                 "localCheckpoint that used to truncate the captured "
+                 "plan above this window was removed (it materialized "
+                 "at plan-build time, escaping the bench's timed "
+                 "window)"),
     ("source",): ("bounded", "domain cap: exact window runs AFTER the "
                   "(source, partition-id) map-side top-K pre-thin — "
                   "<= K*n_partitions rows per domain"),
