@@ -68,6 +68,12 @@ def main() -> None:
     # Benched queries whose builders are DECLARED to run Spark jobs at
     # plan-build time, enumerated by the round-12 audit (task-counted
     # per builder in its own job group; OPTIMIZATION_r12.md):
+    # Every remaining name carries a SEMANTIC justification (the work
+    # is genuinely the offline half of the operator), not a record-
+    # comparability one — round 13 removed the three materialize-once
+    # checkpoints (retrieval_bm25_topk, dsir_importance_topk,
+    # graph_triangle_tokens: llm17/analytics2) and re-based their
+    # records; their plans now bill every byte inside the timed write.
     #   dedup_incremental_persisted — index write/append, the
     #     documented untimed offline-maintenance half (round 8);
     #   similarity_pq_topk           — Lloyd codebook training (the
@@ -76,23 +82,50 @@ def main() -> None:
     #     training; driver-seeded iterative convergence;
     #   pagerank_cooccurrence / textrank_keywords — pregel-by-join
     #     iterations behind loop-invariant checkpoints;
-    #   quantile_sketch_incremental  — per-round sketch-merge loop;
-    #   retrieval_bm25_topk / dsir_importance_topk /
-    #   graph_triangle_tokens        — materialize-once relations
-    #     (llm17/analytics2 localCheckpoints) that AQE executes at
-    #     build; kept as-is this round — records were set under the
-    #     same shape every round, so the series stays comparable —
-    #     and flagged in OPTIMIZATION_r12.md for a timing re-base.
+    #   quantile_sketch_incremental  — the persisted-sketch ingest
+    #     writes (the without-rescan claim is exactly that the READ
+    #     plan never touches raw history; the writes are the offline
+    #     ingest half, same convention as the persisted LSH index).
     declared_build_jobs = eager_build | {
         "dedup_incremental_persisted", "similarity_pq_topk",
         "bpe_learn_merges", "pagerank_cooccurrence",
         "textrank_keywords", "quantile_sketch_incremental",
-        "retrieval_bm25_topk", "dsir_importance_topk",
-        "graph_triangle_tokens",
     }
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     timings: dict[str, float] = {name: float("inf") for name in specs}
+    # Per-query max CONCURRENT tasks observed during the timed write —
+    # the $SPARK_GRAFT_CPUS evidence PERF_r12 asked for (the driver
+    # could not distinguish "honors CPUs but overhead-bound at this
+    # SF" from "ignores CPUs"): a sampler thread polls the status
+    # tracker's active stages while each query runs.  A query whose
+    # max concurrency tracks the core count proves the session
+    # parallelism reaches execution; a ≤2 reading marks the query
+    # overhead-bound at this fixture scale, not core-blind.
+    import threading
+    conc: dict[str, int] = {name: 0 for name in specs}
+    _stop = threading.Event()
+    _cur = {"name": None}
+
+    def _sample() -> None:
+        while not _stop.is_set():
+            name = _cur["name"]
+            if name is not None:
+                active = 0
+                try:
+                    for sid in tracker.getActiveStageIds():
+                        st = tracker.getStageInfo(sid)
+                        if st:
+                            active += st.numActiveTasks
+                except Exception:  # noqa: BLE001 — sampler never breaks timing
+                    pass
+                if active > conc.get(name, 0):
+                    conc[name] = active
+            time.sleep(0.02)
+
+    sampler = threading.Thread(target=_sample, daemon=True)
+    sampler.start()
+    build_violations: dict[str, int] = {}
     for p in range(passes):  # separated passes; min per query
         for name in sorted(specs):
             group = f"bench-build-{name}-{p}"
@@ -100,7 +133,12 @@ def main() -> None:
             t_build = time.perf_counter()
             df = specs[name].builder(spark, sf_dir)
             build_secs = time.perf_counter() - t_build
-            if p == 0 and name not in declared_build_jobs:
+            if name not in declared_build_jobs:
+                # every pass (round-13 advisor): a builder whose eager
+                # work is conditional would be missed by a pass-0-only
+                # check, and the violation must survive into the JSON
+                # artifact — stderr alone dies with the driver's tail
+                # capture
                 tasks = 0
                 for jid in tracker.getJobIdsForGroup(group):
                     info = tracker.getJobInfo(jid)
@@ -109,18 +147,23 @@ def main() -> None:
                         if st and st.numTasks > 1:
                             tasks += st.numTasks
                 if tasks:
+                    build_violations[name] = \
+                        build_violations.get(name, 0) + tasks
                     print(f"BENCH CONTRACT VIOLATION: {name} ran "
                           f"{tasks} multi-task build-job tasks outside "
                           f"the timed window (undeclared — add a "
                           f"justification or move the work into the "
                           f"plan)", file=sys.stderr)
             sc.setLocalProperty("spark.jobGroup.id", None)
+            _cur["name"] = name
             start = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             wall = time.perf_counter() - start
+            _cur["name"] = None
             if name in eager_build:
                 wall += build_secs
             timings[name] = min(timings[name], wall)
+    _stop.set()
     timings = {n: round(v, 3) for n, v in sorted(timings.items())}
 
     # shuffle-byte / output-row accounting (BASELINE.md §6): a separate
@@ -162,7 +205,20 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # $SPARK_GRAFT_CPUS evidence (round 13, PERF_r12
+        # suspect_cpus_ignored): the session's effective parallelism
+        # plus each query's max concurrent tasks observed during its
+        # timed write — "qconc" is an array aligned with
+        # sorted(queries) to keep the contract line inside the
+        # driver's ~2 kB tail capture.  A qconc entry near
+        # "parallelism" = the cores reach execution; a 1-2 entry =
+        # that query is stage-round/overhead-bound at this SF, not
+        # core-blind.
+        "parallelism": sc.defaultParallelism,
+        "qconc": [conc[n] for n in sorted(timings)],
     }
+    if build_violations:
+        payload["build_violations"] = build_violations
     print(json.dumps(payload))
 
 

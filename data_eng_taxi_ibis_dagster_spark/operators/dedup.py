@@ -679,14 +679,19 @@ def minhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
                                   n=n, num_hashes=num_hashes)
         cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands,
                                     rows=rows)
+    # gather verify only for the S-curve-bounded plain-LSH candidate
+    # set; the exact_recall prefix closure makes |cands| ≳ |corpus| and
+    # the two-pass shape wins (measured — _verify_jaccard_pairs)
     return _verify_jaccard_pairs(df, cands, id_col=id_col,
                                  text_col=text_col, n=n,
-                                 threshold=threshold)
+                                 threshold=threshold,
+                                 gather=not exact_recall)
 
 
 def _verify_jaccard_pairs(df: DataFrame, cands: DataFrame, *,
                           id_col: str, text_col: str, n: int,
-                          threshold: float) -> DataFrame:
+                          threshold: float,
+                          gather: bool = False) -> DataFrame:
     """Exact-Jaccard verification of a (doc_a, doc_b) candidate
     relation against the corpus texts — the shared final stage of
     every candidate generator (LSH, prefix-filter, their union).
@@ -707,27 +712,73 @@ def _verify_jaccard_pairs(df: DataFrame, cands: DataFrame, *,
     under templated corpora, the round-12 advisor finding).  The pair
     hash survives the elision AND spreads hot-``doc_a`` fan-outs.
 
-    The corpus shingle projection is referenced by BOTH join sides
-    (differently-keyed exchanges defeat ReuseExchange/AQE stage reuse,
-    so it evaluates twice) and a round-12 attempt to materialize it
-    once — candidate-member semi-join + localCheckpoint(eager=False) —
-    was REVERTED with measurements: under AQE the "lazy" checkpoint
-    materializes at plan-build time as one serial job per stage, while
-    the duplicated subtrees of this shape run CONCURRENTLY inside the
-    action; honest build+write timing read every consumer 1.7–2.5×
-    SLOWER with the checkpoints (dedup_minhash_lsh 1.1→2.8 s).  The
-    duplication is one extra corpus-scan-plus-shingle — a constant
-    factor absorbed by idle cores, not a scale-killer."""
+    TWO shapes, selected by the CALLER's knowledge of candidate volume
+    (round 13; guide §1.1 first-principles + measured A/B):
+
+    ``gather=True`` — explode each candidate pair into its two member
+    ids, join the shingle relation ONCE, and gather the two arrays
+    back onto the pair row with a (doc_a, doc_b)-keyed aggregate (each
+    group holds exactly two member rows — candidate pairs are distinct
+    and a doc's shingle row is unique — so the NULL-skipping MAX is a
+    deterministic pick, not an order race).  Corpus shingling: 2
+    evaluations → 1; corpus-array exchanges: 2 → ≤1 + a gather
+    exchange of 2·|cands| arrays.  Right when candidates are
+    S-curve-bounded (plain LSH banding): measured sf0.1
+    dedup_minhash_lsh 1.53 → 1.31 s.
+
+    ``gather=False`` (default) — the classic two-join shape: the
+    corpus shingle projection joins both pair sides (differently-keyed
+    exchanges defeat ReuseExchange, so it is tokenized+shingled twice,
+    CONCURRENTLY inside the action).  Right when candidates DWARF the
+    corpus — the deterministic-recall prefix closure grows candidates
+    ~500× past the LSH volume (round 11), and 2·|cands| shingle arrays
+    through the gather exchange is then far heavier than two corpus
+    passes: measured sf0.1 curation_pairs 2.29 → 6.86 s and
+    dedup_allpairs_prefix 4.39 → 8.00 s under gather=True, both
+    reverted to this shape.  The same trade governs 100 TB: the
+    closure keeps |cands| ≳ |corpus| at any scale (it is the price of
+    deterministic recall), so the two-pass shape IS the scale-right
+    form for exact_recall pipelines, not a fixture artifact.
+
+    The two-join shape keeps the AQE-exempt pair-hash spread: the
+    candidate relation is BYTE-small but CPU-heavy per row, so AQE's
+    byte-based coalescing would funnel the verify through ONE task
+    (round-8/-11/-12 lessons — hash of the pair survives optimizer
+    elision AND spreads hot-document fan-outs).  The gather shape
+    needs none: its aggregate is keyed by the pair hash and its input
+    rows carry real array bytes that AQE sizes correctly."""
     sh = _right_size(df).select(
-        F.col(id_col), shingles(tokens(text_col), n).alias("sh"))
+        F.col(id_col).alias("_vid"),
+        shingles(tokens(text_col), n).alias("sh"))
+    if gather:
+        ex = cands.select(
+            "doc_a", "doc_b",
+            F.explode(F.array("doc_a", "doc_b")).alias("_vid"))
+        gathered = (
+            ex.join(sh, "_vid")
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.max(F.when(F.col("_vid") == F.col("doc_a"), F.col("sh")))
+                .alias("sh_a"),
+                F.max(F.when(F.col("_vid") == F.col("doc_b"), F.col("sh")))
+                .alias("sh_b"),
+            )
+        )
+        verified = gathered.select(
+            "doc_a", "doc_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        return verified.filter(F.col("jaccard_sim") >= threshold)
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                           "32"))
     cands = cands.repartition(n_part, F.xxhash64("doc_a", "doc_b"))
     verified = (
         cands
-        .join(sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .select("doc_a", "doc_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        .join(sh.select(F.col("_vid").alias("doc_a"),
+                        F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("_vid").alias("doc_b"),
+                        F.col("sh").alias("sh_b")), "doc_b")
+        .select("doc_a", "doc_b",
+                jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
     )
     return verified.filter(F.col("jaccard_sim") >= threshold)
 
@@ -1159,14 +1210,19 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
     # AQE stage reuse fires — the round-12 stage profile showed the
     # fused shingle+minhash+prefix stack executing 3x per probe.
     # Round 12 TRIED materializing it once via localCheckpoint(
-    # eager=False) and REVERTED it with measurements: under AQE the
-    # "lazy" checkpoint materializes its shuffle stages at CALL time,
-    # one serial job per stage, where the duplicated subtrees of the
-    # original shape execute CONCURRENTLY inside the one action (AQE
-    # submits independent stage jobs in parallel) — honest build+write
-    # timing read 8.6 s vs 4.3 s for the two-cycle persisted query.
-    # The duplication is batch-proportional by construction (the
-    # batch band stack, never the corpus), i.e. a bounded constant
+    # eager=False) and REVERTED it with measurements (plan-build-time
+    # materialization; 8.6 s vs 4.3 s persisted).  Round 13 TRIED the
+    # remaining restructure — probe = sized.filter(_new), making the
+    # probe join a self-join of the windowed union whose sides share
+    # one exchange (stage reuse DID fire: the heavy stacks evaluated
+    # once) — and REVERTED it too, with bench-methodology A/B at
+    # sf0.1: batch 3.86 → 4.06 s, persisted 4.66 → 5.67 s (and with a
+    # second materialization exchange above the window: 4.51 / 5.60).
+    # The duplicated references run CONCURRENTLY inside one action on
+    # otherwise-idle cores, while the shared-stage shape SERIALIZES
+    # the chain (union stage → window → join); wall only pays the
+    # duplication when the cluster is saturated, and the duplication
+    # is batch-proportional by construction — a bounded constant
     # factor at any scale, not a scale-killer.
     touched = index.join(sig_new.select("band", "bucket").distinct(),
                          ["band", "bucket"], "left_semi")
@@ -1217,13 +1273,19 @@ def incremental_near_dup_pairs(batch: DataFrame, corpus: DataFrame, *,
     sh_all = _right_size(others).select(
         F.col(id_col).alias("doc_other"),
         shingles(tokens(text_col), n).alias("sh_b"))
-    # AQE-exempt spread before the CPU-heavy per-pair verification
-    # (byte-small candidate rows coalesce to one task otherwise —
-    # same discipline as minhash_near_dup_pairs)
+    # AQE-exempt spread before the CPU-heavy per-pair verification:
+    # candidate rows are byte-small (two ids), so AQE's byte-based
+    # coalescing would funnel the whole verify stage through one task.
+    # The pair-hash key survives optimizer elision against the
+    # distinct's aggregate exchange AND spreads a hot document's
+    # candidate fan-out (round-12 advisor).  The self-join verify
+    # (_verify_jaccard_pairs) retired its copy of this spread in round
+    # 13 by moving jaccard behind a pair-keyed gather aggregate; here
+    # the two-relation join shape stays (sh_new is batch-proportional,
+    # sh_all candidates-only — already scale-right), so the spread
+    # stays too.
     n_part = int(batch.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
-    # pair-hash spread for the same elision-survival + hot-doc-fan-out
-    # reasons as _verify_jaccard_pairs
     cands = cands.repartition(n_part, F.xxhash64("doc_new", "doc_other"))
     return (
         cands.join(sh_new, "doc_new").join(sh_all, "doc_other")

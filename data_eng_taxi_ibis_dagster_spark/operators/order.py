@@ -29,6 +29,34 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _lo_hi(df: DataFrame, score: Column,
+           bounds: DataFrame | None) -> DataFrame:
+    """The 1-row ``(_lo, _hi)`` range relation the affine bucketing
+    broadcasts. By default it is ``min/max(score)`` over ``df`` itself;
+    ``bounds`` lets the CALLER supply a cheaper deterministic probe
+    (round 13, guide §1.2/§8 "use what you know"): e.g. min/max over
+    the RAW scan feeding a pre-aggregation, instead of re-evaluating
+    the aggregate subtree a third time just to learn its range.
+
+    Correctness is INSENSITIVE to the values: the bucket id is clamped
+    to ``[0, buckets-1]`` and remains a monotone function of the score
+    for ANY (lo, hi), so wrong bounds only unbalance bucket loads —
+    they can never reorder, drop, or duplicate a row. ``bounds`` must
+    be a deterministic 1-row relation (first column = low, second =
+    high) that is non-NULL whenever ``df`` is non-empty; as a
+    belt-and-braces guard the bucket expression coalesces a NULL
+    affine result (NULL lo/hi) to bucket 0 — still monotone-constant,
+    merely serial."""
+    if bounds is None:
+        return df.select(
+            F.min(score).cast("double").alias("_lo"),
+            F.max(score).cast("double").alias("_hi"),
+        )
+    lo_c, hi_c = bounds.columns[:2]
+    return bounds.select(F.col(lo_c).cast("double").alias("_lo"),
+                         F.col(hi_c).cast("double").alias("_hi"))
+
+
 def _group_join(left: DataFrame, right: DataFrame,
                 group_cols: list[str], hint,
                 bucket_col: str | None = None) -> DataFrame:
@@ -102,6 +130,7 @@ def distributed_rank(
     buckets: int = 256,
     name: str = "pos",
     total_name: str | None = None,
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """Global ``row_number() OVER (ORDER BY score, *tiebreaks)`` without
     a single-partition sort, for an arbitrary numeric-monotone key.
@@ -141,10 +170,7 @@ def distributed_rank(
     # to be DETERMINISTIC (both consumers must see the same rows) —
     # already the registry-wide contract; rand()-derived inputs are
     # banned (SPARK-38388 class).
-    lo_hi = df.select(
-        F.min(score).cast("double").alias("_lo"),
-        F.max(score).cast("double").alias("_hi"),
-    )
+    lo_hi = _lo_hi(df, score, bounds)
     staged = (
         df.withColumn("_dr_s", score)
         .join(F.broadcast(lo_hi))
@@ -152,18 +178,23 @@ def distributed_rank(
             "_dr_bucket",
             # NULL scores → leading bucket −1 (ASC NULLS FIRST): a NULL
             # bucket id would silently drop the row at the offsets
-            # equi-join (NULL never equals NULL).
+            # equi-join (NULL never equals NULL). A NULL affine result
+            # (NULL lo/hi from caller bounds — contract breach) lands
+            # in bucket 0: monotone-constant, correct, merely serial.
             F.when(F.col("_dr_s").isNull(), F.lit(-1)).otherwise(
-                F.least(
-                    F.lit(buckets - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.floor(
-                            (F.col("_dr_s").cast("double") - F.col("_lo"))
-                            / ((F.col("_hi") - F.col("_lo")) + F.lit(1e-12))
-                            * buckets
+                F.coalesce(
+                    F.least(
+                        F.lit(buckets - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col("_dr_s").cast("double") - F.col("_lo"))
+                                / ((F.col("_hi") - F.col("_lo")) + F.lit(1e-12))
+                                * buckets
+                            ),
                         ),
                     ),
+                    F.lit(0),
                 )
             ).cast("long"),
         )
@@ -235,6 +266,9 @@ def distributed_prefix_max(
     buckets: int = 256,
     name: str = "prefix_max",
     tie_split: Column | None = None,
+    bounds: DataFrame | None = None,
+    tie_bounds: DataFrame | None = None,
+    bounded_scores: bool = False,
 ) -> DataFrame:
     """EXCLUSIVE global running ``MAX(value) OVER (ORDER BY score,
     *tiebreaks ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``
@@ -270,22 +304,45 @@ def distributed_prefix_max(
         # no input checkpoint — see distributed_rank (round 12)
         df = df.withColumn("_tm_s", score).withColumn("_tm_v", value)
         per = df.groupBy("_tm_s").agg(F.max("_tm_v").alias("_tm_tot"))
+        if bounded_scores:
+            # Caller-DECLARED bounded distinct-score domain (round 13,
+            # guide §2.1/§2.4 "remove shuffles outright"): when the
+            # score is an attribute-domain value (a calendar date, an
+            # enum) the per-score relation is bounded by the DOMAIN —
+            # it grows with wall-clock span, never with corpus size
+            # (the forecast_seasonal_naive precedent). The exclusive
+            # cross-score prefix max is then ONE single-partition
+            # window over that bounded relation instead of the full
+            # recursive bucket machinery (~6 serial stage rounds), and
+            # the offsets join back to the corpus is a BROADCAST — the
+            # corpus-side exchange of the final group join disappears.
+            w_bs = (Window.orderBy("_tm_s")
+                    .rowsBetween(Window.unboundedPreceding, -1))
+            off = per.select(
+                "_tm_s", F.max("_tm_tot").over(w_bs).alias("_tm_off"))
+            within = grouped_prefix_max(
+                df, ["_tm_s"], tie_split, F.col("_tm_v"), *tiebreaks,
+                buckets=buckets, name="_tm_win", broadcast_joins=True,
+                bounds=tie_bounds)
+            return (
+                _group_join(within, off, ["_tm_s"], F.broadcast)
+                .withColumn(name, F.greatest("_tm_off", "_tm_win"))
+                .drop("_tm_s", "_tm_v", "_tm_off", "_tm_win")
+            )
         off = distributed_prefix_max(
             per, F.col("_tm_s"), F.col("_tm_tot"), buckets=buckets,
-            name="_tm_off").select("_tm_s", "_tm_off")
+            name="_tm_off", bounds=bounds).select("_tm_s", "_tm_off")
         within = grouped_prefix_max(
             df, ["_tm_s"], tie_split, F.col("_tm_v"), *tiebreaks,
-            buckets=buckets, name="_tm_win", broadcast_joins=False)
+            buckets=buckets, name="_tm_win", broadcast_joins=False,
+            bounds=tie_bounds)
         return (
             _group_join(within, off, ["_tm_s"], lambda d: d)
             .withColumn(name, F.greatest("_tm_off", "_tm_win"))
             .drop("_tm_s", "_tm_v", "_tm_off", "_tm_win")
         )
     # no input checkpoint — see distributed_rank (round 12)
-    lo_hi = df.select(
-        F.min(score).cast("double").alias("_lo"),
-        F.max(score).cast("double").alias("_hi"),
-    )
+    lo_hi = _lo_hi(df, score, bounds)
     staged = (
         df.withColumn("_pm_s", score)
         .withColumn("_pm_v", value)
@@ -294,17 +351,21 @@ def distributed_prefix_max(
             "_pm_bucket",
             # NULL scores lead (bucket −1, ASC NULLS FIRST) — a NULL
             # bucket id would silently drop the row at the equi-join.
+            # NULL lo/hi (caller-bounds breach) → bucket 0, see _lo_hi.
             F.when(F.col("_pm_s").isNull(), F.lit(-1)).otherwise(
-                F.least(
-                    F.lit(buckets - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.floor(
-                            (F.col("_pm_s").cast("double") - F.col("_lo"))
-                            / ((F.col("_hi") - F.col("_lo")) + F.lit(1e-12))
-                            * buckets
+                F.coalesce(
+                    F.least(
+                        F.lit(buckets - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col("_pm_s").cast("double") - F.col("_lo"))
+                                / ((F.col("_hi") - F.col("_lo")) + F.lit(1e-12))
+                                * buckets
+                            ),
                         ),
                     ),
+                    F.lit(0),
                 )
             ).cast("long"),
         )
@@ -343,6 +404,9 @@ def distributed_prefix_sum(
     name: str = "prefix",
     total_name: str | None = None,
     tie_split: Column | None = None,
+    bounds: DataFrame | None = None,
+    tie_bounds: DataFrame | None = None,
+    bounded_scores: bool = False,
 ) -> DataFrame:
     """Global running ``SUM(value) OVER (ORDER BY score, *tiebreaks
     ROWS UNBOUNDED PRECEDING)`` without a single-partition sort — the
@@ -378,9 +442,42 @@ def distributed_prefix_sum(
         # no input checkpoint — see distributed_rank (round 12)
         df = df.withColumn("_ts_s", score).withColumn("_ts_v", value)
         per = df.groupBy("_ts_s").agg(F.sum("_ts_v").alias("_ts_tot"))
+        if bounded_scores:
+            # Caller-DECLARED bounded distinct-score domain (round 13,
+            # guide §2.1/§2.4): an attribute-domain score (calendar
+            # date, enum) bounds the per-score relation by the DOMAIN
+            # — wall-clock span, never corpus size (the
+            # forecast_seasonal_naive precedent). The exclusive
+            # cross-score prefix is then ONE single-partition window
+            # over that bounded relation instead of the recursive
+            # bucket machinery (~6 serial stage rounds), and both the
+            # grouped within-score joins and the final offsets join
+            # BROADCAST — no corpus-side exchange outside the one
+            # within-score bucket window.
+            w_bs = (Window.orderBy("_ts_s")
+                    .rowsBetween(Window.unboundedPreceding, -1))
+            off = per.select(
+                "_ts_s",
+                F.coalesce(F.sum("_ts_tot").over(w_bs),
+                           F.lit(0).cast("long")).alias("_ts_off"),
+                *([F.sum("_ts_tot").over(
+                    Window.orderBy("_ts_s").rowsBetween(
+                        Window.unboundedPreceding,
+                        Window.unboundedFollowing)).alias("_ts_gtot")]
+                  if total_name is not None else []))
+            within = grouped_prefix_sum(
+                df, ["_ts_s"], tie_split, F.col("_ts_v"), *tiebreaks,
+                buckets=buckets, name="_ts_win", broadcast_joins=True,
+                bounds=tie_bounds)
+            out = _group_join(within, off, ["_ts_s"], F.broadcast) \
+                .withColumn(name, F.col("_ts_off") + F.col("_ts_win"))
+            if total_name is not None:
+                out = out.withColumn(total_name, F.col("_ts_gtot"))
+            return out.drop("_ts_s", "_ts_v", "_ts_off", "_ts_win",
+                            "_ts_gtot")
         off = distributed_prefix_sum(
             per, F.col("_ts_s"), F.col("_ts_tot"), buckets=buckets,
-            name="_ts_incl",
+            name="_ts_incl", bounds=bounds,
             total_name="_ts_gtot" if total_name is not None else None)
         off = off.select(
             "_ts_s",
@@ -388,17 +485,15 @@ def distributed_prefix_sum(
             *(["_ts_gtot"] if total_name is not None else []))
         within = grouped_prefix_sum(
             df, ["_ts_s"], tie_split, F.col("_ts_v"), *tiebreaks,
-            buckets=buckets, name="_ts_win", broadcast_joins=False)
+            buckets=buckets, name="_ts_win", broadcast_joins=False,
+            bounds=tie_bounds)
         out = _group_join(within, off, ["_ts_s"], lambda d: d) \
             .withColumn(name, F.col("_ts_off") + F.col("_ts_win"))
         if total_name is not None:
             out = out.withColumn(total_name, F.col("_ts_gtot"))
         return out.drop("_ts_s", "_ts_v", "_ts_off", "_ts_win", "_ts_gtot")
     # no input checkpoint — see distributed_rank (round 12)
-    lo_hi = df.select(
-        F.min(score).cast("double").alias("_lo"),
-        F.max(score).cast("double").alias("_hi"),
-    )
+    lo_hi = _lo_hi(df, score, bounds)
     staged = (
         df.withColumn("_dp_s", score)
         .withColumn("_dp_v", value)
@@ -409,17 +504,21 @@ def distributed_prefix_sum(
             # expression would otherwise produce a NULL bucket id that
             # silently fails the offsets equi-join and DROPS the row
             # while its value still inflates every downstream offset.
+            # NULL lo/hi (caller-bounds breach) → bucket 0, see _lo_hi.
             F.when(F.col("_dp_s").isNull(), F.lit(-1)).otherwise(
-                F.least(
-                    F.lit(buckets - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.floor(
-                            (F.col("_dp_s").cast("double") - F.col("_lo"))
-                            / ((F.col("_hi") - F.col("_lo")) + F.lit(1e-12))
-                            * buckets
+                F.coalesce(
+                    F.least(
+                        F.lit(buckets - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col("_dp_s").cast("double") - F.col("_lo"))
+                                / ((F.col("_hi") - F.col("_lo")) + F.lit(1e-12))
+                                * buckets
+                            ),
                         ),
                     ),
+                    F.lit(0),
                 )
             ).cast("long"),
         )
@@ -463,6 +562,7 @@ def grouped_rank(
     name: str = "pos",
     total_name: str | None = None,
     broadcast_joins: bool = True,
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """``row_number() OVER (PARTITION BY group_cols ORDER BY score,
     *tiebreaks)`` with BOUNDED window groups — the per-group companion
@@ -496,27 +596,46 @@ def grouped_rank(
     """
     # no input checkpoint — see distributed_rank (round 12)
     hint = F.broadcast if broadcast_joins else (lambda d: d)
-    lo_hi = df.groupBy(*group_cols).agg(
-        F.min(score).cast("double").alias("_gr_lo"),
-        F.max(score).cast("double").alias("_gr_hi"),
-    )
+    if bounds is not None:
+        # Caller-supplied GLOBAL score range, shared by every group
+        # (round 13): one broadcast cross join replaces the per-group
+        # (min, max) aggregate AND its corpus-side group join — two
+        # fewer evaluations of the input's upstream plan. Same
+        # correctness insensitivity as _lo_hi: any (lo, hi) keeps the
+        # bucket a clamped monotone function of the score, so global
+        # bounds only cost balance when a group occupies a narrow
+        # slice of the global range.
+        lo_c, hi_c = bounds.columns[:2]
+        pre = df.withColumn("_gr_s", score).join(F.broadcast(
+            bounds.select(F.col(lo_c).cast("double").alias("_gr_lo"),
+                          F.col(hi_c).cast("double").alias("_gr_hi"))))
+    else:
+        lo_hi = df.groupBy(*group_cols).agg(
+            F.min(score).cast("double").alias("_gr_lo"),
+            F.max(score).cast("double").alias("_gr_hi"),
+        )
+        pre = _group_join(df.withColumn("_gr_s", score), lo_hi,
+                          group_cols, hint)
     staged = (
-        _group_join(df.withColumn("_gr_s", score), lo_hi, group_cols, hint)
-        .withColumn(
+        pre.withColumn(
             "_gr_bucket",
             # NULL scores → leading bucket −1 (ASC NULLS FIRST); a NULL
             # bucket id would drop the row at the offsets equi-join.
+            # NULL lo/hi (caller-bounds breach) → bucket 0, see _lo_hi.
             F.when(F.col("_gr_s").isNull(), F.lit(-1)).otherwise(
-                F.least(
-                    F.lit(buckets - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.floor(
-                            (F.col("_gr_s").cast("double") - F.col("_gr_lo"))
-                            / ((F.col("_gr_hi") - F.col("_gr_lo")) + F.lit(1e-12))
-                            * buckets
+                F.coalesce(
+                    F.least(
+                        F.lit(buckets - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col("_gr_s").cast("double") - F.col("_gr_lo"))
+                                / ((F.col("_gr_hi") - F.col("_gr_lo")) + F.lit(1e-12))
+                                * buckets
+                            ),
                         ),
                     ),
+                    F.lit(0),
                 )
             ).cast("long"),
         )
@@ -560,6 +679,7 @@ def grouped_prefix_sum(
     name: str = "prefix",
     total_name: str | None = None,
     broadcast_joins: bool = True,
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group running ``SUM(value) OVER (PARTITION BY group_cols
     ORDER BY score, *tiebreaks ROWS UNBOUNDED PRECEDING)`` with
@@ -589,30 +709,42 @@ def grouped_prefix_sum(
     (near-)unique score column."""
     # no input checkpoint — see distributed_rank (round 12)
     hint = F.broadcast if broadcast_joins else (lambda d: d)
-    lo_hi = df.groupBy(*group_cols).agg(
-        F.min(score).cast("double").alias("_gp_lo"),
-        F.max(score).cast("double").alias("_gp_hi"),
-    )
-    staged = (
-        _group_join(
+    if bounds is not None:
+        # global caller bounds: see grouped_rank (round 13)
+        lo_c, hi_c = bounds.columns[:2]
+        pre = (df.withColumn("_gp_s", score).withColumn("_gp_v", value)
+               .join(F.broadcast(bounds.select(
+                   F.col(lo_c).cast("double").alias("_gp_lo"),
+                   F.col(hi_c).cast("double").alias("_gp_hi")))))
+    else:
+        lo_hi = df.groupBy(*group_cols).agg(
+            F.min(score).cast("double").alias("_gp_lo"),
+            F.max(score).cast("double").alias("_gp_hi"),
+        )
+        pre = _group_join(
             df.withColumn("_gp_s", score).withColumn("_gp_v", value),
             lo_hi, group_cols, hint)
-        .withColumn(
+    staged = (
+        pre.withColumn(
             "_gp_bucket",
             # NULL scores → leading bucket −1 (ASC NULLS FIRST); a NULL
             # bucket id would drop the row at the offsets equi-join
             # while its value still inflated downstream offsets.
+            # NULL lo/hi (caller-bounds breach) → bucket 0, see _lo_hi.
             F.when(F.col("_gp_s").isNull(), F.lit(-1)).otherwise(
-                F.least(
-                    F.lit(buckets - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.floor(
-                            (F.col("_gp_s").cast("double") - F.col("_gp_lo"))
-                            / ((F.col("_gp_hi") - F.col("_gp_lo")) + F.lit(1e-12))
-                            * buckets
+                F.coalesce(
+                    F.least(
+                        F.lit(buckets - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col("_gp_s").cast("double") - F.col("_gp_lo"))
+                                / ((F.col("_gp_hi") - F.col("_gp_lo")) + F.lit(1e-12))
+                                * buckets
+                            ),
                         ),
                     ),
+                    F.lit(0),
                 )
             ).cast("long"),
         )
@@ -658,6 +790,7 @@ def grouped_prefix_max(
     buckets: int = 256,
     name: str = "prefix_max",
     broadcast_joins: bool = True,
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """EXCLUSIVE per-group running ``MAX(value) OVER (PARTITION BY
     group_cols ORDER BY score, *tiebreaks ROWS BETWEEN UNBOUNDED
@@ -680,28 +813,40 @@ def grouped_prefix_max(
     order-preserving sub-key is exact."""
     # no input checkpoint — see distributed_rank (round 12)
     hint = F.broadcast if broadcast_joins else (lambda d: d)
-    lo_hi = df.groupBy(*group_cols).agg(
-        F.min(score).cast("double").alias("_gm_lo"),
-        F.max(score).cast("double").alias("_gm_hi"),
-    )
-    staged = (
-        _group_join(
+    if bounds is not None:
+        # global caller bounds: see grouped_rank (round 13)
+        lo_c, hi_c = bounds.columns[:2]
+        pre = (df.withColumn("_gm_s", score).withColumn("_gm_v", value)
+               .join(F.broadcast(bounds.select(
+                   F.col(lo_c).cast("double").alias("_gm_lo"),
+                   F.col(hi_c).cast("double").alias("_gm_hi")))))
+    else:
+        lo_hi = df.groupBy(*group_cols).agg(
+            F.min(score).cast("double").alias("_gm_lo"),
+            F.max(score).cast("double").alias("_gm_hi"),
+        )
+        pre = _group_join(
             df.withColumn("_gm_s", score).withColumn("_gm_v", value),
             lo_hi, group_cols, hint)
-        .withColumn(
+    staged = (
+        pre.withColumn(
             "_gm_bucket",
             # NULL scores → leading bucket −1 (ASC NULLS FIRST)
+            # NULL lo/hi (caller-bounds breach) → bucket 0, see _lo_hi.
             F.when(F.col("_gm_s").isNull(), F.lit(-1)).otherwise(
-                F.least(
-                    F.lit(buckets - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.floor(
-                            (F.col("_gm_s").cast("double") - F.col("_gm_lo"))
-                            / ((F.col("_gm_hi") - F.col("_gm_lo")) + F.lit(1e-12))
-                            * buckets
+                F.coalesce(
+                    F.least(
+                        F.lit(buckets - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col("_gm_s").cast("double") - F.col("_gm_lo"))
+                                / ((F.col("_gm_hi") - F.col("_gm_lo")) + F.lit(1e-12))
+                                * buckets
+                            ),
                         ),
                     ),
+                    F.lit(0),
                 )
             ).cast("long"),
         )

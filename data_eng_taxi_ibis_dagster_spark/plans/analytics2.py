@@ -35,7 +35,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_eng_taxi_ibis_dagster_spark.functions.exact import lsum, sql_lsum
-from data_eng_taxi_ibis_dagster_spark.operators.order import distributed_rank
+from data_eng_taxi_ibis_dagster_spark.operators.order import (
+    distributed_prefix_sum,
+    distributed_rank,
+)
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 
@@ -92,31 +95,60 @@ def graph_triangle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, and all three joins are hash equi-joins on vertex keys. The
     co-occurrence relation itself is one exploded self-join shuffled on
     doc_id with per-doc fan-out bounded by distinct-token count."""
-    d = load_table(spark, sf_dir, "documents")
-    dt = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")).distinct()
+    # _right_size (scan-parallelism fan-out, no-op at scale) +
+    # explicit no-op isNotNull on tok: the three triangle join sides
+    # push isnotnull on DIFFERENT columns (b / a,c) into their copies
+    # of the e0 subtree, and asymmetric filters defeat the AQE stage
+    # reuse that evaluates the co-occurrence aggregate once (the
+    # round-13 containment/dsir finding)
+    from data_eng_taxi_ibis_dagster_spark.operators.dedup import (
+        _right_size,
+    )
+
+    d = _right_size(load_table(spark, sf_dir, "documents"))
+    dt = (d.select(
+              "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+          .filter(F.col("tok").isNotNull() & F.col("doc_id").isNotNull())
+          .distinct())
     a = dt.select("doc_id", F.col("tok").alias("ta"))
     b = dt.select("doc_id", F.col("tok").alias("tb"))
-    # Materialize the co-occurrence aggregate once: both the threshold
-    # rank pass and the edge filter read it.
+    # Round 13: the localCheckpoint(eager=False) "materialize once"
+    # here executed at PLAN-BUILD time under AQE — real work outside
+    # bench.py's timed window (round-12 order.py finding; kept one
+    # round for record comparability, now re-based).  Honest sharing:
+    # every consumer (the threshold rank pass's three references, the
+    # edge filter, the three triangle join sides) prunes identically
+    # below the (ta, tb) aggregate — grouping keys are not prunable —
+    # so AQE stage reuse evaluates the exploded co-occurrence self-join
+    # once at runtime and each consumer re-reads its exchange.
     e0 = (
         a.join(b, "doc_id")
         .filter(F.col("ta") < F.col("tb"))
         .groupBy("ta", "tb")
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=False)
     )
     # Exact 60th-percentile weight cut — the threshold adapts to corpus
     # density instead of hard-coding an absolute co-occurrence count.
-    # Distinct co-occurring pairs on a web corpus run to BILLIONS of
-    # rows, so the selection rank comes from
-    # :func:`operators.order.distributed_rank` (range-bucketed, no
-    # single-partition window ever touches the edge relation).
+    # Round 13: the cut no longer RANKS every edge.  The oracle's
+    # row_number orders by (w, ta, tb), so the w at global rank
+    # ceil(0.6·N) is fully determined by the per-weight HISTOGRAM:
+    # it is the smallest w whose cumulative edge count reaches the
+    # target — the (ta, tb) tiebreaks only order rows WITHIN a w tie
+    # group and can never move the boundary between groups.  The
+    # histogram groupBy shares e0's aggregate exchange (AQE stage
+    # reuse — same subtree), and the prefix machinery now runs over
+    # |distinct w| rows (a count-distribution support, ~sqrt-ish of
+    # the edge count) instead of the full edge relation: the previous
+    # distributed_rank shuffled EVERY edge through its bucket windows
+    # just to read one row back (round-12: ~6 serial stage rounds over
+    # edge-scale data; now over histogram-scale data).
+    hw = e0.groupBy("w").agg(F.count(F.lit(1)).alias("_hn"))
+    target = F.ceil(F.lit(0.6) * F.col("_n"))
     thr = (
-        distributed_rank(
-            e0, F.col("w"), F.col("ta"), F.col("tb"),
-            name="_rn", total_name="_cnt")
-        .filter(F.col("_rn") == F.ceil(F.lit(0.6) * F.col("_cnt")))
+        distributed_prefix_sum(
+            hw, F.col("w"), F.col("_hn"), name="_cum", total_name="_n")
+        .filter((F.col("_cum") >= target)
+                & (F.col("_cum") - F.col("_hn") < target))
         .select(F.col("w").alias("_thr"))
     )
     e = (
@@ -178,8 +210,12 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_retailprice", "p_size")
     per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("_ms"))
     frontier = (
+        # bounds from one raw-scan min/max instead of a third
+        # evaluation of the per_price aggregate (round 13 — see
+        # weighted_median_price)
         distributed_prefix_max(
-            per_price, F.col("p_retailprice"), F.col("_ms"), name="_prev")
+            per_price, F.col("p_retailprice"), F.col("_ms"), name="_prev",
+            bounds=p.select(F.min("p_retailprice"), F.max("p_retailprice")))
         .filter(F.col("_prev").isNull() | (F.col("_ms") > F.col("_prev")))
         .select("p_retailprice", F.col("_ms").alias("p_size"))
     )

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_eng_taxi_ibis_dagster_spark.operators import text as T
+from data_eng_taxi_ibis_dagster_spark.operators.dedup import _right_size
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 
@@ -136,28 +137,41 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split() yields >=1 token for any non-NULL text, so "docs with a
     # non-NULL text" is exactly the oracle's dl relation (unnest drops
     # only NULL arrays); n and dl then need no explode at all.
-    d = (load_table(spark, sf_dir, "documents")
+    # _right_size: the corpus tokenization otherwise runs on the
+    # scan's file-count parallelism (1 task at sf0.1); no-op at scale.
+    d = (_right_size(load_table(spark, sf_dir, "documents"))
          .filter(F.col("text").isNotNull()))
-    toks = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    # explicit no-op isNotNull (explode of split never yields NULL
+    # terms): the candidate chain's join pushes isnotnull(term) into
+    # ITS copy of this subtree but not into dfr's, and the asymmetric
+    # filter defeats the AQE stage reuse that shares the tokenize pass
+    # (the round-13 containment/dsir finding)
+    toks = (d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+            .filter(F.col("term").isNotNull()))
     # Doc length is row-local (array size) — no corpus-wide groupBy.
-    # Materialize the compact (doc_id, dl) relation once: the corpus
-    # statistics and the candidate join both read the 16 B/doc
-    # materialization instead of re-scanning the text column.
-    dl = (d.select("doc_id",
-                   F.size(T.tokens("text")).cast("long").alias("dl"))
-          .localCheckpoint(eager=False))
+    # Round 13: the localCheckpoint(eager=False) that used to
+    # "materialize once" here executed at PLAN-BUILD time under AQE —
+    # real corpus work outside bench.py's timed window (the round-12
+    # order.py finding; this site was kept one round for record
+    # comparability and is now re-based).  The two consumers (corpus
+    # statistics, candidate join) re-derive the row-local projection
+    # concurrently inside the action — the order.py A/B precedent
+    # (a wash) applies: the subtree is one scan + a tokenize.
+    dl = d.select("doc_id",
+                  F.size(T.tokens("text")).cast("long").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
 
     q = spark.createDataFrame(_BM25_QUERIES, ["query_id", "term"])
     qterms = q.select("term").distinct()
     # Prune exploded tokens to query terms BELOW the tf aggregation:
     # the (doc, term) exchange then carries only the |Q| query terms'
-    # postings, never the corpus vocabulary. The pruned postings are
-    # |Q|-bounded — materialize once so df stats and candidate scoring
-    # share the single corpus tokenization pass.
+    # postings, never the corpus vocabulary.  Checkpoint removed
+    # (round 13, as for ``dl``): the two consumers (df stats,
+    # candidate scoring) prune identically below the (doc_id, term)
+    # aggregate — grouping keys are not prunable — so AQE stage reuse
+    # shares the single corpus tokenization pass at runtime.
     tfq = (toks.join(F.broadcast(qterms), "term")
-           .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-           .localCheckpoint(eager=False))
+           .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     dfr = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     idf = F.log((2 * F.col("n") + 2).cast("double")
@@ -284,30 +298,36 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ReuseExchange) between the bucket-table and per-doc-weight
     branches. Quantized-long arithmetic end to end (module docstring)
     keeps both engines bit-identical."""
-    d = load_table(spark, sf_dir, "documents")
+    # _right_size (1-task scan at sf0.1; no-op at scale) + explicit
+    # no-op isNotNull on the bucket: the weight branch's join pushes
+    # isnotnull(b) into ITS copy of the subtree but not into the
+    # bucket-stats branch's, and the asymmetric filter defeats the
+    # AQE stage reuse that runs the bigram explode once (measured:
+    # two identical 2.7 s single-task stages before this fix)
+    d = _right_size(load_table(spark, sf_dir, "documents"))
     bg = (d.select("doc_id", "lang",
                    F.explode(_bigrams("text")).alias("bigram"))
-          .select("doc_id", "lang", _bucket(F.col("bigram")).alias("b")))
+          .select("doc_id", "lang", _bucket(F.col("bigram")).alias("b"))
+          .filter(F.col("b").isNotNull()))
     # One corpus explode feeds everything: the (doc, lang, bucket)
     # aggregate (lang is doc-functional, so cardinality is unchanged)
     # rolls up to the 256-row bucket stats, the 1-row totals, and the
-    # per-doc weights — Catalyst's ReuseExchange shares the single
-    # corpus-sized exchange between the table and weight branches.
-    # ndb is bucket-capped (≤256 rows per doc — far smaller than the
-    # exploded bigram relation it compresses). Materializing it means
-    # the corpus is tokenized/exploded exactly once; the two remaining
-    # consumers (bucket table, per-doc weights) re-read the compact
-    # materialization instead of re-running the explode.
+    # per-doc weights.  Round 13: the two localCheckpoint(eager=False)
+    # "materialize once" calls here executed at PLAN-BUILD time under
+    # AQE — real corpus work outside bench.py's timed window (the
+    # round-12 order.py finding; kept one round for record
+    # comparability, now re-based).  Honest sharing comes from AQE
+    # stage reuse instead: grouping keys are not prunable, so every
+    # consumer of ndb sees the IDENTICAL (doc_id, lang, b) aggregate
+    # exchange — the corpus explode runs once at runtime — and both
+    # bs consumers likewise share its (b,) exchange.
     ndb = bg.groupBy("doc_id", "lang", "b").agg(
-        F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
-    # bs is ≤256 rows — materialize it once (repo materialize-once
-    # discipline) so the totals/table/weight consumers share one
-    # corpus pass instead of re-deriving it per branch.
+        F.count(F.lit(1)).alias("n"))
     bs = ndb.groupBy("b").agg(
         F.sum("n").alias("cr"),
         F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("n"))
               .otherwise(F.lit(0))).alias("ct"),
-    ).localCheckpoint(eager=False)
+    )
     tot = bs.agg(F.sum("cr").alias("rt"), F.sum("ct").alias("tt"))
     lrq = F.floor((
         F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_eng_taxi_ibis_dagster_spark.operators import text as T
+from data_eng_taxi_ibis_dagster_spark.operators.dedup import _right_size
 from data_eng_taxi_ibis_dagster_spark.plans.registry import query
 from data_eng_taxi_ibis_dagster_spark.sources.tables import load_table
 
@@ -123,23 +124,53 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle column is minted as the operator-owned ``_ct_s`` so
     # the plan lint's window bound is keyed to a name only this query
     # mints (the ``_wf`` precedent) — with the round-12 checkpoint
-    # removal the df-cap window below is visible to the lint again
-    sh = corpus.select(
-        "doc_id", F.explode(T.shingles(T.tokens("text"), _N)).alias("_ct_s"))
+    # removal the df-cap window below is visible to the lint again.
+    #
+    # Round 13, guide §2.3 "narrower types": the shingle travels as
+    # its 16-byte md5 BINARY from birth — the key is only ever
+    # compared for equality (df window, pair equi-join), never emitted,
+    # so the lossless narrowing (~17-40-byte strings → 16 bytes) cuts
+    # every exchange and sort it flows through; md5 (not xxhash64)
+    # because a collision would MERGE two shingles' df counts and
+    # intersections with no verify stage to catch it — 128 bits keeps
+    # that unrealizable at any corpus size, the winnow-fingerprint
+    # precedent.  The oracle keeps joining on the raw shingle: only
+    # counts cross engines, and md5 is injective in practice.
+    #
+    # The explicit isNotNull filters are result-no-ops (doc_id and the
+    # shingle are non-null by construction, and NULL keys never survive
+    # the equi-joins) — they exist so every consumer's plan carries
+    # the IDENTICAL filter below the _ct_s exchange: round 12's plan
+    # showed the pair join pushing isnotnull into its two sides but
+    # not into the size-aggregate branch, so the four consumers
+    # canonicalized differently and the explode+window pipeline
+    # executed FOUR times (a side, broadcast b side, size_a, size_b —
+    # plans/r12/dedup_containment_after.txt).
+    # _right_size: with the pipeline now evaluated ONCE (below), the
+    # tokenize+shingle+md5 pass runs on the scan's file-count
+    # parallelism — 2 tasks at sf0.1, measured 2.6 s of the wall.
+    # Fan the union out to defaultParallelism first (no-op at 100 TB
+    # where splits outnumber slots — operators/dedup._right_size).
+    sh = (_right_size(corpus).select(
+              "doc_id",
+              F.explode(T.shingles(T.tokens("text"), _N)).alias("_ct_raw"))
+          .select("doc_id", F.unhex(F.md5("_ct_raw")).alias("_ct_s"))
+          .filter(F.col("doc_id").isNotNull()
+                  & F.col("_ct_s").isNotNull()))
     # df annotation as a count-over-window on the shingle partition:
     # ONE exchange of the shingle relation instead of the groupBy-df +
     # join-back pair (measured 2.2× at sf0.1). WindowExec spills, so a
     # pathologically hot shingle degrades to disk, not OOM — and its
     # rows are exactly the ones the cap then drops.  Round 12 removed
     # the localCheckpoint that used to pin this relation to one
-    # evaluation: under AQE the "lazy" checkpoint materializes at
-    # plan-build time (serial jobs that escaped the bench's timed
-    # window for three rounds — its recorded 1.46 s was missing ~2 s
-    # of real work); the honest interleaved A/B read checkpoint 3.37 s
-    # vs none 3.62 s — inside noise — and without it every byte of
-    # work is billed inside the action.  The size aggregate and the
-    # two join sides re-derive the capped relation; the a/b sides
-    # share one exchange via AQE stage reuse.
+    # evaluation (it materialized at plan-build time, escaping the
+    # bench's timed window); round 13 pins it to one evaluation the
+    # honest way: identical sub-plans under every consumer (the
+    # filters above) + a SHUFFLE_HASH hint on the pair join so AQE
+    # cannot broadcast side b as a separately-evaluated relation — the
+    # join sides and the size aggregate all read ONE shared _ct_s
+    # exchange stage (AQE stage reuse; the window's output partitioning
+    # already satisfies the join, so no further exchange exists).
     shc = (sh.withColumn(
                "df", F.count(F.lit(1)).over(Window.partitionBy("_ct_s")))
            .filter(F.col("df") <= _DF_CAP)
@@ -149,7 +180,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = shc.select(F.col("doc_id").alias("doc_a"), "_ct_s")
     b = shc.select(F.col("doc_id").alias("doc_b"), "_ct_s")
     inter = (
-        a.join(b, "_ct_s")
+        a.join(b.hint("shuffle_hash"), "_ct_s")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter_size"))

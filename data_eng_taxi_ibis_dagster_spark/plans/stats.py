@@ -192,9 +192,18 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_extendedprice", F.col("l_quantity").cast("long").alias("w"))
     per_price = li.groupBy("l_extendedprice").agg(F.sum("w").alias("w"))
+    # Round 13: the bucket range comes from one RAW-scan min/max
+    # (``bounds``) instead of min/max over per_price — which
+    # re-evaluated the groupBy subtree a third time just to learn the
+    # price range (min/max of the raw column ≡ min/max of its distinct
+    # values). With identical prunings on the two remaining per_price
+    # consumers, AQE stage reuse shares their exchange: the aggregate
+    # runs ONCE (plans/r13/weighted_median_price_after.txt).
     ranked = distributed_prefix_sum(
         per_price, F.col("l_extendedprice"), F.col("w"),
-        name="cw", total_name="tw")
+        name="cw", total_name="tw",
+        bounds=li.select(F.min("l_extendedprice"),
+                         F.max("l_extendedprice")))
     return (
         ranked.filter(2 * F.col("cw") >= F.col("tw"))
         .agg(F.min("l_extendedprice").alias("weighted_median"),

@@ -133,7 +133,17 @@ def cum_revenue_by_orderdate(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-bucketed on the order key — no corpus-scale window anywhere
     in the plan. Revenue is quantized to integer cents
     (``floor(x*100+0.5)``) so the running sum is exact under
-    reordering, per the repo float discipline."""
+    reordering, per the repo float discipline.
+
+    Round 13 (guide §2.1/§2.4): ``bounded_scores=True`` — the distinct
+    scores are CALENDAR DAYS, bounded by wall-clock span at any corpus
+    size (a century is <37k rows — the forecast_seasonal_naive lint
+    precedent), so the cross-date prefix is one window over the
+    per-date aggregate and the offsets join back to orders is a
+    broadcast; ``tie_bounds`` supplies the global order-key range from
+    one raw-scan min/max, replacing the per-day (min, max) groupBy and
+    its corpus-side join inside the within-date bucketing. Plan: 7
+    orders-scans/13 exchanges → 4 scans/8 exchanges (plans/r13/)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate",
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
@@ -147,14 +157,16 @@ def cum_revenue_by_orderdate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = O.distributed_prefix_sum(
         o, F.col("_day"), F.col("_cents"),
         F.col("o_orderkey"), name="cum_revenue_cents",
-        tie_split=F.col("o_orderkey"))
-    return (
-        out.select(
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "cum_revenue_cents")
-        .orderBy("o_orderkey")
-    )
+        tie_split=F.col("o_orderkey"),
+        bounded_scores=True,
+        tie_bounds=o.select(F.min("o_orderkey"), F.max("o_orderkey")))
+    # no output sort (round-10 advisory, curation_stack precedent): the
+    # harness hash is order-insensitive and the range exchange's
+    # boundary-sampling pass re-evaluates the whole plan once more
+    return out.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "cum_revenue_cents")
 
 
 @query(
@@ -198,14 +210,17 @@ def running_peak_price_by_orderdate(spark: SparkSession, sf_dir: str) -> DataFra
         F.datediff(F.col("o_orderdate").cast("date"),
                    F.lit("1970-01-01").cast("date"))
         .cast("double").alias("_day"))
+    # bounded_scores / tie_bounds: same round-13 rationale as
+    # cum_revenue_by_orderdate (calendar-day score domain; global
+    # order-key range from one raw-scan min/max)
     out = O.distributed_prefix_max(
         o, F.col("_day"), F.col("_cents"),
         F.col("o_orderkey"), name="_peak_excl",
-        tie_split=F.col("o_orderkey"))
-    return (
-        out.select(
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            F.greatest("_peak_excl", "_cents").alias("peak_price_cents"))
-        .orderBy("o_orderkey")
-    )
+        tie_split=F.col("o_orderkey"),
+        bounded_scores=True,
+        tie_bounds=o.select(F.min("o_orderkey"), F.max("o_orderkey")))
+    # no output sort — same round-10-advisory grounds as cum_revenue
+    return out.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.greatest("_peak_excl", "_cents").alias("peak_price_cents"))

@@ -74,6 +74,13 @@ GLOBAL_WINDOW_ALLOWED = {
     # the fixture span — |rows| grows with wall-clock time covered,
     # not with corpus size (a decade of data is ~90k rows).
     "forecast_seasonal_naive",
+    # bounded_scores tie_split (operators/order, round 13): the
+    # cross-date offsets window runs over the per-DAY aggregate — one
+    # row per calendar day of the fixture span (a century is <37k
+    # rows), the same wall-clock-not-corpus bound as
+    # forecast_seasonal_naive's hourly grid.
+    "cum_revenue_by_orderdate",
+    "running_peak_price_by_orderdate",
 }
 
 #: Declared scale bound for every PARTITIONED window key in the
